@@ -1,0 +1,42 @@
+"""Pipeline configuration.
+
+Knob values deliberately mirror the reference's config.yaml (batch sizes,
+top-k, similarity threshold — /root/reference/config.yaml:28-37) so the
+semantics line up; everything else is scale machinery the reference does not
+have (buckets, salting).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # Evidence selection (reference: config.yaml:33-37 → batch 256, top 5,
+    # threshold 0.0; refs_html_to_evidences.py:59)
+    top_k_evidence: int = 5
+    similarity_threshold: float = 0.0
+    # Sentence sliding window (reference: config.yaml:28-31, window=2,
+    # join=' ' — refs_html_to_evidences.py:30-38)
+    slide_window: int = 2
+    slide_join: str = " "
+    # Arrow batch size for kernel stages (reference model batching:
+    # sentence_retrieval_module.py:13 → 32; evidence batch 256)
+    kernel_batch_rows: int = 4096
+    # Scale machinery (ours): number of conv_id hash buckets used for
+    # checkpoint manifests + output layout, and salt fan-out for hot keys.
+    n_buckets: int = 32
+    salt_buckets: int = 8
+    # Truncate pathological turn text before shuffles (spill control).
+    max_turn_chars: int = 16384
+    # Canonicalization fixpoint guard.
+    max_cc_iterations: int = 20
+    # NLI class order + below-threshold default distribution: when no
+    # evidence passes the similarity threshold the claim defaults to NEI
+    # (reference behavior: claim_entailment.py:67-68 with its class order).
+    classes: tuple[str, ...] = ("SUPPORTS", "REFUTES", "NOT ENOUGH INFO")
+    default_probs: tuple[float, ...] = (0.0, 0.0, 1.0)
+
+
+DEFAULT_CONFIG = PipelineConfig()

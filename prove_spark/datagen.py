@@ -1,0 +1,161 @@
+"""Deterministic synthetic transcripts (FIXTURES.md §1).
+
+Conversations are derived purely arithmetically from the driver-generated
+`documents` table (doc_id → conv structure; no RNG), so the Spark pipeline,
+the pandas oracle, DuckDB oracles, and benchmarks all see byte-identical
+inputs at every scale factor. Shape follows BASELINE.json input_hint:
+(conv_id string, turn_idx int32, role string, text string, tool string,
+ts timestamp).
+
+Skew: subject mentions are routed to HOT_QIDS ~50% of the time → a few
+entities are genuinely hot, exercising salted aggregation/join paths.
+Rows are emitted in a deterministically *shuffled* order so that stable
+(conv_id, turn_idx) re-ordering (the per-row invariant) is actually tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+from .dictionaries import ALIASES, ENTITIES, HOT_QIDS, PREDICATES, qid_num
+
+_EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+_ALIASES_BY_QID: dict[str, list[str]] = {}
+for _alias, _qid in ALIASES:
+    _ALIASES_BY_QID.setdefault(_qid, []).append(_alias)
+for _qid in _ALIASES_BY_QID:
+    _ALIASES_BY_QID[_qid].sort()
+
+_LABEL_BY_QID = dict(ENTITIES)
+
+# Disambiguation prior: an ambiguous alias links to its lowest-numbered QID
+# (stand-in for the reference's sitelink-count popularity sort,
+# functions.py:642-647). Datagen uses the same rule so injected evidence
+# matches what the linker will resolve.
+_LINKED_QID_BY_ALIAS: dict[str, str] = {}
+for _alias, _qid in ALIASES:
+    cur = _LINKED_QID_BY_ALIAS.get(_alias)
+    if cur is None or qid_num(_qid) < qid_num(cur):
+        _LINKED_QID_BY_ALIAS[_alias] = _qid
+
+_ROLES = ["user", "assistant", "tool"]
+_TOOLS = ["search", "browser", "python", ""]
+
+
+def _subject_qid(doc_id: int, j: int) -> str:
+    h = (doc_id * 7 + j * 13) % 20
+    if h < 10:  # 50% of subjects land on 3 hot entities
+        return HOT_QIDS[h % len(HOT_QIDS)]
+    return ENTITIES[(doc_id * 7 + j * 13) % len(ENTITIES)][0]
+
+
+def _alias_for(qid: str, k: int) -> str:
+    al = _ALIASES_BY_QID[qid]
+    return al[k % len(al)]
+
+
+def _conv_sentences(doc_id: int, text: str) -> list[str]:
+    """Build the ordered sentence list for one conversation."""
+    words = text.split()
+    fillers = [
+        " ".join(words[i : i + 10]) + "." for i in range(0, max(len(words), 1), 10)
+    ]
+    if doc_id % 7 == 0 and fillers:
+        fillers[0] = fillers[0][:-1] + "（extra）."  # unicode normalization path
+
+    n_claims = 1 + doc_id % 3
+    claim_sents: list[str] = []
+    evidence_sents: list[str] = []
+    for j in range(n_claims):
+        subj_qid = _subject_qid(doc_id, j)
+        pid, pattern, plabel, _dt = PREDICATES[(doc_id * 11 + j * 5) % len(PREDICATES)]
+        obj_qid = ENTITIES[(doc_id * 3 + j * 17 + 1) % len(ENTITIES)][0]
+        if obj_qid == subj_qid:
+            obj_qid = ENTITIES[(doc_id * 3 + j * 17 + 2) % len(ENTITIES)][0]
+        subj_alias = _alias_for(subj_qid, doc_id + j)
+        obj_alias = _alias_for(obj_qid, doc_id + 2 * j)
+        claim_sents.append(f"{subj_alias} {pattern} {obj_alias}.")
+
+        linked_subj = _LINKED_QID_BY_ALIAS[subj_alias]
+        linked_obj = _LINKED_QID_BY_ALIAS[obj_alias]
+        s_label = _LABEL_BY_QID[linked_subj]
+        o_label = _LABEL_BY_QID[linked_obj]
+        mode = (doc_id + 2 * j) % 4
+        if mode in (0, 1):  # supporting evidence (verbalized-claim superset)
+            evidence_sents.append(f"indeed {s_label} {plabel} {o_label}.")
+        elif mode == 2:  # refuting evidence
+            evidence_sents.append(f"{s_label} does not {pattern} {o_label}.")
+        # mode 3 → no injected evidence → NEI
+
+    # interleave: filler, claim, filler, evidence, filler, claim, ...
+    out: list[str] = []
+    fi, ci, ei = 0, 0, 0
+    while ci < len(claim_sents) or ei < len(evidence_sents) or fi < len(fillers):
+        if fi < len(fillers):
+            out.append(fillers[fi])
+            fi += 1
+        if ci < len(claim_sents):
+            out.append(claim_sents[ci])
+            ci += 1
+        if fi < len(fillers):
+            out.append(fillers[fi])
+            fi += 1
+        if ei < len(evidence_sents):
+            out.append(evidence_sents[ei])
+            ei += 1
+    return out
+
+
+def build_transcripts_pdf(docs_pdf: pd.DataFrame) -> pd.DataFrame:
+    """documents(doc_id, text, ...) → transcripts rows (deterministic)."""
+    rows: list[tuple] = []
+    for doc_id, text in zip(docs_pdf["doc_id"], docs_pdf["text"]):
+        doc_id = int(doc_id)
+        conv_id = f"conv-{doc_id:06d}"
+        sents = _conv_sentences(doc_id, text)
+        # pack sentences into turns of 1..3 sentences
+        turn_idx = 0
+        i = 0
+        while i < len(sents):
+            size = (doc_id + turn_idx) % 3 + 1
+            turn_text = " ".join(sents[i : i + size])
+            role = _ROLES[turn_idx % 3]
+            tool = _TOOLS[(doc_id + turn_idx) % 4] if role == "tool" else ""
+            ts = _EPOCH + timedelta(seconds=doc_id * 1000 + turn_idx * 7)
+            rows.append((conv_id, turn_idx, role, turn_text, tool, ts))
+            turn_idx += 1
+            i += size
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True).dt.tz_localize(None)
+    # deterministic shuffle so downstream ordering is meaningful to test
+    key = (pdf["conv_id"] + ":" + pdf["turn_idx"].astype(str)).map(
+        lambda s: hashlib.md5(s.encode()).hexdigest()
+    )
+    return pdf.loc[key.sort_values().index].reset_index(drop=True)
+
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def transcripts_df(spark, sf_dir: str):
+    """Distributed transcript synthesis: mapInPandas over the documents scan.
+
+    Each Arrow batch of documents yields its conversations independently —
+    no shuffle, scales linearly with the documents table.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            yield build_transcripts_pdf(pdf)
+
+    return docs.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
