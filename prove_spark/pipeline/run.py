@@ -1,0 +1,100 @@
+"""End-to-end KG-construction pipeline driver.
+
+build_triples(spark, transcripts) wires the stages (stages.py) plus
+canonicalization into one lazy DataFrame plan; run_pipeline(...) adds the
+materialization + per-bucket checkpoint manifest for resume
+(pipeline/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from . import stages
+from .canonicalize import canonical_map_df, rekey_triples
+
+TRIPLE_COLUMNS = [
+    "subj",
+    "pred",
+    "obj",
+    "conv_id",
+    "turn_idx",
+    "claim_id",
+    "verdict",
+    "malon",
+    "score",
+]
+
+
+def build_triples(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    persist_sentences: bool = True,
+) -> DataFrame:
+    """transcripts → canonical triples DataFrame (lazy plan, no action)."""
+    base = stages.extract_sentences(transcripts, config)
+    # base sentences feed BOTH claim detection and the evidence pool; persist
+    # so the (text-heavy) extraction kernel runs once. At warehouse scale this
+    # would be a materialized intermediate table bucketed by conv_id.
+    if persist_sentences:
+        base = base.persist()
+    evidence_pool = stages.with_slide_windows(base, config)
+
+    claims = stages.detect_claims(base)
+    linked = stages.link_and_filter(claims, spark)
+    verbalized = stages.verbalize(linked)
+    scored = stages.score_evidence(verbalized, evidence_pool, config)
+    verdicts = stages.entail_and_verdict(scored, config)
+
+    # Below-threshold default (reference: claim_entailment.py:67-68): a claim
+    # none of whose evidence passes the similarity threshold still gets a
+    # verdict from config.default_probs (NEI). Left join back to the claim
+    # set so those rows are not silently dropped by the inner aggregation.
+    default_idx = list(config.default_probs).index(max(config.default_probs))
+    default_verdict = config.classes[default_idx]
+    default_score = float(config.default_probs[default_idx])
+    full = (
+        verbalized.select(
+            "conv_id",
+            "claim_id",
+            "sent_id",
+            "subj_qid",
+            F.col("property_id").alias("pred"),
+            "obj_qid",
+        )
+        .join(
+            verdicts.select("claim_id", "verdict", "malon", "score"),
+            "claim_id",
+            "left",
+        )
+        .withColumn("verdict", F.coalesce("verdict", F.lit(default_verdict)))
+        .withColumn("malon", F.coalesce("malon", F.lit(default_verdict)))
+        .withColumn("score", F.coalesce("score", F.lit(default_score)))
+        .withColumn("turn_idx", (F.col("sent_id") / 1000).cast("int"))
+    )
+
+    canon = canonical_map_df(spark)
+    return rekey_triples(full, canon).select(*TRIPLE_COLUMNS)
+
+
+def entity_rollup(triples: DataFrame) -> DataFrame:
+    """A6: per-entity verdict counts + proveScore = (supports-refutes)/total
+    (reference: functions.py:383-398). Uses a two-phase (salted) aggregation
+    via the generic skew helper so hot entities don't bottleneck one reducer.
+    """
+    from ..operators.skew import salted_count_pivot
+
+    return salted_count_pivot(
+        triples,
+        key="subj",
+        pivot_col="verdict",
+        pivot_values=list(DEFAULT_CONFIG.classes),
+        aliases=["n_supports", "n_refutes", "n_nei"],
+    ).withColumn(
+        "prove_score",
+        (F.col("n_supports") - F.col("n_refutes"))
+        / (F.col("n_supports") + F.col("n_refutes") + F.col("n_nei")),
+    )

@@ -1,0 +1,330 @@
+"""Spark DataFrame stages of the KG-construction pipeline.
+
+Operator DAG (reference lifecycle: SURVEY.md §3.1, ProVe_main_process.py:18-61),
+re-expressed Spark-first:
+
+  transcripts
+    └─ extract_sentences     W4 turn ordering + C2 split (mapInPandas kernel)
+         └─ with_slide_windows  C3 slide-2 via Window.lead (pure JVM)
+    └─ detect_claims         mention regex kernel (mapInPandas)
+         └─ link_and_filter  J7 broadcast alias join + F1-F4 filters
+         └─ verbalize        M1 template verbalizer (Arrow kernel)
+    └─ score_evidence        J9 conv_id join + M2 similarity + W1 top-k
+    └─ entail_and_verdict    M3 NLI kernel + A2/A3 verdict aggregation
+
+Shuffle budget (the thing that matters at 100 TB): exactly ONE hash
+repartition per input branch, on conv_id. Every downstream window/groupBy
+partitions by (conv_id, ...) supersets, so Catalyst reuses the existing
+hash partitioning (EnsureRequirements' subset rule) and inserts no further
+exchanges. Entity disambiguation is pre-aggregated on the (tiny) dimension
+side and broadcast — never a fact-side shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..dictionaries import (
+    ALIASES,
+    BAD_DATATYPES,
+    BLACKLIST_PIDS,
+    ENTITIES,
+    PREDICATES,
+)
+from ..functions import text as K  # shared deterministic kernels
+
+CLASSES = list(DEFAULT_CONFIG.classes)
+
+
+# --------------------------------------------------------------------------
+# dimension tables (broadcast side)
+# --------------------------------------------------------------------------
+def alias_dim(spark: SparkSession) -> DataFrame:
+    """alias → candidate qid rows (may be ambiguous)."""
+    pdf = pd.DataFrame(ALIASES, columns=["alias", "qid"])
+    labels = pd.DataFrame(ENTITIES, columns=["qid", "label"])
+    return spark.createDataFrame(pdf.merge(labels, on="qid"))
+
+
+def resolved_alias_dim(spark: SparkSession) -> DataFrame:
+    """Disambiguated alias dimension: each alias resolved to its most-popular
+    QID (popularity prior = lowest numeric QID; stand-in for the reference's
+    sitelink-count ranking, functions.py:642-647).
+
+    Scale note: disambiguation runs on the DIMENSION (thousands of rows), not
+    the fact table — the fact side then needs only a broadcast hash join.
+    """
+    dim = alias_dim(spark).withColumn(
+        "qid_n", F.regexp_extract("qid", r"(\d+)", 1).cast("long")
+    )
+    resolved = dim.groupBy("alias").agg(
+        F.min_by("qid", "qid_n").alias("qid"), F.min_by("label", "qid_n").alias("label")
+    )
+    return resolved
+
+
+def pred_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        pd.DataFrame(
+            PREDICATES, columns=["property_id", "pattern", "property_label", "datatype"]
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 1 — turn assembly + sentence extraction (W4 + C2)
+# --------------------------------------------------------------------------
+SENT_SCHEMA = "conv_id string, sent_id long, sentence string"
+
+
+def extract_sentences(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Per-turn sentence split. sent_id = turn_idx*1000 + 2k encodes the
+    stable (conv_id, turn_idx, k) ordering without any cross-row state, so
+    this stage is embarrassingly parallel (no shuffle).
+    """
+    max_chars = config.max_turn_chars
+
+    def split_batch(batches):
+        for pdf in batches:
+            out_conv, out_sid, out_sent = [], [], []
+            for conv_id, turn_idx, txt in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                for k, s in enumerate(K.split_sentences(str(txt)[:max_chars])):
+                    out_conv.append(conv_id)
+                    out_sid.append(int(turn_idx) * 1000 + 2 * k)
+                    out_sent.append(s)
+            yield pd.DataFrame(
+                {"conv_id": out_conv, "sent_id": out_sid, "sentence": out_sent}
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        split_batch, schema=SENT_SCHEMA
+    )
+
+
+def with_slide_windows(
+    sentences: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """C3: sliding window join of adjacent sentences (window=2), pure JVM.
+
+    The Window's sort-by-sent_id is also what enforces the stable
+    (conv_id, turn_idx) ordering invariant (BASELINE.json per-row invariant).
+    This is THE pipeline shuffle: hash partition by conv_id.
+    """
+    w = Window.partitionBy("conv_id").orderBy("sent_id")
+    nxt = F.lead("sentence", 1).over(w)
+    slides = (
+        sentences.withColumn("nxt", nxt)
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "conv_id",
+            (F.col("sent_id") + F.lit(1)).alias("sent_id"),
+            F.concat_ws(config.slide_join, "sentence", "nxt").alias("sentence"),
+        )
+    )
+    return sentences.unionByName(slides)
+
+
+# --------------------------------------------------------------------------
+# stage 2 — claim / mention detection (Arrow kernel)
+# --------------------------------------------------------------------------
+CLAIM_SCHEMA = (
+    "conv_id string, sent_id long, claim_id string, "
+    "subj_alias string, pattern string, obj_alias string"
+)
+
+
+def detect_claims(base_sentences: DataFrame) -> DataFrame:
+    alias_list = sorted({a for a, _ in ALIASES})
+    pattern_list = sorted({p for _, p, _, _ in PREDICATES})
+
+    def detect_batch(batches):
+        for pdf in batches:
+            hits = []
+            for conv_id, sent_id, sent in zip(
+                pdf["conv_id"], pdf["sent_id"], pdf["sentence"]
+            ):
+                hit = K.detect_claim(sent, alias_list, pattern_list)
+                if hit is not None:
+                    hits.append(
+                        (conv_id, int(sent_id), f"{conv_id}:{sent_id}", *hit)
+                    )
+            yield pd.DataFrame(
+                hits,
+                columns=[
+                    "conv_id",
+                    "sent_id",
+                    "claim_id",
+                    "subj_alias",
+                    "pattern",
+                    "obj_alias",
+                ],
+            )
+
+    return base_sentences.mapInPandas(detect_batch, schema=CLAIM_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# stage 3 — entity linking + property filters (J7, F1-F4)
+# --------------------------------------------------------------------------
+def link_and_filter(claims: DataFrame, spark: SparkSession) -> DataFrame:
+    preds = pred_dim(spark)
+    resolved = resolved_alias_dim(spark)
+    subj = resolved.select(
+        F.col("alias").alias("subj_alias"),
+        F.col("qid").alias("subj_qid"),
+        F.col("label").alias("subj_label"),
+    )
+    obj = resolved.select(
+        F.col("alias").alias("obj_alias"),
+        F.col("qid").alias("obj_qid"),
+        F.col("label").alias("object_label"),
+    )
+    return (
+        claims.join(F.broadcast(preds), "pattern", "inner")
+        # filters F2/F3 (wikidata_parser.py:211-215, 237-238) — applied before
+        # any heavy stage so Catalyst prunes early
+        .where(~F.col("datatype").isin(BAD_DATATYPES))
+        .where(~F.col("property_id").isin(BLACKLIST_PIDS))
+        .join(F.broadcast(subj), "subj_alias", "inner")
+        .join(F.broadcast(obj), "obj_alias", "inner")
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 4 — verbalization (M1 template kernel)
+# --------------------------------------------------------------------------
+@F.pandas_udf(T.StringType())
+def _verbalize_udf(s: pd.Series, p: pd.Series, o: pd.Series) -> pd.Series:
+    return pd.Series(
+        [K.verbalize_triple(a, b, c) for a, b, c in zip(s, p, o)]
+    )
+
+
+def verbalize(linked: DataFrame) -> DataFrame:
+    return linked.withColumn(
+        "claim_verbalized",
+        _verbalize_udf("subj_label", "property_label", "object_label"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 5 — evidence pairing + retrieval scoring + top-k (J9, M2, W1)
+# --------------------------------------------------------------------------
+@F.pandas_udf(T.DoubleType())
+def _similarity_udf(verb: pd.Series, sent: pd.Series) -> pd.Series:
+    return pd.Series([K.similarity(v, s) for v, s in zip(verb, sent)])
+
+
+def score_evidence(
+    claims: DataFrame,
+    evidence_sentences: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Pair every claim with every sentence of its conversation (the
+    reference pairs claim × all sentences of its reference page,
+    refs_html_to_evidences.py:180-191) — an equi join on conv_id + window
+    top-k, NOT a cross join.
+    """
+    ev = evidence_sentences.select(
+        "conv_id",
+        F.col("sent_id").alias("ev_sent_id"),
+        F.col("sentence").alias("ev_sentence"),
+    )
+    paired = claims.join(ev, "conv_id", "inner").withColumn(
+        "similarity_score", _similarity_udf("claim_verbalized", "ev_sentence")
+    )
+    # Window keys start with conv_id → reuses the existing hash partitioning,
+    # no new exchange. Tie-break matches the oracle: (sim desc, ev_sent_id asc).
+    w = Window.partitionBy("conv_id", "claim_id").orderBy(
+        F.desc("similarity_score"), F.asc("ev_sent_id")
+    )
+    return (
+        paired.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= config.top_k_evidence)
+        .where(F.col("similarity_score") > config.similarity_threshold)
+        .drop("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 6 — NLI entailment + verdict algebra (M3, A2, A3, C15)
+# --------------------------------------------------------------------------
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def _nli_udf(
+    subj: pd.Series, obj: pd.Series, verb: pd.Series, sent: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [list(K.nli_probs(a, b, c, d)) for a, b, c, d in zip(subj, obj, verb, sent)]
+    )
+
+
+def _argmax_label(prob_cols: list) -> F.Column:
+    """C15: first-max argmax over the 3 class scores → label (JVM-side)."""
+    mx = F.greatest(*prob_cols)
+    expr = F.lit(CLASSES[2])
+    for i in reversed(range(2)):
+        expr = F.when(prob_cols[i] == mx, F.lit(CLASSES[i])).otherwise(expr)
+    return expr
+
+
+def entail_and_verdict(
+    evidence: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """A2 weighted-sum verdict + A3 MALON priority label per claim.
+
+    groupBy keys start with conv_id → no exchange (see module docstring).
+    Weighted sums are exact (kernels emit dyadic-rational scores), so the
+    argmax agrees with the pandas oracle bit-for-bit.
+    """
+    probs = evidence.withColumn(
+        "te_probs", _nli_udf("subj_label", "object_label", "claim_verbalized", "ev_sentence")
+    )
+    p = [F.col("te_probs")[i] for i in range(3)]
+    probs = probs.withColumn("ev_label", _argmax_label(p))
+    agg = probs.groupBy(
+        "conv_id",
+        "claim_id",
+        "sent_id",
+        "subj_qid",
+        "property_id",
+        "obj_qid",
+        "subj_label",
+        "property_label",
+        "object_label",
+    ).agg(
+        *[
+            F.sum(p[i] * F.col("similarity_score")).alias(f"w{i}")
+            for i in range(3)
+        ],
+        # A3 MALON: any SUPPORTS > any REFUTES > NEI — a priority-max agg
+        F.max(
+            F.when(F.col("ev_label") == CLASSES[0], 2)
+            .when(F.col("ev_label") == CLASSES[1], 1)
+            .otherwise(0)
+        ).alias("malon_pri"),
+        F.count("*").alias("n_evidence"),
+    )
+    wcols = [F.col(f"w{i}") for i in range(3)]
+    return (
+        agg.withColumn("verdict", _argmax_label(wcols))
+        .withColumn(
+            "malon",
+            F.when(F.col("malon_pri") == 2, CLASSES[0])
+            .when(F.col("malon_pri") == 1, CLASSES[1])
+            .otherwise(F.lit(CLASSES[2])),
+        )
+        .withColumn(
+            "score",
+            F.when(F.col("verdict") == CLASSES[0], F.col("w0"))
+            .when(F.col("verdict") == CLASSES[1], F.col("w1"))
+            .otherwise(F.col("w2")),
+        )
+        .withColumn("turn_idx", (F.col("sent_id") / 1000).cast("int"))
+        .drop("malon_pri")
+    )
