@@ -1,0 +1,134 @@
+"""Per-partition checkpointed lineage + metrics + resume.
+
+The reference restarts whole entities via a Mongo status collection and a
+retry counter (ProVe_main_service.py:240-271, utils/mongo_handler.py:280-349).
+Our batch equivalent (BASELINE.json: "resumable from checkpoint with
+per-partition lineage + metrics"):
+
+- The triple output is laid out by a STABLE bucket id
+  (pmod(xxhash64(conv_id), n_buckets)) — independent of cluster size, so a
+  resume on different parallelism reuses completed work.
+- After each bucket group commits, a manifest row (bucket, n_rows,
+  n_convs, wall_sec, input_fingerprint, completed_ts) is appended to the
+  `manifest` table — that is the lineage + metrics record.
+- Resume = anti-join: buckets in the manifest (for the same input
+  fingerprint) are skipped; remaining buckets are recomputed and written
+  with idempotent per-bucket dynamic-partition overwrite, so a crash
+  mid-bucket can only produce a bucket that is later fully replaced.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..sources.tables import TableIO, with_bucket
+
+MANIFEST_SCHEMA = (
+    "bucket int, n_rows long, n_convs long, wall_sec double, "
+    "input_fingerprint string, completed_ts timestamp"
+)
+
+
+def input_fingerprint(transcripts: DataFrame) -> str:
+    """Order-insensitive content fingerprint of the input slice (cheap agg).
+
+    Pins a manifest to its exact input: resume against changed input recomputes
+    everything rather than mixing snapshots.
+    """
+    row = transcripts.select(
+        F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text")).alias("h"),
+        F.count("*").alias("n"),
+    ).first()
+    return f"{row.h}:{row.n}"
+
+
+def completed_buckets(io: TableIO, fingerprint: str) -> set[int]:
+    if not io.exists("manifest"):
+        return set()
+    rows = (
+        io.read("manifest")
+        .where(F.col("input_fingerprint") == fingerprint)
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return {r.bucket for r in rows}
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    warehouse: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    bucket_groups: int = 4,
+    fail_after_groups: int | None = None,
+) -> DataFrame:
+    """Build triples with per-bucket-group checkpointing; returns the final
+    triples table reader.
+
+    bucket_groups: how many commit units the n_buckets are folded into (each
+    commit = one Spark job over a subset of conversations + one manifest
+    append). fail_after_groups: test hook — raise after k commits to simulate
+    a mid-run crash.
+    """
+    from .run import build_triples
+
+    io = TableIO(spark, warehouse)
+    fp = input_fingerprint(transcripts)
+    done = completed_buckets(io, fp)
+
+    bucketed = with_bucket(transcripts, "conv_id", config.n_buckets)
+    groups = [
+        [b for b in range(config.n_buckets) if b % bucket_groups == g]
+        for g in range(bucket_groups)
+    ]
+    committed = 0
+    for group in groups:
+        todo = [b for b in group if b not in done]
+        if not todo:
+            continue
+        t0 = time.time()
+        slice_df = bucketed.where(F.col("bucket").isin(todo))
+        triples = build_triples(spark, slice_df.drop("bucket"), config)
+        out = with_bucket(triples, "conv_id", config.n_buckets)
+        io.overwrite_buckets(out, "triples", "bucket")
+        stats = (
+            out.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("conv_id").alias("n_convs"),
+            )
+            .collect()
+        )
+        wall = time.time() - t0
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        by_bucket = {int(s.bucket): s for s in stats}
+        manifest = spark.createDataFrame(
+            [
+                (
+                    b,
+                    int(by_bucket[b].n_rows) if b in by_bucket else 0,
+                    int(by_bucket[b].n_convs) if b in by_bucket else 0,
+                    wall,
+                    fp,
+                    now,
+                )
+                for b in todo  # empty buckets still get lineage rows
+            ],
+            schema=MANIFEST_SCHEMA,
+        )
+        io.append(manifest, "manifest")
+        committed += 1
+        if fail_after_groups is not None and committed >= fail_after_groups:
+            raise RuntimeError(f"simulated failure after {committed} commits")
+    return io.read("triples")
+
+
+def stage_metrics(io: TableIO) -> DataFrame:
+    """Lineage/metrics read path (A7-shaped parser-stats analog)."""
+    return io.read("manifest").orderBy("bucket", "completed_ts")
