@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full KG-construction pipeline at sf0.001.
+queries()     — every implemented operator (SURVEY.md §2 + training-data ops).
+oracle_sql()  — DuckDB-equivalent ANSI SQL for each SQL-expressible query;
+                KG-pipeline queries are covered instead by the pytest golden
+                suite against the pandas oracle (tests/test_pipeline_golden.py).
 """
 
 from __future__ import annotations
@@ -15,24 +15,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts (derived from sf0.001 documents) → verified
+    canonical (subj, pred, obj) triples with verdicts and scores."""
+    from prove_spark.plans.registry import kg_triples
+
+    return kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from prove_spark.plans.registry import ALL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from prove_spark.plans.registry import ALL_QUERIES
+
+    return {
+        name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql is not None
+    }

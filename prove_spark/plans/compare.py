@@ -1,0 +1,90 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness check.
+
+Runs a queries() callable and its oracle SQL on the same sf dir, compares
+row count, sorted column names, and order-insensitive values (exact for
+ints/strings; doubles must match to 1e-12 — our queries are designed to be
+bit-identical via the decimal-cast pattern).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count {len(spark_pdf)} != {len(oracle_pdf)}")
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
+        )
+        return problems
+    a, b = _canon(spark_pdf), _canon(oracle_pdf)
+    if len(a) != len(b):
+        return problems
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype(float)
+            bv = bv.astype(float)
+            bad = ~(
+                (av == bv)
+                | (av.isna() & bv.isna())
+                | ((av - bv).abs() <= 1e-12 * (1 + bv.abs()))
+            )
+        else:
+            bad = ~((av == bv) | (av.isna() & bv.isna()))
+        n_bad = int(bad.sum())
+        if n_bad:
+            i = bad.idxmax()
+            problems.append(
+                f"col {c}: {n_bad} value mismatches (first: {a[c][i]!r} vs {b[c][i]!r})"
+            )
+    return problems
+
+
+def check_query(spark, sf_dir: str, fn, sql: str | None) -> list[str]:
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    if sql is None:
+        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+    con = duckdb_conn(sf_dir)
+    try:
+        oracle_pdf = con.execute(sql).df()
+    finally:
+        con.close()
+    return compare(spark_pdf, oracle_pdf)

@@ -1,0 +1,52 @@
+"""Unified query registry: name → (spark_fn, oracle_sql | None).
+
+Drives __spark_entry__.queries()/oracle_sql(). KG-pipeline queries have no
+SQL oracle (the transcript derivation + mention kernels are not SQL-
+expressible); their correctness gate is the pytest golden-equivalence suite
+(tests/test_pipeline_golden.py) against the pandas oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .relational import RELATIONAL_QUERIES
+from .textops import TEXTOPS_QUERIES
+
+
+def kg_triples(spark, sf_dir):
+    """Full KG-construction pipeline: transcripts → verified canonical triples."""
+    from ..datagen import transcripts_df
+    from ..pipeline.run import build_triples
+
+    return build_triples(spark, transcripts_df(spark, sf_dir))
+
+
+def kg_entity_rollup(spark, sf_dir):
+    """Per-entity verdict counts + proveScore (A6) over the KG output."""
+    from ..datagen import transcripts_df
+    from ..pipeline.run import build_triples, entity_rollup
+
+    return entity_rollup(build_triples(spark, transcripts_df(spark, sf_dir)))
+
+
+def kg_top_supported(spark, sf_dir):
+    """Top-10 entities by supported-claim count (the flagship read query)."""
+    return (
+        kg_entity_rollup(spark, sf_dir)
+        .orderBy(F.desc("n_supports"), F.asc("subj"))
+        .limit(10)
+    )
+
+
+KG_QUERIES: dict[str, tuple] = {
+    "kg_triples": (kg_triples, None),
+    "kg_entity_rollup": (kg_entity_rollup, None),
+    "kg_top_supported": (kg_top_supported, None),
+}
+
+ALL_QUERIES: dict[str, tuple] = {
+    **RELATIONAL_QUERIES,
+    **TEXTOPS_QUERIES,
+    **KG_QUERIES,
+}

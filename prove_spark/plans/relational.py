@@ -1,0 +1,621 @@
+"""Relational operator queries (SURVEY.md §2) over the TPC-H-ish testdata,
+each paired with an ANSI-SQL DuckDB oracle.
+
+Float discipline: any aggregate over doubles goes through
+CAST(... AS DECIMAL(18,4)) so the sum is exact and associative in BOTH
+engines, then the result is cast back to DOUBLE — one well-defined rounding,
+bit-identical across engines regardless of aggregation order. Averages are
+computed as exact-decimal-sum divided by count, in double.
+
+Every computed column is aliased identically in the Spark plan and the SQL
+(the driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_agg, salted_count_pivot
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col: str, alias: str) -> F.Column:
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------- A7/A11
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped scan+agg (stats aggs A7/A11): the flagship relational
+    query; Catalyst pushes the shipdate filter + 6-column pruning to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1997-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("l_quantity")
+            ).alias("avg_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  COUNT(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------------ J1/J2/J7
+def region_revenue(spark, sf_dir):
+    """Multi-way dim join chain (J1/J2) with broadcast dims (J7/S3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+REGION_REVENUE_SQL = """
+SELECT r_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------- J3-J5
+def semi_join_high_value(spark, sf_dir):
+    """Left-semi filter (J3/J4/J5: the reference's isin(unique()) pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), _dec_sum("l_quantity", "sum_qty"))
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000)
+GROUP BY l_returnflag
+"""
+
+
+def anti_join_unfilled(spark, sf_dir):
+    """Left-anti (our resume work-remaining pattern, SURVEY §2.6)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------- F12/W2/A8
+def latest_event_per_user(spark, sf_dir):
+    """Latest-entry-per-key ranking window (W2/A8/F12)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------------------ W1
+def topk_per_group(spark, sf_dir):
+    """Top-k-per-group window (W1: the reference's np.argsort top-5 evidence,
+    refs_html_to_evidences.py:195-197) with the same deterministic tie-break
+    (value desc, position asc)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+    )
+
+
+TOPK_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, rank FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rank
+  FROM lineitem
+) WHERE rank <= 3
+"""
+
+
+# ------------------------------------------------------------------------ A3
+def priority_max_flag(spark, sf_dir):
+    """MALON-style priority-max agg (A3): any-R beats any-A beats N."""
+    li = _t(spark, sf_dir, "lineitem")
+    pri = (
+        F.when(F.col("l_returnflag") == "R", 2)
+        .when(F.col("l_returnflag") == "A", 1)
+        .otherwise(0)
+    )
+    return (
+        li.withColumn("pri", pri)
+        .groupBy("l_orderkey")
+        .agg(F.max("pri").alias("max_pri"))
+        .withColumn(
+            "order_flag",
+            F.when(F.col("max_pri") == 2, "R")
+            .when(F.col("max_pri") == 1, "A")
+            .otherwise("N"),
+        )
+    )
+
+
+PRIORITY_MAX_SQL = """
+SELECT l_orderkey, max_pri,
+  CASE WHEN max_pri = 2 THEN 'R' WHEN max_pri = 1 THEN 'A' ELSE 'N' END AS order_flag
+FROM (
+  SELECT l_orderkey,
+    MAX(CASE WHEN l_returnflag = 'R' THEN 2 WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS max_pri
+  FROM lineitem GROUP BY l_orderkey
+)
+"""
+
+
+# ------------------------------------------------------------------------ A4
+def modal_event_type(spark, sf_dir):
+    """Mode with pandas-.mode()[0] semantics (A4): count desc, label asc."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )
+
+
+MODAL_SQL = """
+SELECT user_id, event_type AS modal_type, n FROM (
+  SELECT user_id, event_type, n,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+  FROM (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+) WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------------------ A5
+def best_per_class(spark, sf_dir):
+    """Best-score-within-priority-class selection (A5: functions.py:160-175):
+    prefer purchase > view > rest, then max value, deterministic tie-break."""
+    e = _t(spark, sf_dir, "events")
+    pri = (
+        F.when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("pri"), F.desc("value"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("pri", pri)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+BEST_PER_CLASS_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      CASE WHEN event_type = 'purchase' THEN 2 WHEN event_type = 'view' THEN 1 ELSE 0 END DESC,
+      value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------------- A6/A10
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def pivot_event_counts(spark, sf_dir):
+    """Pivot-count + derived score (A6/A10: value_counts unstack + proveScore
+    arithmetic, functions.py:383-398, 638-641)."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    for t in EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"n_{t}")
+    return out.withColumn(
+        "engagement_score",
+        (F.col("n_purchase") - F.col("n_error"))
+        / (
+            F.col("n_click")
+            + F.col("n_view")
+            + F.col("n_purchase")
+            + F.col("n_signup")
+            + F.col("n_error")
+        ),
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click') AS n_click,
+  COUNT(*) FILTER (event_type = 'view') AS n_view,
+  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+  COUNT(*) FILTER (event_type = 'error') AS n_error,
+  CAST(COUNT(*) FILTER (event_type = 'purchase') - COUNT(*) FILTER (event_type = 'error') AS DOUBLE)
+    / COUNT(*) AS engagement_score
+FROM events GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------------------ A1
+def single_occurrence_users(spark, sf_dir):
+    """count==1 filter + semi join back (A1: single-URL references,
+    wikidata_parser.py:411-414)."""
+    e = _t(spark, sf_dir, "events")
+    singles = e.groupBy("user_id").count().where(F.col("count") == 1).select("user_id")
+    return e.join(singles, "user_id", "left_semi").select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+SINGLE_OCC_SQL = """
+SELECT user_id, event_id, event_type FROM events
+WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) = 1)
+"""
+
+
+# ------------------------------------------------------------------------ A9
+def top_sources_by_docs(spark, sf_dir):
+    """Group + collect + top-N (A9: functions.py:630-636); the collected list
+    is emitted as a deterministic sorted CSV so engines hash identically."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("lang"))), ","
+            ).alias("langs"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .limit(5)
+    )
+
+
+TOP_SOURCES_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+  STRING_AGG(DISTINCT lang, ',' ORDER BY lang) AS langs
+FROM documents GROUP BY source
+ORDER BY n_docs DESC, source ASC LIMIT 5
+"""
+
+
+# ----------------------------------------------------------------------- A11
+def usage_stats(spark, sf_dir):
+    """count/min/max/avg per type (A11: info.py:101-113)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("value")
+        ).alias("avg_value"),
+    )
+
+
+USAGE_SQL = """
+SELECT event_type, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------------------- O4 + O2
+def union_dedup_parts(spark, sf_dir):
+    """unionByName + distinct (O4) over two filtered scans."""
+    p = _t(spark, sf_dir, "part")
+    a = p.where(F.col("p_size") > 40).select("p_brand", "p_type")
+    b = p.where(F.col("p_retailprice") > 1500).select("p_brand", "p_type")
+    return a.unionByName(b).distinct()
+
+
+UNION_SQL = """
+SELECT DISTINCT p_brand, p_type FROM (
+  SELECT p_brand, p_type FROM part WHERE p_size > 40
+  UNION ALL
+  SELECT p_brand, p_type FROM part WHERE p_retailprice > 1500
+)
+"""
+
+
+# ----------------------------------------------------------- window frames
+def running_user_value(spark, sf_dir):
+    """Running-sum frame window (SURVEY §2.5 frame note) — exact decimals."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+RUNNING_SQL = """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+# ----------------------------------------------------------- sessionization
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (lag + cumulative sum of gap>30min flags)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps are NTZ; session TZ is pinned UTC so epoch matches DuckDB
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch, 1).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, event_id,
+  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+    CASE WHEN EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         IS NULL THEN 1
+         WHEN EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 THEN 1
+         ELSE 0 END AS new_sess
+  FROM events
+)
+"""
+
+
+# ------------------------------------------------------------------ F9/C18
+def json_extract_props(spark, sf_dir):
+    """Stringified-payload parse (F9: the reference's eval'd datavalue dicts →
+    from_json/get_json_object, never eval)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    ).where(F.col("k") > 50)
+
+
+JSON_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+"""
+
+
+# ------------------------------------------------------------------ C10/C13
+def timestamp_functions(spark, sf_dir):
+    """Timestamp parse/format + hour extraction (C10/C13)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.hour("ts").alias("event_hour"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.year("ts").alias("event_year"),
+    )
+
+
+TS_SQL = """
+SELECT event_id, EXTRACT(hour FROM ts) AS event_hour,
+  STRFTIME(ts, '%Y-%m-%d') AS event_date,
+  EXTRACT(year FROM ts) AS event_year
+FROM events
+"""
+
+
+# --------------------------------------------------------------------- C14
+def coalesce_preference_chain(spark, sf_dir):
+    """Label-language preference chain (C14: utils/wikidata_utils.py:65-83):
+    first non-null among a priority list."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.coalesce(
+            F.when(F.col("lang") == "en", F.col("lang")),
+            F.when(F.col("lang") == "fr", F.col("lang")),
+            F.when(F.col("lang") == "es", F.col("lang")),
+            F.lit("other"),
+        ).alias("lang_pref"),
+    )
+
+
+COALESCE_SQL = """
+SELECT doc_id,
+  COALESCE(CASE WHEN lang = 'en' THEN lang END,
+           CASE WHEN lang = 'fr' THEN lang END,
+           CASE WHEN lang = 'es' THEN lang END,
+           'other') AS lang_pref
+FROM documents
+"""
+
+
+# ----------------------------------------------------------------- grouping
+def rollup_order_stats(spark, sf_dir):
+    """ROLLUP aggregation (beyond the reference — warehouse read path)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice", "sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# -------------------------------------------------------------- skew helpers
+def salted_event_counts(spark, sf_dir):
+    """Salted two-phase aggregation (BASELINE skew requirement): result must
+    equal the plain groupBy — the oracle IS the plain SQL aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        key="event_type",
+        aggs=[("count", "*", "n"), ("sum", "user_id", "sum_users")],
+        salt_from=["event_id"],
+    )
+
+
+SALTED_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_users
+FROM events GROUP BY event_type
+"""
+
+
+def salted_pivot_counts(spark, sf_dir):
+    """Salted pivot-count path used by the KG entity rollup (A6 at scale)."""
+    e = _t(spark, sf_dir, "events")
+    return salted_count_pivot(
+        e,
+        key="user_id",
+        pivot_col="event_type",
+        pivot_values=["click", "purchase"],
+        aliases=["n_click", "n_purchase"],
+    )
+
+
+SALTED_PIVOT_SQL = """
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click') AS n_click,
+  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase
+FROM events GROUP BY user_id
+"""
+
+
+RELATIONAL_QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "region_revenue": (region_revenue, REGION_REVENUE_SQL),
+    "semi_join_high_value": (semi_join_high_value, SEMI_JOIN_SQL),
+    "anti_join_unfilled": (anti_join_unfilled, ANTI_JOIN_SQL),
+    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
+    "topk_per_group": (topk_per_group, TOPK_SQL),
+    "priority_max_flag": (priority_max_flag, PRIORITY_MAX_SQL),
+    "modal_event_type": (modal_event_type, MODAL_SQL),
+    "best_per_class": (best_per_class, BEST_PER_CLASS_SQL),
+    "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
+    "single_occurrence_users": (single_occurrence_users, SINGLE_OCC_SQL),
+    "top_sources_by_docs": (top_sources_by_docs, TOP_SOURCES_SQL),
+    "usage_stats": (usage_stats, USAGE_SQL),
+    "union_dedup_parts": (union_dedup_parts, UNION_SQL),
+    "running_user_value": (running_user_value, RUNNING_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "json_extract_props": (json_extract_props, JSON_SQL),
+    "timestamp_functions": (timestamp_functions, TS_SQL),
+    "coalesce_preference_chain": (coalesce_preference_chain, COALESCE_SQL),
+    "rollup_order_stats": (rollup_order_stats, ROLLUP_SQL),
+    "salted_event_counts": (salted_event_counts, SALTED_AGG_SQL),
+    "salted_pivot_counts": (salted_pivot_counts, SALTED_PIVOT_SQL),
+}

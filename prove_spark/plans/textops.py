@@ -1,0 +1,497 @@
+"""Training-data pipeline operators over documents/embeddings, each paired
+with a DuckDB oracle: deduplication (exact, n-gram Jaccard, MinHash-LSH,
+SimHash), similarity search (brute-force + LSH-bucketed cosine), text
+analysis (lang-id, quality, token counts, fingerprints), multimodal byte
+plumbing.
+
+Portability rules used throughout:
+- cross-engine hash = CAST(CONV(SUBSTR(MD5(x),1,15),16,10) AS BIGINT) —
+  identical in Spark and DuckDB (no engine-native hash() in any oracle-
+  compared column).
+- float reductions over embeddings go through DECIMAL(28,14) partial sums →
+  exact and associative in both engines → cosines are bit-identical and safe
+  to threshold/sort on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _portable_hash(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+PORTABLE_HASH_SQL = "CAST(CONCAT('0x', SUBSTR(MD5({x}), 1, 15)) AS BIGINT)"
+
+
+# ------------------------------------------------------------- exact dedup
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content fingerprint, keep min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", F.md5("text"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT MD5(text) AS fingerprint, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY MD5(text)
+"""
+
+
+# ----------------------------------------------------- shingles (shared CTE)
+def _shingles(spark, sf_dir) -> DataFrame:
+    """Distinct word 3-gram shingles per doc (lead-window formulation so the
+    Spark plan and the SQL oracle share the exact same construction)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    return (
+        words.withColumn("w1", F.lead("w", 1).over(w))
+        .withColumn("w2", F.lead("w", 2).over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("s"))
+        .distinct()
+    )
+
+
+SHINGLES_SQL = """
+words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+         UNNEST(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+    w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY p)
+      || ' ' || LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY p) AS s
+  FROM words
+  QUALIFY LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+)
+"""
+
+
+# ------------------------------------------------------- n-gram Jaccard dedup
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by 3-gram-shingle Jaccard >= 0.5 (shingle inverted-index
+    self-join — never a cross join; integer-ratio Jaccard is exact)."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH {SHINGLES_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
+# ------------------------------------------------------------- MinHash + LSH
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+
+
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures: k=8 portable hash functions h_i(s)=H(i||s), min per
+    doc. Emitted long-form (doc_id, h_idx, minhash)."""
+    sh = _shingles(spark, sf_dir)
+    sigs = None
+    for i in range(N_MINHASH):
+        part = sh.groupBy("doc_id").agg(
+            F.min(
+                _portable_hash(F.concat(F.lit(f"{i}|"), F.col("s")))
+            ).alias("minhash")
+        ).withColumn("h_idx", F.lit(i))
+        sigs = part if sigs is None else sigs.unionByName(part)
+    return sigs.select("doc_id", "h_idx", "minhash")
+
+
+_MINHASH_PARTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {i} AS h_idx, MIN({PORTABLE_HASH_SQL.format(x=f_expr)}) AS minhash FROM shingles GROUP BY doc_id"
+    for i, f_expr in [(i, f"CONCAT('{i}|', s)") for i in range(N_MINHASH)]
+)
+MINHASH_SQL = f"""
+WITH {SHINGLES_SQL}
+{_MINHASH_PARTS}
+"""
+
+
+def lsh_candidate_pairs(spark, sf_dir):
+    """LSH banding: band key = (band_id, h0, h1 of the band); docs sharing a
+    band key become candidate near-dup pairs (then verified by Jaccard in
+    dedup_ngram_jaccard — the classic two-step at scale)."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = (
+        sigs.withColumn(
+            "band", F.floor(F.col("h_idx") / F.lit(N_MINHASH // N_BANDS)).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.array_join(F.array_sort(F.collect_list(F.col("minhash").cast("string"))), "_").alias("band_key"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+LSH_SQL = f"""
+WITH {SHINGLES_SQL},
+sigs AS ({_MINHASH_PARTS}),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(h_idx / {N_MINHASH // N_BANDS}) AS INT) AS band,
+         STRING_AGG(CAST(minhash AS VARCHAR), '_' ORDER BY CAST(minhash AS VARCHAR)) AS band_key
+  FROM sigs GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+# ----------------------------------------------------------------- SimHash
+N_SIMHASH_BITS = 16
+
+
+def simhash_fingerprints(spark, sf_dir):
+    """16-bit SimHash over term frequencies: bit j set iff the tf-weighted
+    sum of (+1/-1 for bit j of H(word)) is positive."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("h", _portable_hash(F.col("w")))
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.col("tf"),
+                ).otherwise(-F.col("tf"))
+            ).alias(f"b{j}")
+            for j in range(N_SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+_SIMHASH_BITSUMS = ",\n".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS b{j}"
+    for j in range(N_SIMHASH_BITS)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS)
+)
+SIMHASH_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY doc_id, w
+),
+h AS (SELECT doc_id, tf, {PORTABLE_HASH_SQL.format(x='w')} AS h FROM tf),
+bit_sums AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_COMBINE} AS simhash FROM bit_sums
+"""
+
+
+# -------------------------------------------- embedding cosine (exact sums)
+def _cosine_pairs_base(spark, sf_dir, left_filter, right_filter, join_on_label: bool):
+    """Shared exact-cosine machinery: explode embeddings, DECIMAL partial
+    sums → bit-identical cosines across engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
+    )
+    a = ex.where(left_filter).select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"), "i", F.col("x").alias("xa")
+    )
+    b = ex.where(right_filter).select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), "i", F.col("x").alias("xb")
+    )
+    cond = [a.i == b.i]
+    dots = (
+        a.join(b, on="i")
+        .where(
+            (F.col("label_a") == F.col("label_b")) if join_on_label else F.lit(True)
+        )
+        .where(F.col("vec_a") < F.col("vec_b") if join_on_label else F.lit(True))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum((F.col("xa") * F.col("xb")).cast("decimal(28,14)")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nsq").alias("nsq_b"))
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("nsq_a").cast("double") * F.col("nsq_b").cast("double")),
+        )
+    )
+
+
+def embedding_cosine_pairs(spark, sf_dir):
+    """Near-dup by embedding cosine >= 0.3 within label buckets (the bucketed
+    variant of all-pairs similarity: label plays the coarse-quantizer role)."""
+    sampled = F.col("vec_id") % 5 == 0
+    out = _cosine_pairs_base(spark, sf_dir, sampled, sampled, join_on_label=True)
+    return out.where(F.col("cosine") >= 0.3).select("vec_a", "vec_b", "cosine")
+
+
+COSINE_PAIRS_SQL = """
+WITH ex AS (
+  SELECT vec_id, label, UNNEST(embedding)::DOUBLE AS x,
+         UNNEST(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS nsq FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         SUM(CAST(a.x * b.x AS DECIMAL(28,14))) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+  CAST(dot AS DOUBLE) / SQRT(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) AS cosine
+FROM dots JOIN norms na ON vec_a = na.vec_id JOIN norms nb ON vec_b = nb.vec_id
+WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) >= 0.3
+"""
+
+
+def ann_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for query vectors (vec_id < 5) —
+    the exact baseline an IVF/LSH ANN index is validated against. Cosines are
+    decimal-exact, so ranking is deterministic (cosine desc, vec_b asc)."""
+    is_query = F.col("vec_id") < 5
+    pairs = _cosine_pairs_base(
+        spark, sf_dir, is_query, ~is_query, join_on_label=False
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("vec_a").alias("query_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+ANN_SQL = """
+WITH ex AS (
+  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+         UNNEST(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS nsq FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         SUM(CAST(a.x * b.x AS DECIMAL(28,14))) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i
+  WHERE a.vec_id < 5 AND b.vec_id >= 5
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT vec_a, vec_b,
+    CAST(dot AS DOUBLE) / SQRT(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) AS cosine
+  FROM dots JOIN norms na ON vec_a = na.vec_id JOIN norms nb ON vec_b = nb.vec_id
+)
+SELECT vec_a AS query_id, vec_b AS neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) AS rank
+  FROM cos
+) WHERE rank <= 3
+"""
+
+
+# ------------------------------------------------------------ text analysis
+def lang_id_heuristic(spark, sf_dir):
+    """n-gram/stopword language heuristic: English function-word density."""
+    d = _t(spark, sf_dir, "documents")
+    n_stop = (
+        F.regexp_count(F.col("text"), F.lit(r"\bthe\b"))
+        + F.regexp_count(F.col("text"), F.lit(r"\ba\b"))
+    )
+    n_words = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        n_words.alias("n_words"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        F.when(n_stop.cast("double") / n_words >= 0.05, "en")
+        .otherwise("unk")
+        .alias("lang_guess"),
+    )
+
+
+LANG_ID_SQL = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b')) AS n_stopwords,
+  len(string_split(text, ' ')) AS n_words,
+  CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b')) AS DOUBLE)
+    / len(string_split(text, ' ')) AS stopword_ratio,
+  CASE WHEN CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b')) AS DOUBLE)
+    / len(string_split(text, ' ')) >= 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
+FROM documents
+"""
+
+
+def quality_scores(spark, sf_dir):
+    """Quality scoring: length, mean word length, alpha ratio → composite."""
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split("text", " "))
+    n_alpha = F.length(F.regexp_replace("text", r"[^a-z]", ""))
+    awl = (n_chars - n_words + 1).cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_alpha.alias("n_alpha"),
+        awl.alias("avg_word_len"),
+        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+    )
+
+
+QUALITY_SQL = """
+SELECT doc_id, LENGTH(text) AS n_chars,
+  len(string_split(text, ' ')) AS n_words,
+  LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS n_alpha,
+  CAST(LENGTH(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+    / len(string_split(text, ' ')) AS avg_word_len,
+  CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE) / LENGTH(text) AS alpha_ratio
+FROM documents
+"""
+
+
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace words + BPE-ish alnum-run tokens (C2)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).alias("n_tokens"),
+    )
+
+
+TOKEN_SQL = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens
+FROM documents
+"""
+
+
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting (C11-style md5 + portable 60-bit hash)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        _portable_hash(F.col("text")).alias("fingerprint_int"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id, MD5(text) AS fingerprint,
+  {PORTABLE_HASH_SQL.format(x='text')} AS fingerprint_int,
+  SHA256(text) AS sha
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- multimodal
+def multimodal_bytes(spark, sf_dir):
+    """Multimodal byte-plumbing: opaque binary payload + typed metadata
+    (decode itself is stubbed in operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.substring(F.hex(F.encode(F.col("text"), "utf-8")), 1, 16).alias("hex_prefix"),
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+  SUBSTR(UPPER(HEX(ENCODE(text))), 1, 16) AS hex_prefix
+FROM documents
+"""
+
+
+TEXTOPS_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "minhash_signatures": (minhash_signatures, MINHASH_SQL),
+    "lsh_candidate_pairs": (lsh_candidate_pairs, LSH_SQL),
+    "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
+    "embedding_cosine_pairs": (embedding_cosine_pairs, COSINE_PAIRS_SQL),
+    "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
+    "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
+    "quality_scores": (quality_scores, QUALITY_SQL),
+    "token_counts": (token_counts, TOKEN_SQL),
+    "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
+    "multimodal_bytes": (multimodal_bytes, MULTIMODAL_SQL),
+}
