@@ -125,7 +125,8 @@ def build_transcripts_pdf(docs_pdf: pd.DataFrame) -> pd.DataFrame:
             turn_text = " ".join(sents[i : i + size])
             role = _ROLES[turn_idx % 3]
             tool = _TOOLS[(doc_id + turn_idx) % 4] if role == "tool" else ""
-            ts = _EPOCH + timedelta(seconds=doc_id * 1000 + turn_idx * 7)
+            # modulo keeps replicated doc_ids inside pandas' datetime64 range
+            ts = _EPOCH + timedelta(seconds=(doc_id % 1_000_000) * 1000 + turn_idx * 7)
             rows.append((conv_id, turn_idx, role, turn_text, tool, ts))
             turn_idx += 1
             i += size
@@ -146,13 +147,31 @@ TRANSCRIPT_SCHEMA = (
 )
 
 
-def transcripts_df(spark, sf_dir: str):
+def transcripts_df(spark, sf_dir: str, replicate: int = 1):
     """Distributed transcript synthesis: mapInPandas over the documents scan.
 
     Each Arrow batch of documents yields its conversations independently —
     no shuffle, scales linearly with the documents table.
+
+    replicate > 1 fans each document out to `replicate` distinct doc_ids
+    (still fully deterministic — the offset changes the arithmetic, giving
+    fresh conversations), used to size benchmark/scaling runs independently
+    of the fixed sf dirs.
     """
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if replicate > 1:
+        docs = docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        ).select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+            "text",
+        )
+        # spread replicas across tasks so parallelism scales with `replicate`
+        docs = docs.repartition(
+            max(int(spark.conf.get("spark.sql.shuffle.partitions")), replicate)
+        )
 
     def gen(batches):
         for pdf in batches:

@@ -241,13 +241,20 @@ def score_evidence(
     )
     # Window keys start with conv_id → reuses the existing hash partitioning,
     # no new exchange. Tie-break matches the oracle: (sim desc, ev_sent_id asc).
+    # Below-threshold rows are NOT dropped here: they ride into the verdict
+    # aggregation flagged `passed=false` so every claim keeps >=1 row and the
+    # below-threshold default (claim_entailment.py:67-68) is applied by a
+    # conditional agg instead of an extra claims-side rejoin (saves two
+    # claim-scale exchanges at 100 TB).
     w = Window.partitionBy("conv_id", "claim_id").orderBy(
         F.desc("similarity_score"), F.asc("ev_sent_id")
     )
     return (
         paired.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= config.top_k_evidence)
-        .where(F.col("similarity_score") > config.similarity_threshold)
+        .withColumn(
+            "passed", F.col("similarity_score") > config.similarity_threshold
+        )
         .drop("rank")
     )
 
@@ -287,6 +294,8 @@ def entail_and_verdict(
     )
     p = [F.col("te_probs")[i] for i in range(3)]
     probs = probs.withColumn("ev_label", _argmax_label(p))
+    passed = F.col("passed")
+    defaults = list(config.default_probs)
     agg = probs.groupBy(
         "conv_id",
         "claim_id",
@@ -298,17 +307,28 @@ def entail_and_verdict(
         "property_label",
         "object_label",
     ).agg(
+        # conditional sums: only threshold-passing evidence contributes; a
+        # claim with none gets NULL → coalesced to the default distribution
+        # (claim_entailment.py:67-68) without a second claims join
         *[
-            F.sum(p[i] * F.col("similarity_score")).alias(f"w{i}")
+            F.coalesce(
+                F.sum(F.when(passed, p[i] * F.col("similarity_score"))),
+                F.lit(defaults[i]),
+            ).alias(f"w{i}")
             for i in range(3)
         ],
         # A3 MALON: any SUPPORTS > any REFUTES > NEI — a priority-max agg
-        F.max(
-            F.when(F.col("ev_label") == CLASSES[0], 2)
-            .when(F.col("ev_label") == CLASSES[1], 1)
-            .otherwise(0)
+        F.coalesce(
+            F.max(
+                F.when(
+                    passed & (F.col("ev_label") == CLASSES[0]), 2
+                )
+                .when(passed & (F.col("ev_label") == CLASSES[1]), 1)
+                .when(passed, 0)
+            ),
+            F.lit(0),
         ).alias("malon_pri"),
-        F.count("*").alias("n_evidence"),
+        F.count(F.when(passed, 1)).alias("n_evidence"),
     )
     wcols = [F.col(f"w{i}") for i in range(3)]
     return (

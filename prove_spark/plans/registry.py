@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .advanced import ADVANCED_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .textops import TEXTOPS_QUERIES
 
@@ -48,5 +49,6 @@ KG_QUERIES: dict[str, tuple] = {
 ALL_QUERIES: dict[str, tuple] = {
     **RELATIONAL_QUERIES,
     **TEXTOPS_QUERIES,
+    **ADVANCED_QUERIES,
     **KG_QUERIES,
 }
