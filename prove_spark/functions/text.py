@@ -69,6 +69,15 @@ def tokens(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
+@lru_cache(maxsize=1 << 17)
+def token_set(text: str) -> frozenset[str]:
+    """Memoized token set — the scoring kernels see the same claim/sentence
+    strings many times per Arrow batch (each claim pairs with every sentence
+    of its conversation), so caching the tokenization cuts the dominant
+    Python cost ~10x. Bounded per worker process; values are immutable."""
+    return frozenset(TOKEN_RE.findall(text.lower()))
+
+
 def split_sentences(text: str) -> list[str]:
     """C2: deterministic sentence tokenizer (split after .!? + whitespace)."""
     parts = [s.strip() for s in SENT_SPLIT_RE.split(text)]
@@ -107,7 +116,7 @@ def similarity(claim_verbalized: str, sentence: str) -> float:
     (utils/sentence_retrieval_module.py:49-66); same downstream top-k
     semantics (W1).
     """
-    a, b = set(tokens(claim_verbalized)), set(tokens(sentence))
+    a, b = token_set(claim_verbalized), token_set(sentence)
     if not a or not b:
         return 0.0
     return quantize(len(a & b) / len(a | b))
@@ -123,14 +132,14 @@ def nli_probs(
     subject and object plus an explicit negation refutes; a sentence
     containing the full verbalized claim supports; anything else is NEI.
     """
-    s_tok = set(tokens(sentence))
+    s_tok = token_set(sentence)
     if (
-        set(tokens(subj_label)) <= s_tok
-        and set(tokens(object_label)) <= s_tok
+        token_set(subj_label) <= s_tok
+        and token_set(object_label) <= s_tok
         and ("not" in s_tok or "never" in s_tok)
     ):
         return PROBS_REFUTE
-    if set(tokens(claim_verbalized)) <= s_tok:
+    if token_set(claim_verbalized) <= s_tok:
         return PROBS_SUPPORT
     return PROBS_NEI
 

@@ -89,10 +89,62 @@ def connected_components(
     )
 
 
-def canonical_map_df(spark: SparkSession) -> DataFrame:
-    return connected_components(
-        entity_dim(spark).select("qid"), same_as_edges(spark)
+def union_find_local(qids: list[str], edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find for dimension-sized vertex sets.
+
+    The entity dictionary is a broadcast-sized dimension (thousands–millions
+    of rows, ≪ the fact table); running a distributed fixpoint over it costs
+    O(iterations) blocking Spark jobs of pure scheduling overhead. Path-
+    compressed union-find on the driver is exact, O(E α(V)), and emits the
+    same (qid → min-numeric-QID representative) map as the distributed CC.
+    `connected_components` above remains the scale path for edge sets too
+    large to collect (e.g. data-derived same-as candidates at 100 TB).
+    """
+    parent = {q: q for q in qids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def qnum(q: str) -> int:
+        import re as _re
+
+        m = _re.search(r"(\d+)", q)
+        return int(m.group(1)) if m else 0
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if qnum(rb) < qnum(ra):
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return {q: find(q) for q in qids}
+
+
+def canonical_map_df(spark: SparkSession, distributed: bool = False) -> DataFrame:
+    """(qid, canonical_qid) map. Default: driver union-find over the static
+    entity dictionary (no Spark jobs — the dictionaries are literals);
+    distributed=True runs the iterative-join CC instead (the path a
+    data-derived, non-collectable edge set would take)."""
+    if distributed:
+        return connected_components(
+            entity_dim(spark).select("qid"), same_as_edges(spark)
+        )
+    qids = [q for q, _ in ENTITIES]
+    label_of: dict[str, list[str]] = {}
+    edges: list[tuple[str, str]] = list(SAME_AS_SEED)
+    for q, label in ENTITIES:
+        label_of.setdefault(label, []).append(q)
+    for group in label_of.values():
+        edges.extend((group[0], other) for other in group[1:])
+    mapping = union_find_local(qids, edges)
+    pdf = pd.DataFrame(
+        sorted(mapping.items()), columns=["qid", "canonical_qid"]
     )
+    return spark.createDataFrame(pdf)
 
 
 def rekey_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:

@@ -45,7 +45,12 @@ def build_triples(
 
     claims = stages.detect_claims(base)
     linked = stages.link_and_filter(claims, spark)
+    # verbalized feeds BOTH the scoring chain and the final claim-set join —
+    # persist the (claim-scale, narrow) DF so mention detection + linking
+    # run once instead of twice.
     verbalized = stages.verbalize(linked)
+    if persist_sentences:
+        verbalized = verbalized.persist()
     scored = stages.score_evidence(verbalized, evidence_pool, config)
     verdicts = stages.entail_and_verdict(scored, config)
 

@@ -49,19 +49,32 @@ FROM documents GROUP BY MD5(text)
 
 # ----------------------------------------------------- shingles (shared CTE)
 def _shingles(spark, sf_dir) -> DataFrame:
-    """Distinct word 3-gram shingles per doc (lead-window formulation so the
-    Spark plan and the SQL oracle share the exact same construction)."""
+    """Distinct word 3-gram shingles per doc — fully MAP-SIDE via array HOFs:
+    slice the split array with transform(sequence(...)), dedupe per doc with
+    array_distinct, then explode. Zero shuffles (the old lead-window
+    formulation cost a doc_id window shuffle + a global distinct shuffle;
+    since shingles are per-document, both were unnecessary). The SQL oracle
+    keeps the window formulation — same (doc_id, shingle) set."""
     d = _t(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "w")
+    words = F.split("text", " ")
+    shingle_arr = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
     )
-    w = Window.partitionBy("doc_id").orderBy("p")
-    return (
-        words.withColumn("w1", F.lead("w", 1).over(w))
-        .withColumn("w2", F.lead("w", 2).over(w))
-        .where(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("s"))
-        .distinct()
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(F.size(words) >= 3, shingle_arr).otherwise(
+                    F.array().cast("array<string>")
+                )
+            )
+        ).alias("s"),
     )
 
 
@@ -132,19 +145,30 @@ N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
 
 
+def _minhash_wide(spark, sf_dir) -> DataFrame:
+    """One-pass MinHash: all k=8 hash mins in a single groupBy over the
+    shingle set (k min-aggregates, ONE shuffle — not k scans). At 100 TB the
+    shingle explode is the dominant cost; it must run exactly once."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(
+            _portable_hash(F.concat(F.lit(f"{i}|"), F.col("s")))
+        ).alias(f"m{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(spark, sf_dir):
     """MinHash signatures: k=8 portable hash functions h_i(s)=H(i||s), min per
-    doc. Emitted long-form (doc_id, h_idx, minhash)."""
-    sh = _shingles(spark, sf_dir)
-    sigs = None
-    for i in range(N_MINHASH):
-        part = sh.groupBy("doc_id").agg(
-            F.min(
-                _portable_hash(F.concat(F.lit(f"{i}|"), F.col("s")))
-            ).alias("minhash")
-        ).withColumn("h_idx", F.lit(i))
-        sigs = part if sigs is None else sigs.unionByName(part)
-    return sigs.select("doc_id", "h_idx", "minhash")
+    doc. Emitted long-form (doc_id, h_idx, minhash) via JVM-side stack (a
+    map-only unpivot of the one-pass wide aggregate)."""
+    wide = _minhash_wide(spark, sf_dir)
+    stack_expr = ", ".join(f"{i}, m{i}" for i in range(N_MINHASH))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({N_MINHASH}, {stack_expr}) AS (h_idx, minhash)"),
+    )
 
 
 _MINHASH_PARTS = "\nUNION ALL\n".join(
@@ -161,14 +185,31 @@ def lsh_candidate_pairs(spark, sf_dir):
     """LSH banding: band key = (band_id, h0, h1 of the band); docs sharing a
     band key become candidate near-dup pairs (then verified by Jaccard in
     dedup_ngram_jaccard — the classic two-step at scale)."""
-    sigs = minhash_signatures(spark, sf_dir)
-    bands = (
-        sigs.withColumn(
-            "band", F.floor(F.col("h_idx") / F.lit(N_MINHASH // N_BANDS)).cast("int")
+    rows_per_band = N_MINHASH // N_BANDS
+    wide = _minhash_wide(spark, sf_dir)
+    # map-only band construction from the wide signature (no extra shuffle):
+    # band key = sorted '_'-join of the band's minhash strings — identical to
+    # the collect_list+array_sort formulation over the long form.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array_join(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.col(f"m{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                ),
+                "_",
+            ).alias("band_key"),
         )
-        .groupBy("doc_id", "band")
-        .agg(F.array_join(F.array_sort(F.collect_list(F.col("minhash").cast("string"))), "_").alias("band_key"))
-    )
+        for b in range(N_BANDS)
+    ]
+    bands = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
