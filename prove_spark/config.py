@@ -13,6 +13,13 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class PipelineConfig:
+    # Kernel execution engine for the deterministic model stand-ins:
+    #   "jvm"   — built-in Spark expressions, whole-stage codegen, zero
+    #             JVM↔Python Arrow round trips (default; the stand-ins are
+    #             pure string/set algebra so Python buys nothing)
+    #   "arrow" — mapInPandas / pandas_udf stages (the architecture real NN
+    #             models need; kept golden-tested equal to "jvm")
+    engine: str = "jvm"
     # Evidence selection (reference: config.yaml:33-37 → batch 256, top 5,
     # threshold 0.0; refs_html_to_evidences.py:59)
     top_k_evidence: int = 5
@@ -37,6 +44,12 @@ class PipelineConfig:
     # (reference behavior: claim_entailment.py:67-68 with its class order).
     classes: tuple[str, ...] = ("SUPPORTS", "REFUTES", "NOT ENOUGH INFO")
     default_probs: tuple[float, ...] = (0.0, 0.0, 1.0)
+
+    def __post_init__(self) -> None:
+        if self.engine not in ("jvm", "arrow"):
+            raise ValueError(
+                f"engine must be 'jvm' or 'arrow', got {self.engine!r}"
+            )
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -165,7 +165,10 @@ def transcripts_df(spark, sf_dir: str, replicate: int = 1):
         docs = docs.withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
         ).select(
-            (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+            (
+                F.col("doc_id")
+                + F.col("rep").cast("long") * F.lit(10_000_000).cast("long")
+            ).alias("doc_id"),
             "text",
         )
         # spread replicas across tasks so parallelism scales with `replicate`

@@ -1,0 +1,147 @@
+"""JVM column-expression twins of the deterministic text kernels.
+
+The sandbox stand-ins for the reference's three models (M1 verbalizer,
+M2 retrieval scorer, M3 NLI — utils/verbalisation_module.py,
+utils/sentence_retrieval_module.py, utils/textual_entailment_module.py) are
+deterministic string/set algebra. Expressed as built-in Spark expressions
+they run inside whole-stage codegen with ZERO JVM↔Python Arrow round trips —
+measured ~1.7 s per no-op mapInPandas pass over 3 M rows on local[32], i.e.
+the Arrow boundary, not the kernel math, dominated the pipeline. Production
+NN models cannot be expressed this way and keep the mapInPandas path
+(stages.py, config.engine = "arrow"); both engines are golden-tested equal.
+
+Bit-exactness with functions/text.py (shared by the pandas oracle):
+- token sets: findall([a-z0-9]+) == split("[^a-z0-9]+") minus empties
+- Jaccard: integer sizes → binary64 divide, identical on both runtimes
+- quantize: floor(x*2^20 + 0.5)/2^20 — FLOOR matches math.floor exactly
+- normalize: same regex chain; Java \\s is ASCII-only vs Python's unicode
+  \\s (documented divergence; transcript text is ASCII + the normalized
+  fullwidth chars, and the golden suite pins equality end-to-end)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import (
+    _NORMALIZE_MAP,
+    _QUANT,
+    PROBS_NEI,
+    PROBS_REFUTE,
+    PROBS_SUPPORT,
+    claim_regex,
+)
+
+_SRC = "".join(_NORMALIZE_MAP.keys())
+_DST = "".join(_NORMALIZE_MAP.values())
+
+
+def normalize_expr(c: Column) -> Column:
+    """C6/C7 normalize_text as a codegen'd expression chain."""
+    c = F.translate(c, _SRC, _DST)
+    c = F.regexp_replace(c, r"(?i)-lrb-|\(", " ( ")
+    c = F.regexp_replace(c, r"(?i)-rrb-|\)", " ) ")
+    c = F.regexp_replace(c, "--", "-")
+    c = F.regexp_replace(c, "``", '"')
+    c = F.regexp_replace(c, "''", '"')
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.lower(F.trim(c))
+
+
+def token_set_expr(c: Column) -> Column:
+    """tokens() as a distinct array (order irrelevant for set algebra)."""
+    return F.array_distinct(
+        F.array_remove(F.split(F.lower(c), "[^a-z0-9]+"), "")
+    )
+
+
+def similarity_from_tokens(a: Column, b: Column) -> Column:
+    """M2 stand-in on PRE-TOKENIZED sets: quantized Jaccard. Tokenize once
+    per claim / per sentence (linear), never per pair (quadratic) — per-pair
+    work is pure set algebra on small arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    q = F.floor(inter / union * F.lit(_QUANT) + F.lit(0.5)) / F.lit(_QUANT)
+    return F.when((F.size(a) == 0) | (F.size(b) == 0), F.lit(0.0)).otherwise(q)
+
+
+def similarity_expr(verb: Column, sent: Column) -> Column:
+    """M2 stand-in: quantized token-Jaccard (text.py:similarity twin)."""
+    return similarity_from_tokens(token_set_expr(verb), token_set_expr(sent))
+
+
+def _const_probs(p: tuple[float, ...]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in p])
+
+
+def nli_from_tokens(
+    subj_tok: Column, obj_tok: Column, verb_tok: Column, s_tok: Column
+) -> Column:
+    """M3 stand-in on PRE-TOKENIZED sets (text.py:nli_probs label algebra)."""
+
+    def subset(x: Column) -> Column:
+        return F.size(F.array_except(x, s_tok)) == 0
+
+    refute = (
+        subset(subj_tok)
+        & subset(obj_tok)
+        & (F.array_contains(s_tok, "not") | F.array_contains(s_tok, "never"))
+    )
+    support = subset(verb_tok)
+    return (
+        F.when(refute, _const_probs(PROBS_REFUTE))
+        .when(support, _const_probs(PROBS_SUPPORT))
+        .otherwise(_const_probs(PROBS_NEI))
+    )
+
+
+def nli_expr(subj: Column, obj: Column, verb: Column, sent: Column) -> Column:
+    """M3 stand-in: 3-class distribution (text.py:nli_probs twin)."""
+    return nli_from_tokens(
+        token_set_expr(subj),
+        token_set_expr(obj),
+        token_set_expr(verb),
+        token_set_expr(sent),
+    )
+
+
+def verbalize_expr(subj: Column, pred: Column, obj: Column) -> Column:
+    """M1 stand-in: template verbalizer (text.py:verbalize_triple twin)."""
+    return normalize_expr(F.concat_ws(" ", subj, pred, obj))
+
+
+def sentences_expr(text: Column, max_chars: int) -> Column:
+    """C2 split_sentences as an array expression (split → trim → drop empty).
+    posexplode at the call site yields the same (k, sentence) pairs as the
+    Python kernel's enumerate()."""
+    arr = F.split(F.substring(text, 1, max_chars), r"(?<=[.!?])\s+")
+    return F.filter(F.transform(arr, F.trim), lambda s: s != F.lit(""))
+
+
+def claim_pattern(aliases: list[str], patterns: list[str]) -> str:
+    """The exact mention-detection regex the Python kernel compiles — the
+    alternation uses only escapes valid in both re and java.util.regex."""
+    return claim_regex(aliases, patterns).pattern
+
+
+def detect_claim_exprs(
+    sentence: Column, aliases: list[str], patterns: list[str]
+) -> tuple[Column, Column, Column, Column]:
+    """(matched_and_accepted, subj_alias, pattern, obj_alias) — twin of
+    text.py:detect_claim including the negation/'indeed' rejection."""
+    pat = claim_pattern(aliases, patterns)
+    norm = normalize_expr(sentence)
+    full = F.regexp_extract(norm, pat, 0)
+    accepted = (
+        (full != "")
+        & ~full.startswith("indeed ")
+        & ~full.contains(" does not ")
+        & ~full.contains(" never ")
+    )
+    return (
+        accepted,
+        F.regexp_extract(norm, pat, 1),
+        F.regexp_extract(norm, pat, 2),
+        F.regexp_extract(norm, pat, 3),
+    )

@@ -17,6 +17,7 @@ Reference semantics re-created (not copied):
 
 from __future__ import annotations
 
+import math
 import re
 from functools import lru_cache
 
@@ -105,8 +106,13 @@ def verbalize_triple(subj_label: str, property_label: str, object_label: str) ->
 
 
 def quantize(x: float) -> float:
-    """Snap a score to the dyadic grid (see _QUANT note above)."""
-    return round(x * _QUANT) / _QUANT
+    """Snap a score to the dyadic grid (see _QUANT note above).
+
+    Half-UP via floor(x*Q + 0.5) — not Python round() (banker's) — so the
+    JVM expression path (functions/jvm_kernels.py) computes bit-identical
+    values with FLOOR: both sides do the same binary64 multiply/add/floor.
+    """
+    return math.floor(x * _QUANT + 0.5) / _QUANT
 
 
 def similarity(claim_verbalized: str, sentence: str) -> float:

@@ -133,6 +133,12 @@ def canonical_map_df(spark: SparkSession, distributed: bool = False) -> DataFram
         return connected_components(
             entity_dim(spark).select("qid"), same_as_edges(spark)
         )
+    from ..sources.dims import session_dim
+
+    return session_dim(spark, "canonical_map", _build_canonical_map)
+
+
+def _build_canonical_map(spark: SparkSession) -> DataFrame:
     qids = [q for q, _ in ENTITIES]
     label_of: dict[str, list[str]] = {}
     edges: list[tuple[str, str]] = list(SAME_AS_SEED)

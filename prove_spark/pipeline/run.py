@@ -33,24 +33,38 @@ def build_triples(
     transcripts: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
     persist_sentences: bool = True,
+    eager_cache: bool = True,
 ) -> DataFrame:
-    """transcripts → canonical triples DataFrame (lazy plan, no action)."""
+    """transcripts → canonical triples DataFrame.
+
+    eager_cache materializes the persisted intermediates with a count()
+    BEFORE the plan is returned: the final action's DAG has 3-4 independent
+    sibling stages all rooted at `base` / `verbalized`, and Spark schedules
+    them concurrently — against a not-yet-materialized cache each sibling
+    recomputes the full input (measured 4 concurrent ~7.5 s stages doing
+    identical extraction work). One eager materialization turns that into
+    one compute + N cache reads. Set eager_cache=False for a fully lazy plan.
+    """
     base = stages.extract_sentences(transcripts, config)
     # base sentences feed BOTH claim detection and the evidence pool; persist
     # so the (text-heavy) extraction kernel runs once. At warehouse scale this
     # would be a materialized intermediate table bucketed by conv_id.
     if persist_sentences:
         base = base.persist()
+        if eager_cache:
+            base.count()
     evidence_pool = stages.with_slide_windows(base, config)
 
-    claims = stages.detect_claims(base)
+    claims = stages.detect_claims(base, config)
     linked = stages.link_and_filter(claims, spark)
     # verbalized feeds BOTH the scoring chain and the final claim-set join —
     # persist the (claim-scale, narrow) DF so mention detection + linking
     # run once instead of twice.
-    verbalized = stages.verbalize(linked)
+    verbalized = stages.verbalize(linked, config)
     if persist_sentences:
         verbalized = verbalized.persist()
+        if eager_cache:
+            verbalized.count()
     scored = stages.score_evidence(verbalized, evidence_pool, config)
     verdicts = stages.entail_and_verdict(scored, config)
 

@@ -35,7 +35,8 @@ from ..dictionaries import (
     ENTITIES,
     PREDICATES,
 )
-from ..functions import text as K  # shared deterministic kernels
+from ..functions import jvm_kernels as J  # codegen expression twins
+from ..functions import text as K  # shared deterministic kernels (Arrow path)
 
 CLASSES = list(DEFAULT_CONFIG.classes)
 
@@ -57,21 +58,34 @@ def resolved_alias_dim(spark: SparkSession) -> DataFrame:
 
     Scale note: disambiguation runs on the DIMENSION (thousands of rows), not
     the fact table — the fact side then needs only a broadcast hash join.
+    Session-cached: static dims are built once per SparkSession.
     """
-    dim = alias_dim(spark).withColumn(
-        "qid_n", F.regexp_extract("qid", r"(\d+)", 1).cast("long")
-    )
-    resolved = dim.groupBy("alias").agg(
-        F.min_by("qid", "qid_n").alias("qid"), F.min_by("label", "qid_n").alias("label")
-    )
-    return resolved
+    from ..sources.dims import session_dim
+
+    def build(s: SparkSession) -> DataFrame:
+        dim = alias_dim(s).withColumn(
+            "qid_n", F.regexp_extract("qid", r"(\d+)", 1).cast("long")
+        )
+        return dim.groupBy("alias").agg(
+            F.min_by("qid", "qid_n").alias("qid"),
+            F.min_by("label", "qid_n").alias("label"),
+        )
+
+    return session_dim(spark, "resolved_alias_dim", build)
 
 
 def pred_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        pd.DataFrame(
-            PREDICATES, columns=["property_id", "pattern", "property_label", "datatype"]
-        )
+    from ..sources.dims import session_dim
+
+    return session_dim(
+        spark,
+        "pred_dim",
+        lambda s: s.createDataFrame(
+            pd.DataFrame(
+                PREDICATES,
+                columns=["property_id", "pattern", "property_label", "datatype"],
+            )
+        ),
     )
 
 
@@ -87,6 +101,17 @@ def extract_sentences(transcripts: DataFrame, config: PipelineConfig = DEFAULT_C
     this stage is embarrassingly parallel (no shuffle).
     """
     max_chars = config.max_turn_chars
+    if config.engine == "jvm":
+        arr = J.sentences_expr(F.col("text"), max_chars)
+        return transcripts.select(
+            "conv_id", "turn_idx", F.posexplode(arr).alias("k", "sentence")
+        ).select(
+            "conv_id",
+            (F.col("turn_idx").cast("long") * 1000 + 2 * F.col("k")).alias(
+                "sent_id"
+            ),
+            "sentence",
+        )
 
     def split_batch(batches):
         for pdf in batches:
@@ -139,9 +164,35 @@ CLAIM_SCHEMA = (
 )
 
 
-def detect_claims(base_sentences: DataFrame) -> DataFrame:
+def detect_claims(
+    base_sentences: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
     alias_list = sorted({a for a, _ in ALIASES})
     pattern_list = sorted({p for _, p, _, _ in PREDICATES})
+
+    if config.engine == "jvm":
+        accepted, subj, pattern, obj = J.detect_claim_exprs(
+            F.col("sentence"), alias_list, pattern_list
+        )
+        return (
+            base_sentences.select(
+                "conv_id",
+                "sent_id",
+                accepted.alias("ok"),
+                subj.alias("subj_alias"),
+                pattern.alias("pattern"),
+                obj.alias("obj_alias"),
+            )
+            .where("ok")
+            .select(
+                "conv_id",
+                "sent_id",
+                F.concat_ws(":", "conv_id", "sent_id").alias("claim_id"),
+                "subj_alias",
+                "pattern",
+                "obj_alias",
+            )
+        )
 
     def detect_batch(batches):
         for pdf in batches:
@@ -206,7 +257,18 @@ def _verbalize_udf(s: pd.Series, p: pd.Series, o: pd.Series) -> pd.Series:
     )
 
 
-def verbalize(linked: DataFrame) -> DataFrame:
+def verbalize(
+    linked: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    if config.engine == "jvm":
+        return linked.withColumn(
+            "claim_verbalized",
+            J.verbalize_expr(
+                F.col("subj_label"),
+                F.col("property_label"),
+                F.col("object_label"),
+            ),
+        )
     return linked.withColumn(
         "claim_verbalized",
         _verbalize_udf("subj_label", "property_label", "object_label"),
@@ -231,16 +293,56 @@ def score_evidence(
     refs_html_to_evidences.py:180-191) — an equi join on conv_id + window
     top-k, NOT a cross join.
     """
-    ev = evidence_sentences.select(
-        "conv_id",
-        F.col("sent_id").alias("ev_sent_id"),
-        F.col("sentence").alias("ev_sentence"),
-    )
-    paired = claims.join(ev, "conv_id", "inner").withColumn(
-        "similarity_score", _similarity_udf("claim_verbalized", "ev_sentence")
-    )
-    # Window keys start with conv_id → reuses the existing hash partitioning,
-    # no new exchange. Tie-break matches the oracle: (sim desc, ev_sent_id asc).
+    # NARROW the pairing inputs: only the keys + what the scorer needs ride
+    # through the pair explosion; claim attributes (labels, qids) are joined
+    # back AFTER top-k, at claim scale, not pair scale. Carrying wide rows
+    # through a 1-to-N pair join is the classic 100 TB mistake.
+    #
+    # JVM engine: tokenize ONCE per sentence / per claim (linear), carry the
+    # token-set arrays through the join, per-pair work = set algebra only.
+    # Arrow engine: carry the strings; the pandas kernel memoizes token sets.
+    if config.engine == "jvm":
+        ev = evidence_sentences.select(
+            "conv_id",
+            F.col("sent_id").alias("ev_sent_id"),
+            J.token_set_expr(F.col("sentence")).alias("ev_tokens"),
+        )
+        claim_keys = claims.select(
+            "conv_id",
+            "claim_id",
+            J.token_set_expr(F.col("claim_verbalized")).alias("verb_tokens"),
+        )
+        sim = J.similarity_from_tokens(
+            F.col("verb_tokens"), F.col("ev_tokens")
+        )
+        pair_drop = ["rank", "verb_tokens"]
+    else:
+        ev = evidence_sentences.select(
+            "conv_id",
+            F.col("sent_id").alias("ev_sent_id"),
+            F.col("sentence").alias("ev_sentence"),
+        )
+        claim_keys = claims.select("conv_id", "claim_id", "claim_verbalized")
+        sim = _similarity_udf("claim_verbalized", "ev_sentence")
+        pair_drop = ["rank", "claim_verbalized"]
+    paired = claim_keys.join(ev, "conv_id", "inner")
+    if config.engine != "jvm":
+        # Arrow path: EXPLICIT repartition on the high-cardinality
+        # (conv_id, claim_id) key BEFORE the scorer UDF. The pair join's
+        # natural output partitioning follows its inputs (a union of branches
+        # with very different per-partition pair density — measured 13x
+        # task-duration skew), and the Python scorer is expensive enough that
+        # rebalancing pays for the extra shuffle. The window then reuses this
+        # exact hash partitioning → no second exchange.
+        #
+        # JVM path: skip it. Set algebra per pair is cheap; leaving the
+        # scorer map-side lets Spark's partial WindowGroupLimit cut the
+        # shuffle to ≤k rows per (claim, map partition) before the exchange —
+        # at 100 TB that's the difference between shuffling all pairs and
+        # shuffling ~top-k·claims rows.
+        paired = paired.repartition("conv_id", "claim_id")
+    paired = paired.withColumn("similarity_score", sim)
+    # Tie-break matches the oracle: (sim desc, ev_sent_id asc).
     # Below-threshold rows are NOT dropped here: they ride into the verdict
     # aggregation flagged `passed=false` so every claim keeps >=1 row and the
     # below-threshold default (claim_entailment.py:67-68) is applied by a
@@ -249,13 +351,17 @@ def score_evidence(
     w = Window.partitionBy("conv_id", "claim_id").orderBy(
         F.desc("similarity_score"), F.asc("ev_sent_id")
     )
-    return (
+    topk = (
         paired.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= config.top_k_evidence)
         .withColumn(
             "passed", F.col("similarity_score") > config.similarity_threshold
         )
-        .drop("rank")
+        .drop(*pair_drop)
+    )
+    # claim attributes rejoin at claim scale (top-k rows per claim)
+    return topk.join(
+        claims.drop("conv_id"), "claim_id", "inner"
     )
 
 
@@ -289,9 +395,20 @@ def entail_and_verdict(
     Weighted sums are exact (kernels emit dyadic-rational scores), so the
     argmax agrees with the pandas oracle bit-for-bit.
     """
-    probs = evidence.withColumn(
-        "te_probs", _nli_udf("subj_label", "object_label", "claim_verbalized", "ev_sentence")
-    )
+    if config.engine == "jvm":
+        # evidence carries the pre-tokenized sentence set (ev_tokens);
+        # claim-side sets tokenize at top-k scale (short label strings).
+        te = J.nli_from_tokens(
+            J.token_set_expr(F.col("subj_label")),
+            J.token_set_expr(F.col("object_label")),
+            J.token_set_expr(F.col("claim_verbalized")),
+            F.col("ev_tokens"),
+        )
+    else:
+        te = _nli_udf(
+            "subj_label", "object_label", "claim_verbalized", "ev_sentence"
+        )
+    probs = evidence.withColumn("te_probs", te)
     p = [F.col("te_probs")[i] for i in range(3)]
     probs = probs.withColumn("ev_label", _argmax_label(p))
     passed = F.col("passed")
