@@ -95,8 +95,166 @@ SELECT doc_id, p, pair FROM (
 """
 
 
+_BAND_US = 10_000_000  # 10-second co-occurrence band
+
+
+def range_join_cooccur(spark, sf_dir):
+    """Banded interval self-join with NO equi key: pairs of events within
+    10 s of each other. Scale path: bucket each timestamp to band-width
+    buckets, explode one side to its 3 candidate buckets, equi-join on the
+    bucket, exact band filter after — turns an O(n^2) theta join into a
+    shuffle-friendly equi join. Each qualifying pair matches exactly one
+    candidate bucket, so no dedup is needed."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        # ts is TIMESTAMP_NTZ in the parquet; session TZ is UTC so the cast
+        # is a pure reinterpretation
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    a = e.select(
+        F.col("event_id").alias("event_a"),
+        F.col("us").alias("us_a"),
+        F.explode(
+            F.array(
+                (F.col("us") / _BAND_US).cast("long") - 1,
+                (F.col("us") / _BAND_US).cast("long"),
+                (F.col("us") / _BAND_US).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = e.select(
+        F.col("event_id").alias("event_b"),
+        F.col("us").alias("us_b"),
+        (F.col("us") / _BAND_US).cast("long").alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.abs(F.col("us_b") - F.col("us_a")) <= _BAND_US)
+        )
+        .select("event_a", "event_b", (F.col("us_b") - F.col("us_a")).alias("gap_us"))
+    )
+
+
+RANGE_JOIN_SQL = f"""
+SELECT a.event_id AS event_a, b.event_id AS event_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.event_id < b.event_id
+ AND ABS(epoch_us(b.ts) - epoch_us(a.ts)) <= {_BAND_US}
+"""
+
+
+def cube_event_stats(spark, sf_dir):
+    """CUBE aggregation over (event_type, day-of-month): all 4 grouping-set
+    combinations in one pass (partial aggregation per set, single shuffle)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        e.cube("event_type", "dom")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dom").cast("string"), F.lit("ALL")).alias("dom"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(dom AS VARCHAR), 'ALL') AS dom,
+       COUNT(*) AS n, SUM(v) AS sum_value
+FROM (SELECT event_type, EXTRACT(day FROM ts) AS dom,
+             CAST(value AS DECIMAL(18,6)) AS v FROM events)
+GROUP BY CUBE(event_type, dom)
+"""
+
+
+def percentile_event_values(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    ANSI percentile_cont; the approx_percentile sketch is the 100 TB path)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+PERCENTILE_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+def moving_avg_user_value(spark, sf_dir):
+    """Window FRAME spec: 3-row moving average + previous value per user in
+    time order (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(frame).alias("ma3"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+    )
+
+
+MOVING_AVG_SQL = """
+SELECT user_id, event_id, value,
+  AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+"""
+
+
+def url_host_extract(spark, sf_dir):
+    """C9 URL host extraction (reference: functions.py:650-652 domain
+    grouping): synthesize a URL per document, parse_url(HOST), count per
+    host. parse_url is JVM-builtin; the oracle uses the equivalent regex."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select(F.parse_url(url, F.lit("HOST")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+URL_HOST_SQL = """
+SELECT regexp_extract('https://' || source || '.example.org/d/' || CAST(doc_id AS VARCHAR),
+                      'https?://([^/]+)', 1) AS host,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
     "slide2_word_pairs": (slide2_word_pairs, SLIDE2_SQL),
+    "range_join_cooccur": (range_join_cooccur, RANGE_JOIN_SQL),
+    "cube_event_stats": (cube_event_stats, CUBE_SQL),
+    "percentile_event_values": (percentile_event_values, PERCENTILE_SQL),
+    "moving_avg_user_value": (moving_avg_user_value, MOVING_AVG_SQL),
+    "url_host_extract": (url_host_extract, URL_HOST_SQL),
 }

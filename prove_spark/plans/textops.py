@@ -407,6 +407,150 @@ SELECT vec_a AS query_id, vec_b AS neighbor_id, cosine, rank FROM (
 """
 
 
+N_IVF_CENTROIDS = 8
+N_IVF_PROBE = 2
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (the scale path ann_topk_cosine is validated against):
+    'trained' centroids = the 8 fixed seed vectors vec_id 492..499
+    (deterministic stand-in for k-means — present at every sf),
+    every DB vector is assigned to its nearest centroid (inverted
+    lists), each query probes only its nprobe=2 nearest lists, exact cosine
+    + top-3 within the candidates. All cosines decimal-exact → deterministic
+    ranking. At 100 TB the assignment join is vectors x centroids with the
+    centroid side broadcast, and the candidate search touches ~nprobe/K of
+    the corpus instead of all of it."""
+    e = _t(spark, sf_dir, "embeddings")
+    first_centroid = 500 - N_IVF_CENTROIDS  # fixed seed-vector id range
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
+    )
+    cent = ex.where(F.col("vec_id") >= first_centroid).select(
+        (F.col("vec_id") - first_centroid).alias("cent_id"),
+        "i",
+        F.col("x").alias("cx"),
+    )
+    cnorms = norms.where(F.col("vec_id") >= first_centroid).select(
+        (F.col("vec_id") - first_centroid).alias("cent_id"),
+        F.col("nsq").alias("cnsq"),
+    )
+    # cosine(vector, centroid) for every vector (queries and DB alike)
+    vc = (
+        ex.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum((F.col("x") * F.col("cx")).cast("decimal(28,14)")).alias("dot"))
+        .join(norms, "vec_id")
+        .join(F.broadcast(cnorms), "cent_id")
+        .withColumn(
+            "ccos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("nsq").cast("double") * F.col("cnsq").cast("double")),
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    ranked = vc.withColumn("crank", F.row_number().over(wv))
+    assign = ranked.where(
+        (F.col("crank") == 1) & (F.col("vec_id") >= 5)
+    ).select("vec_id", "cent_id")
+    probes = ranked.where(
+        (F.col("crank") <= N_IVF_PROBE) & (F.col("vec_id") < 5)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+    cands = probes.join(assign, "cent_id").select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    # exact cosine only for (query, candidate) pairs
+    qx = ex.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "i", F.col("x").alias("qx")
+    )
+    nx = ex.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "i", F.col("x").alias("nx")
+    )
+    dots = (
+        cands.join(qx, "query_id")
+        .join(nx, ["neighbor_id", "i"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum((F.col("qx") * F.col("nx")).cast("decimal(28,14)")).alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nsq").alias("nsq_q"))
+    nn = norms.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("nsq").alias("nsq_n")
+    )
+    cos = (
+        dots.join(nq, "query_id")
+        .join(nn, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("nsq_q").cast("double") * F.col("nsq_n").cast("double")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+         UNNEST(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS nsq FROM ex GROUP BY vec_id),
+n_total AS (SELECT 500 AS n),
+cent AS (
+  SELECT vec_id - (500 - {N_IVF_CENTROIDS}) AS cent_id, i, x AS cx FROM ex
+  WHERE vec_id >= 500 - {N_IVF_CENTROIDS}
+),
+cnorms AS (
+  SELECT vec_id - (500 - {N_IVF_CENTROIDS}) AS cent_id, nsq AS cnsq FROM norms
+  WHERE vec_id >= 500 - {N_IVF_CENTROIDS}
+),
+vc AS (
+  SELECT e.vec_id, c.cent_id,
+         CAST(SUM(CAST(e.x * c.cx AS DECIMAL(28,14))) AS DOUBLE)
+           / SQRT(CAST(n.nsq AS DOUBLE) * CAST(cn.cnsq AS DOUBLE)) AS ccos
+  FROM ex e JOIN cent c ON e.i = c.i
+  JOIN norms n ON n.vec_id = e.vec_id
+  JOIN cnorms cn ON cn.cent_id = c.cent_id
+  GROUP BY e.vec_id, c.cent_id, n.nsq, cn.cnsq
+),
+ranked AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crank
+  FROM vc
+),
+assign AS (SELECT vec_id, cent_id FROM ranked WHERE crank = 1 AND vec_id >= 5),
+probes AS (SELECT vec_id AS query_id, cent_id FROM ranked WHERE crank <= {N_IVF_PROBE} AND vec_id < 5),
+cands AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p JOIN assign a ON p.cent_id = a.cent_id),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, SUM(CAST(q.x * n.x AS DECIMAL(28,14))) AS dot
+  FROM cands c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+cos AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / SQRT(CAST(nq.nsq AS DOUBLE) * CAST(nn.nsq AS DOUBLE)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cos
+) WHERE rank <= 3
+"""
+
+
 # ------------------------------------------------------------ text analysis
 def lang_id_heuristic(spark, sf_dir):
     """n-gram/stopword language heuristic: English function-word density."""
@@ -535,4 +679,5 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "token_counts": (token_counts, TOKEN_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "multimodal_bytes": (multimodal_bytes, MULTIMODAL_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
 }
