@@ -116,7 +116,11 @@ def sentences_expr(text: Column, max_chars: int) -> Column:
     posexplode at the call site yields the same (k, sentence) pairs as the
     Python kernel's enumerate()."""
     arr = F.split(F.substring(text, 1, max_chars), r"(?<=[.!?])\s+")
-    return F.filter(F.transform(arr, F.trim), lambda s: s != F.lit(""))
+    # NB: transform(arr, F.trim) would call trim(element, INDEX) — the
+    # two-arg trim-chars form — silently trimming digits; keep the lambda.
+    return F.filter(
+        F.transform(arr, lambda s: F.trim(s)), lambda s: s != F.lit("")
+    )
 
 
 def claim_pattern(aliases: list[str], patterns: list[str]) -> str:
