@@ -1,0 +1,101 @@
+"""Physical-plan assertions: the scale properties we designed for must
+survive refactors. These parse `.explain("formatted")` output — brittle by
+nature, so each assertion targets a stable plan-node name, not layout."""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pytest
+from pyspark.sql import DataFrame
+
+from prove_spark.config import DEFAULT_CONFIG
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    """Predicate pushdown: the shipdate filter must reach the parquet scan."""
+    from prove_spark.plans.registry import ALL_QUERIES
+
+    fn, _ = ALL_QUERIES["q1_pricing_summary"]
+    plan = plan_of(fn(spark, SF))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:200], "shipdate filter not pushed to scan"
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    """Small dims (region, nation) must broadcast, never shuffle the fact."""
+    from prove_spark.plans.registry import ALL_QUERIES
+
+    fn, _ = ALL_QUERIES["region_revenue"]
+    plan = plan_of(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_jvm_engine_has_no_python_nodes(spark):
+    """engine='jvm' must produce a plan with ZERO Python evaluation nodes —
+    the whole point of the expression twins."""
+    from prove_spark.datagen import transcripts_df
+    from prove_spark.pipeline.run import build_triples
+
+    tr = transcripts_df(spark, SF)
+    df = build_triples(spark, tr, persist_sentences=False)
+    plan = plan_of(df)
+    # transcripts synthesis itself is one mapInPandas source; beyond that
+    # no ArrowEvalPython / BatchEvalPython may appear
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_arrow_engine_rebalances_pairs(spark):
+    """engine='arrow' keeps the explicit (conv_id, claim_id) rebalance so
+    the Python scorer runs at full parallelism."""
+    from prove_spark.datagen import transcripts_df
+    from prove_spark.pipeline.run import build_triples
+
+    tr = transcripts_df(spark, SF)
+    cfg = replace(DEFAULT_CONFIG, engine="arrow")
+    plan = plan_of(build_triples(spark, tr, cfg, persist_sentences=False))
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_jvm_engine_keeps_mapside_topk(spark):
+    """The evidence top-k must run partially map-side (WindowGroupLimit
+    before the exchange) so the pair explosion never fully shuffles."""
+    from prove_spark.datagen import transcripts_df
+    from prove_spark.pipeline import stages
+
+    tr = transcripts_df(spark, SF)
+    base = stages.extract_sentences(tr)
+    ev = stages.with_slide_windows(base)
+    v = stages.verbalize(stages.link_and_filter(stages.detect_claims(base), spark))
+    plan = plan_of(stages.score_evidence(v, ev))
+    assert plan.count("WindowGroupLimit") >= 2, "partial top-k not map-side"
+
+
+def test_shingles_are_shuffle_free(spark):
+    """Map-side shingle construction: no Exchange in the _shingles plan."""
+    from prove_spark.plans.textops import _shingles
+
+    plan = plan_of(_shingles(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_entity_rollup_is_two_phase(spark):
+    """Salted pivot: two aggregation phases (salt then merge), so a hot
+    entity cannot bottleneck a single reducer."""
+    from prove_spark.datagen import transcripts_df
+    from prove_spark.pipeline.run import build_triples, entity_rollup
+
+    tr = transcripts_df(spark, SF)
+    plan = plan_of(entity_rollup(build_triples(spark, tr, persist_sentences=False)))
+    assert "HashAggregate" in plan
+    assert "pmod" in plan or "salt" in plan
