@@ -69,14 +69,22 @@ def slide2_word_pairs(spark, sf_dir):
     shuffles, whole-stage-codegen'd; the oracle builds the same pairs with a
     lead window, proving the HOF formulation equivalent."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1)
+    # split() bound once per row (see textops._shingles: inlining it into
+    # the lambda re-splits per element, O(words^2))
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    words = F.col("words")
+    # guard: sequence(1, 0) DESCENDS ([1, 0]) — a 1-word doc would index out
+    # of bounds without the size>=2 branch
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
         ),
-    )
-    return d.select(
+    ).otherwise(F.array().cast("array<string>"))
+    return w.select(
         "doc_id", F.posexplode(pairs).alias("p0", "pair")
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "pair")
 

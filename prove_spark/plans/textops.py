@@ -56,7 +56,11 @@ def _shingles(spark, sf_dir) -> DataFrame:
     since shingles are per-document, both were unnecessary). The SQL oracle
     keeps the window formulation — same (doc_id, shingle) set."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # Bind split() ONCE in its own projection: inlined, every element_at in
+    # the transform lambda re-splits the text — O(words^2) per doc (measured
+    # 4x slower). The separate Project keeps one array per row.
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    words = F.col("words")
     shingle_arr = F.transform(
         F.sequence(F.lit(1), F.size(words) - 2),
         lambda i: F.concat_ws(
@@ -66,7 +70,7 @@ def _shingles(spark, sf_dir) -> DataFrame:
             F.element_at(words, i + 2),
         ),
     )
-    return d.select(
+    return w.select(
         "doc_id",
         F.explode(
             F.array_distinct(
