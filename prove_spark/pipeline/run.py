@@ -68,31 +68,23 @@ def build_triples(
     scored = stages.score_evidence(verbalized, evidence_pool, config)
     verdicts = stages.entail_and_verdict(scored, config)
 
-    # Below-threshold default (reference: claim_entailment.py:67-68): a claim
-    # none of whose evidence passes the similarity threshold still gets a
-    # verdict from config.default_probs (NEI). Left join back to the claim
-    # set so those rows are not silently dropped by the inner aggregation.
-    default_idx = list(config.default_probs).index(max(config.default_probs))
-    default_verdict = config.classes[default_idx]
-    default_score = float(config.default_probs[default_idx])
-    full = (
-        verbalized.select(
-            "conv_id",
-            "claim_id",
-            "sent_id",
-            "subj_qid",
-            F.col("property_id").alias("pred"),
-            "obj_qid",
-        )
-        .join(
-            verdicts.select("claim_id", "verdict", "malon", "score"),
-            "claim_id",
-            "left",
-        )
-        .withColumn("verdict", F.coalesce("verdict", F.lit(default_verdict)))
-        .withColumn("malon", F.coalesce("malon", F.lit(default_verdict)))
-        .withColumn("score", F.coalesce("score", F.lit(default_score)))
-        .withColumn("turn_idx", (F.col("sent_id") / 1000).cast("int"))
+    # Every detected claim reaches the verdict aggregation: its own sentence
+    # is always in the evidence pool, so the pair join keeps >=1 row per
+    # claim and top-k keeps >=1 of those; the below-threshold NEI default
+    # (claim_entailment.py:67-68) is applied INSIDE entail_and_verdict's
+    # conditional agg. No claims-side rejoin needed — verdicts IS the full
+    # claim set (structural invariant, pinned by the golden suite).
+    full = verdicts.select(
+        "conv_id",
+        "claim_id",
+        "sent_id",
+        "subj_qid",
+        F.col("property_id").alias("pred"),
+        "obj_qid",
+        "verdict",
+        "malon",
+        "score",
+        "turn_idx",
     )
 
     canon = canonical_map_df(spark)
