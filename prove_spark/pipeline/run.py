@@ -91,6 +91,43 @@ def build_triples(
     return rekey_triples(full, canon).select(*TRIPLE_COLUMNS)
 
 
+def build_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
+    """The `entities` dimension table (BASELINE.json: 'materializing triple
+    and entity Iceberg tables'): one row per canonical entity with its label,
+    member QIDs, and triple-participation stats from the fact table."""
+    from ..dictionaries import ENTITIES
+    from .canonicalize import canonical_map_df
+
+    import pandas as pd
+
+    canon = canonical_map_df(spark)
+    labels = spark.createDataFrame(
+        pd.DataFrame(ENTITIES, columns=["qid", "label"])
+    )
+    dim = (
+        canon.join(labels, "qid")
+        .groupBy("canonical_qid")
+        .agg(
+            F.min_by("label", "qid").alias("label"),
+            F.sort_array(F.collect_set("qid")).alias("member_qids"),
+        )
+    )
+    subj_stats = triples.groupBy(F.col("subj").alias("canonical_qid")).agg(
+        F.count("*").alias("n_subj_claims"),
+        F.sum(F.when(F.col("verdict") == DEFAULT_CONFIG.classes[0], 1).otherwise(0)).alias(
+            "n_subj_supports"
+        ),
+    )
+    obj_stats = triples.groupBy(F.col("obj").alias("canonical_qid")).agg(
+        F.count("*").alias("n_obj_claims")
+    )
+    return (
+        dim.join(subj_stats, "canonical_qid", "left")
+        .join(obj_stats, "canonical_qid", "left")
+        .na.fill(0, ["n_subj_claims", "n_subj_supports", "n_obj_claims"])
+    )
+
+
 def entity_rollup(triples: DataFrame) -> DataFrame:
     """A6: per-entity verdict counts + proveScore = (supports-refutes)/total
     (reference: functions.py:383-398). Uses a two-phase (salted) aggregation

@@ -54,3 +54,23 @@ def test_entity_rollup_prove_score(spark, spark_transcripts, golden_triples):
         assert row.n_nei == g.loc[row.subj].get("NOT ENOUGH INFO", 0)
         total = row.n_supports + row.n_refutes + row.n_nei
         assert abs(row.prove_score - (row.n_supports - row.n_refutes) / total) < 1e-12
+
+
+def test_entities_table(spark, spark_transcripts, golden_triples):
+    """build_entities: canonical-only ids, stats consistent with the golden
+    triple set, every canonical id self-canonical."""
+    from prove_spark.oracle import canonical_map
+    from prove_spark.pipeline.run import build_entities
+
+    triples = build_triples(spark, spark_transcripts)
+    ents = build_entities(spark, triples).toPandas().set_index("canonical_qid")
+    canon = canonical_map()
+    # every canonical_qid is a root of the union-find
+    assert all(canon[q] == q for q in ents.index)
+    # subject-claim counts agree with the golden triples
+    g = golden_triples.groupby("subj").size()
+    for q, row in ents.iterrows():
+        assert row.n_subj_claims == g.get(q, 0)
+    # members fold back to their root
+    for q, row in ents.iterrows():
+        assert all(canon[m] == q for m in row.member_qids)
