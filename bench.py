@@ -64,7 +64,9 @@ HEADLINE = [
 ]
 
 
-def kg_measure(cores: int, replicate: int, n_timed: int = N_TIMED) -> dict:
+def kg_measure(
+    cores: int, replicate: int, n_timed: int = N_TIMED, engine: str = "jvm"
+) -> dict:
     """Run in-process: full KG pipeline wall time + throughput at `cores`.
 
     The transcripts table is MATERIALIZED to parquet first (untimed): the
@@ -85,12 +87,17 @@ def kg_measure(cores: int, replicate: int, n_timed: int = N_TIMED) -> dict:
     ).parquet(tdir)
     tr = spark.read.parquet(tdir)
     n_turns = tr.count()
-    n_triples = build_triples(spark, tr).count()  # warmup
+    from dataclasses import replace
+
+    from prove_spark.config import DEFAULT_CONFIG
+
+    cfg = replace(DEFAULT_CONFIG, engine=engine)
+    n_triples = build_triples(spark, tr, cfg).count()  # warmup
     times = []
     for _ in range(n_timed):
         spark.catalog.clearCache()
         t0 = time.time()
-        build_triples(spark, tr).count()
+        build_triples(spark, tr, cfg).count()
         times.append(time.time() - t0)
     spark.stop()
     import shutil
@@ -99,6 +106,7 @@ def kg_measure(cores: int, replicate: int, n_timed: int = N_TIMED) -> dict:
     wall = min(times)
     return {
         "cores": cores,
+        "engine": engine,
         "n_turns": n_turns,
         "n_triples": n_triples,
         "replicate": replicate,
@@ -109,7 +117,9 @@ def kg_measure(cores: int, replicate: int, n_timed: int = N_TIMED) -> dict:
     }
 
 
-def kg_subprocess(cores: int, replicate: int, n_timed: int = N_TIMED) -> dict:
+def kg_subprocess(
+    cores: int, replicate: int, n_timed: int = N_TIMED, engine: str = "jvm"
+) -> dict:
     """Fork a fresh interpreter (hence fresh JVM) for one measurement."""
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
@@ -121,6 +131,7 @@ def kg_subprocess(cores: int, replicate: int, n_timed: int = N_TIMED) -> dict:
             str(cores),
             str(replicate),
             str(n_timed),
+            engine,
         ],
         capture_output=True,
         text=True,
@@ -160,6 +171,8 @@ def main() -> None:
     kg_hi = kg_subprocess(CPUS, KG_REPLICATE)
     queries["kg_pipeline"] = kg_hi["wall_sec"]
     total += kg_hi["wall_sec"]
+    # the mapInPandas engine (what real NN models run as), for contrast
+    kg_arrow = kg_subprocess(CPUS, KG_REPLICATE, n_timed=2, engine="arrow")
 
     scale_hi = kg_subprocess(CPUS, SCALE_REPLICATE, N_TIMED_SCALE)
     scale_lo = kg_subprocess(SCALE_LOW, SCALE_REPLICATE, N_TIMED_SCALE)
@@ -173,6 +186,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "kg": kg_hi,
+        "kg_arrow_engine": kg_arrow,
         "scaling": {
             "cores_low": SCALE_LOW,
             "cores_high": CPUS,
@@ -193,6 +207,9 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--kg":
         runs = int(sys.argv[4]) if len(sys.argv) > 4 else N_TIMED
-        print(json.dumps(kg_measure(int(sys.argv[2]), int(sys.argv[3]), runs)))
+        eng = sys.argv[5] if len(sys.argv) > 5 else "jvm"
+        print(
+            json.dumps(kg_measure(int(sys.argv[2]), int(sys.argv[3]), runs, eng))
+        )
         sys.exit(0)
     sys.exit(main())

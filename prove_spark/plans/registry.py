@@ -40,10 +40,21 @@ def kg_top_supported(spark, sf_dir):
     )
 
 
+def kg_entities(spark, sf_dir):
+    """The entities dimension table (canonical id, label, members, stats)."""
+    from ..datagen import transcripts_df
+    from ..pipeline.run import build_entities, build_triples
+
+    return build_entities(
+        spark, build_triples(spark, transcripts_df(spark, sf_dir))
+    )
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_triples": (kg_triples, None),
     "kg_entity_rollup": (kg_entity_rollup, None),
     "kg_top_supported": (kg_top_supported, None),
+    "kg_entities": (kg_entities, None),
 }
 
 ALL_QUERIES: dict[str, tuple] = {
