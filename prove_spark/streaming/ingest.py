@@ -48,6 +48,82 @@ def windowed_turn_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+ASSEMBLED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.IntegerType(), False),
+        T.StructField("max_turn_idx", T.IntegerType(), False),
+        T.StructField("assembled_text", T.StringType(), True),
+        T.StructField("complete", T.BooleanType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("turn_idxs", T.ArrayType(T.IntegerType()), True),
+        T.StructField("texts", T.ArrayType(T.StringType()), True),
+        T.StructField("last_ts_ms", T.LongType(), True),
+    ]
+)
+
+
+def assemble_conversations_stateful(
+    stream: DataFrame, gap_ms: int = 60_000
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    conv_id, buffer turns across micro-batches; when no new turn arrives for
+    gap_ms of event time (state timeout), emit the conversation assembled in
+    stable turn_idx order — the streaming twin of the batch W4 turn-assembly
+    invariant. State is bounded: (turn_idx, text) pairs per open conversation
+    only; closed conversations leave the store via the timeout path."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def assemble(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turn_idxs, texts, _ = state.get
+            order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [len(turn_idxs)],
+                    "max_turn_idx": [max(turn_idxs)],
+                    "assembled_text": [" ".join(texts[i] for i in order)],
+                    "complete": [True],
+                }
+            )
+            state.remove()
+            return
+        turn_idxs: list[int] = []
+        texts: list[str] = []
+        last_ms = 0
+        if state.exists:
+            turn_idxs, texts, last_ms = state.get
+            turn_idxs, texts = list(turn_idxs), list(texts)
+        for pdf in pdfs:
+            for t_idx, txt, ts in zip(pdf["turn_idx"], pdf["text"], pdf["ts"]):
+                turn_idxs.append(int(t_idx))
+                texts.append(str(txt))
+                last_ms = max(last_ms, int(pd.Timestamp(ts).value // 1_000_000))
+        state.update((turn_idxs, texts, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        return
+        yield  # generator contract
+
+    return (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=ASSEMBLED_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_triples_foreach_batch(
     spark: SparkSession, stream: DataFrame, out_path: str
 ):

@@ -33,3 +33,62 @@ def test_windowed_stream_counts(spark, spark_transcripts, tmp_path):
         assert roles == {"user", "assistant", "tool"}
     finally:
         q.stop()
+
+
+def test_stateful_conversation_assembly(spark, tmp_path):
+    """applyInPandasWithState: turns buffered across micro-batches; a
+    conversation is emitted (in stable turn_idx order) once event time
+    passes its inactivity gap."""
+    import pandas as pd
+
+    from prove_spark.streaming.ingest import (
+        assemble_conversations_stateful,
+        read_transcript_stream,
+    )
+
+    src = tmp_path / "stream_src2"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def rows(conv, idxs, t0):
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": pd.array(idxs, dtype="int32"),
+                "role": "user",
+                "text": [f"{conv} turn {i}." for i in idxs],
+                "tool": "",
+                "ts": pd.Series(
+                    [t0 + pd.Timedelta(seconds=i) for i in idxs],
+                    dtype="datetime64[us]",
+                ),
+            }
+        )
+
+    # batch 1: conversation A, turns out of order
+    rows("conv-A", [2, 0, 1], base).to_parquet(src / "f1.parquet")
+    stream = read_transcript_stream(spark, str(src))
+    out = assemble_conversations_stateful(stream, gap_ms=60_000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("assembled")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM assembled").count() == 0  # A still open
+        # batch 2: a much-later conversation advances the watermark past A's gap
+        rows("conv-Z", [0], base + pd.Timedelta(minutes=30)).to_parquet(
+            src / "f2.parquet"
+        )
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM assembled").collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.conv_id == "conv-A" and r.n_turns == 3 and r.max_turn_idx == 2
+        assert r.assembled_text == "conv-A turn 0. conv-A turn 1. conv-A turn 2."
+        assert r.complete
+    finally:
+        q.stop()
