@@ -11,6 +11,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
+# sent_id encoding stride: sent_id = turn_idx * SENT_ID_STRIDE + 2*k.
+# With max_turn_chars = 16384 a turn can hold at most ~8k sentences, so a
+# 1e6 stride makes cross-turn collisions impossible (2*8192 << 1e6); the
+# old 1000 stride collided for turns of >500 short sentences.
+SENT_ID_STRIDE = 1_000_000
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     # Kernel execution engine for the deterministic model stand-ins:

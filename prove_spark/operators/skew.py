@@ -93,7 +93,16 @@ def salted_join(
     The small side is exploded n_salts× (cheap — it's small by contract);
     the big side gets a deterministic salt, so each hot key's rows land on
     n_salts distinct reducers instead of one.
+
+    Only inner/left are supported: right/full would emit n_salts copies of
+    every unmatched small-side row (it was exploded before the join).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): the small "
+            "side is replicated n_salts times, so right/full joins would "
+            "duplicate unmatched small-side rows"
+        )
     salted_big = with_salt(big, big_salt_from or big.columns, n_salts)
     exploded_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

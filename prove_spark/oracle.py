@@ -9,7 +9,7 @@ can only come from relational/aggregation logic — which the golden test
 pins down.
 
 ID scheme (deterministic, resume-safe — no uuid4):
-  sent_id  = turn_idx * 1000 + 2 * k          (k-th sentence of the turn)
+  sent_id  = turn_idx * SENT_ID_STRIDE + 2 * k          (k-th sentence of the turn)
   slide id = sent_id + 1                      (window starting at that sentence)
   claim_id = f"{conv_id}:{sent_id}"
 """
@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from .config import DEFAULT_CONFIG, PipelineConfig
+from .config import DEFAULT_CONFIG, SENT_ID_STRIDE, PipelineConfig
 from .dictionaries import (
     ALIASES,
     BAD_DATATYPES,
@@ -84,7 +84,7 @@ def conv_sentences_ordered(conv_pdf: pd.DataFrame) -> list[tuple[int, str]]:
         conv_pdf.sort_values("turn_idx")[["turn_idx", "text"]].itertuples(index=False)
     ):
         for k, sent in enumerate(split_sentences(text)):
-            out.append((int(turn_idx) * 1000 + 2 * k, sent))
+            out.append((int(turn_idx) * SENT_ID_STRIDE + 2 * k, sent))
     return out
 
 
@@ -158,7 +158,7 @@ def run_oracle(
                     "pred": pid,
                     "obj": canon[obj_q],
                     "conv_id": conv_id,
-                    "turn_idx": sent_id // 1000,
+                    "turn_idx": sent_id // SENT_ID_STRIDE,
                     "claim_id": f"{conv_id}:{sent_id}",
                     "verdict": verdict,
                     "malon": malon,

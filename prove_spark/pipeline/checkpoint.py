@@ -80,6 +80,21 @@ def run_checkpointed(
 
     io = TableIO(spark, warehouse)
     fp = input_fingerprint(transcripts)
+    # Changed input ⇒ fresh run: dynamic partition overwrite only replaces
+    # buckets PRESENT in the new output, so a bucket that produced rows under
+    # the old input but none under the new one would otherwise survive and
+    # mix snapshots. Wipe both tables when any manifest row carries a
+    # different fingerprint.
+    if io.exists("manifest"):
+        other = (
+            io.read("manifest")
+            .where(F.col("input_fingerprint") != fp)
+            .limit(1)
+            .count()
+        )
+        if other:
+            io.drop("triples")
+            io.drop("manifest")
     done = completed_buckets(io, fp)
 
     bucketed = with_bucket(transcripts, "conv_id", config.n_buckets)
@@ -94,17 +109,32 @@ def run_checkpointed(
             continue
         t0 = time.time()
         slice_df = bucketed.where(F.col("bucket").isin(todo))
-        triples = build_triples(spark, slice_df.drop("bucket"), config)
+        caches: list = []
+        triples = build_triples(
+            spark, slice_df.drop("bucket"), config, cache_registry=caches
+        )
         out = with_bucket(triples, "conv_id", config.n_buckets)
         io.overwrite_buckets(out, "triples", "bucket")
+        # lineage stats read back from the files just WRITTEN — recomputing
+        # `out` here would re-run the whole pipeline for this group. A group
+        # whose buckets all produced zero rows writes no files (the table may
+        # not even exist yet after a changed-input wipe) — stats are empty.
         stats = (
-            out.groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.countDistinct("conv_id").alias("n_convs"),
+            (
+                io.read("triples")
+                .where(F.col("bucket").isin(todo))
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.countDistinct("conv_id").alias("n_convs"),
+                )
+                .collect()
             )
-            .collect()
+            if io.exists("triples")
+            else []
         )
+        for df in caches:  # drop this group's cached intermediates
+            df.unpersist()
         wall = time.time() - t0
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         by_bucket = {int(s.bucket): s for s in stats}

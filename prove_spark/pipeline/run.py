@@ -34,6 +34,7 @@ def build_triples(
     config: PipelineConfig = DEFAULT_CONFIG,
     persist_sentences: bool = True,
     eager_cache: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """transcripts → canonical triples DataFrame.
 
@@ -51,6 +52,8 @@ def build_triples(
     # would be a materialized intermediate table bucketed by conv_id.
     if persist_sentences:
         base = base.persist()
+        if cache_registry is not None:
+            cache_registry.append(base)
         if eager_cache:
             base.count()
     evidence_pool = stages.with_slide_windows(base, config)
@@ -63,6 +66,8 @@ def build_triples(
     verbalized = stages.verbalize(linked, config)
     if persist_sentences:
         verbalized = verbalized.persist()
+        if cache_registry is not None:
+            cache_registry.append(verbalized)
         if eager_cache:
             verbalized.count()
     scored = stages.score_evidence(verbalized, evidence_pool, config)
@@ -106,9 +111,14 @@ def build_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
     )
     dim = (
         canon.join(labels, "qid")
+        .withColumn(
+            "qid_n", F.regexp_extract("qid", r"(\d+)", 1).cast("long")
+        )
         .groupBy("canonical_qid")
         .agg(
-            F.min_by("label", "qid").alias("label"),
+            # NUMERIC min-QID member's label — lexicographic qid order would
+            # pick Q209 over Q9 and disagree with the canonical representative
+            F.min_by("label", "qid_n").alias("label"),
             F.sort_array(F.collect_set("qid")).alias("member_qids"),
         )
     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..config import DEFAULT_CONFIG, SENT_ID_STRIDE, PipelineConfig
 from ..dictionaries import (
     ALIASES,
     BAD_DATATYPES,
@@ -96,7 +96,7 @@ SENT_SCHEMA = "conv_id string, sent_id long, sentence string"
 
 
 def extract_sentences(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Per-turn sentence split. sent_id = turn_idx*1000 + 2k encodes the
+    """Per-turn sentence split. sent_id = turn_idx*SENT_ID_STRIDE + 2k encodes the
     stable (conv_id, turn_idx, k) ordering without any cross-row state, so
     this stage is embarrassingly parallel (no shuffle).
     """
@@ -107,7 +107,7 @@ def extract_sentences(transcripts: DataFrame, config: PipelineConfig = DEFAULT_C
             "conv_id", "turn_idx", F.posexplode(arr).alias("k", "sentence")
         ).select(
             "conv_id",
-            (F.col("turn_idx").cast("long") * 1000 + 2 * F.col("k")).alias(
+            (F.col("turn_idx").cast("long") * SENT_ID_STRIDE + 2 * F.col("k")).alias(
                 "sent_id"
             ),
             "sentence",
@@ -119,9 +119,12 @@ def extract_sentences(transcripts: DataFrame, config: PipelineConfig = DEFAULT_C
             for conv_id, turn_idx, txt in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
-                for k, s in enumerate(K.split_sentences(str(txt)[:max_chars])):
+                # NULL text == no sentences (matches the JVM path, where
+                # split(NULL) → NULL array → posexplode drops the row)
+                text = "" if txt is None else str(txt)
+                for k, s in enumerate(K.split_sentences(text[:max_chars])):
                     out_conv.append(conv_id)
-                    out_sid.append(int(turn_idx) * 1000 + 2 * k)
+                    out_sid.append(int(turn_idx) * SENT_ID_STRIDE + 2 * k)
                     out_sent.append(s)
             yield pd.DataFrame(
                 {"conv_id": out_conv, "sent_id": out_sid, "sentence": out_sent}
@@ -135,21 +138,41 @@ def extract_sentences(transcripts: DataFrame, config: PipelineConfig = DEFAULT_C
 def with_slide_windows(
     sentences: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """C3: sliding window join of adjacent sentences (window=2), pure JVM.
+    """C3: sliding window join of config.slide_window adjacent sentences
+    (reference default 2), pure JVM via lead().
 
     The Window's sort-by-sent_id is also what enforces the stable
     (conv_id, turn_idx) ordering invariant (BASELINE.json per-row invariant).
     This is THE pipeline shuffle: hash partition by conv_id.
     """
+    window = config.slide_window
+    if window <= 1:
+        # degenerate window: every sentence is its own slide (oracle
+        # semantics for range(len-window+1) at window=1)
+        return sentences.unionByName(
+            sentences.select(
+                "conv_id",
+                (F.col("sent_id") + F.lit(1)).alias("sent_id"),
+                "sentence",
+            )
+        )
     w = Window.partitionBy("conv_id").orderBy("sent_id")
-    nxt = F.lead("sentence", 1).over(w)
+    parts = [F.col("sentence")] + [
+        F.lead("sentence", i).over(w).alias(f"_nxt{i}")
+        for i in range(1, window)
+    ]
     slides = (
-        sentences.withColumn("nxt", nxt)
-        .where(F.col("nxt").isNotNull())
+        sentences.select("conv_id", "sent_id", *parts)
+        # a full window exists only where the furthest lead is non-null
+        .where(F.col(f"_nxt{window - 1}").isNotNull())
         .select(
             "conv_id",
             (F.col("sent_id") + F.lit(1)).alias("sent_id"),
-            F.concat_ws(config.slide_join, "sentence", "nxt").alias("sentence"),
+            F.concat_ws(
+                config.slide_join,
+                F.col("sentence"),
+                *[F.col(f"_nxt{i}") for i in range(1, window)],
+            ).alias("sentence"),
         )
     )
     return sentences.unionByName(slides)
@@ -377,12 +400,13 @@ def _nli_udf(
     )
 
 
-def _argmax_label(prob_cols: list) -> F.Column:
+def _argmax_label(prob_cols: list, classes: list[str] | None = None) -> F.Column:
     """C15: first-max argmax over the 3 class scores → label (JVM-side)."""
+    cls = classes if classes is not None else CLASSES
     mx = F.greatest(*prob_cols)
-    expr = F.lit(CLASSES[2])
+    expr = F.lit(cls[2])
     for i in reversed(range(2)):
-        expr = F.when(prob_cols[i] == mx, F.lit(CLASSES[i])).otherwise(expr)
+        expr = F.when(prob_cols[i] == mx, F.lit(cls[i])).otherwise(expr)
     return expr
 
 
@@ -410,7 +434,8 @@ def entail_and_verdict(
         )
     probs = evidence.withColumn("te_probs", te)
     p = [F.col("te_probs")[i] for i in range(3)]
-    probs = probs.withColumn("ev_label", _argmax_label(p))
+    classes = list(config.classes)
+    probs = probs.withColumn("ev_label", _argmax_label(p, classes))
     passed = F.col("passed")
     defaults = list(config.default_probs)
     agg = probs.groupBy(
@@ -438,9 +463,9 @@ def entail_and_verdict(
         F.coalesce(
             F.max(
                 F.when(
-                    passed & (F.col("ev_label") == CLASSES[0]), 2
+                    passed & (F.col("ev_label") == classes[0]), 2
                 )
-                .when(passed & (F.col("ev_label") == CLASSES[1]), 1)
+                .when(passed & (F.col("ev_label") == classes[1]), 1)
                 .when(passed, 0)
             ),
             F.lit(0),
@@ -449,19 +474,19 @@ def entail_and_verdict(
     )
     wcols = [F.col(f"w{i}") for i in range(3)]
     return (
-        agg.withColumn("verdict", _argmax_label(wcols))
+        agg.withColumn("verdict", _argmax_label(wcols, classes))
         .withColumn(
             "malon",
-            F.when(F.col("malon_pri") == 2, CLASSES[0])
-            .when(F.col("malon_pri") == 1, CLASSES[1])
-            .otherwise(F.lit(CLASSES[2])),
+            F.when(F.col("malon_pri") == 2, classes[0])
+            .when(F.col("malon_pri") == 1, classes[1])
+            .otherwise(F.lit(classes[2])),
         )
         .withColumn(
             "score",
-            F.when(F.col("verdict") == CLASSES[0], F.col("w0"))
-            .when(F.col("verdict") == CLASSES[1], F.col("w1"))
+            F.when(F.col("verdict") == classes[0], F.col("w0"))
+            .when(F.col("verdict") == classes[1], F.col("w1"))
             .otherwise(F.col("w2")),
         )
-        .withColumn("turn_idx", (F.col("sent_id") / 1000).cast("int"))
+        .withColumn("turn_idx", (F.col("sent_id") / SENT_ID_STRIDE).cast("int"))
         .drop("malon_pri")
     )

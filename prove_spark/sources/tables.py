@@ -13,8 +13,6 @@ SQLite read path (functions.py:45-103).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,22 +28,37 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 class TableIO:
-    """Minimal catalog: name → path under a warehouse root."""
+    """Minimal catalog: name → path under a warehouse root.
+
+    All path operations go through the Hadoop FileSystem API so s3a:// /
+    hdfs:// / file:// warehouses behave identically — local os.* calls would
+    silently break resume on any non-local warehouse (exists() returning
+    False forever means every rerun recomputes everything)."""
 
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
-        self.warehouse = warehouse
+        self.warehouse = warehouse.rstrip("/")
         self.use_iceberg = iceberg_available(spark)
-        os.makedirs(warehouse, exist_ok=True)
 
     def path(self, table: str) -> str:
-        return os.path.join(self.warehouse, table)
+        return f"{self.warehouse}/{table}"
+
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        return fs, hpath
 
     def exists(self, table: str) -> bool:
-        p = self.path(table)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
-        )
+        fs, hpath = self._fs(self.path(table))
+        return fs.exists(hpath) and len(fs.listStatus(hpath)) > 0
+
+    def drop(self, table: str) -> None:
+        fs, hpath = self._fs(self.path(table))
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from prove_spark.config import SENT_ID_STRIDE
 from prove_spark.functions.text import split_sentences
 from prove_spark.pipeline import stages
 
@@ -41,7 +42,7 @@ def test_sentence_extraction_lossless(spark, spark_transcripts, transcripts_pdf)
     the original turn text (our generator joins sentences with ' ')."""
     sents = stages.extract_sentences(spark_transcripts)
     rebuilt = (
-        sents.withColumn("turn_idx", (F.col("sent_id") / 1000).cast("int"))
+        sents.withColumn("turn_idx", (F.col("sent_id") / SENT_ID_STRIDE).cast("int"))
         .groupBy("conv_id", "turn_idx")
         .agg(F.array_join(F.array_sort(F.collect_list(F.struct("sent_id", "sentence"))).sentence, " ").alias("text"))
         .orderBy("conv_id", "turn_idx")

@@ -68,3 +68,28 @@ def test_fingerprint_changes_with_input(spark, spark_transcripts):
         )
     )
     assert fp1 != fp2
+
+
+def test_changed_input_wipes_stale_buckets(spark, spark_transcripts, tmp_path):
+    """Rerunning a warehouse against DIFFERENT input must not mix snapshots:
+    buckets that produced rows under the old input but none under the new
+    one have to disappear (code-review finding: dynamic partition overwrite
+    only replaces buckets present in the new output)."""
+    wh = str(tmp_path / "wh_changed")
+    run_checkpointed(spark, spark_transcripts, wh)
+    io = TableIO(spark, wh)
+    old_buckets = {r.bucket for r in io.read("triples").select("bucket").distinct().collect()}
+    assert old_buckets  # baseline produced data
+
+    # new input: a single conversation → most buckets now empty
+    one_conv = spark_transcripts.where(
+        F.col("conv_id") == spark_transcripts.select("conv_id").first().conv_id
+    )
+    out = run_checkpointed(spark, one_conv, wh).toPandas()
+    new_buckets = {r.bucket for r in io.read("triples").select("bucket").distinct().collect()}
+    assert len(new_buckets) <= 1  # ONLY the new input's bucket survives
+    # manifest holds only the new fingerprint
+    fps = {r.input_fingerprint for r in io.read("manifest").select("input_fingerprint").distinct().collect()}
+    assert fps == {input_fingerprint(one_conv)}
+    # and the triples are exactly the single conversation's
+    assert set(out.conv_id.unique()) == {one_conv.first().conv_id}
