@@ -72,3 +72,62 @@ def test_slide_windows_match_kernel(spark, spark_transcripts, transcripts_pdf):
         for i in range(len(ordered) - 1):
             want.append((conv_id, ordered[i][0] + 1, f"{ordered[i][1]} {ordered[i+1][1]}"))
     assert list(map(tuple, slides.itertuples(index=False))) == want
+
+
+def test_sent_id_no_collision_many_short_sentences(spark):
+    """Regression (code-review): a turn of >500 short sentences must not
+    collide with the next turn's sent_id range."""
+    import pandas as pd
+
+    many = " ".join(f"s{i}." for i in range(800))
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 2,
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": ["user", "assistant"],
+            "text": [many, "next turn sentence."],
+            "tool": ["", ""],
+            "ts": pd.Series(
+                [pd.Timestamp("2026-01-01")] * 2, dtype="datetime64[us]"
+            ),
+        }
+    )
+    sents = stages.extract_sentences(spark.createDataFrame(pdf)).toPandas()
+    assert sents.sent_id.is_unique
+    # every sentence maps back to its own turn
+    assert (
+        (sents.sent_id // SENT_ID_STRIDE)
+        .value_counts()
+        .to_dict()
+        == {0: 800, 1: 1}
+    )
+
+
+def test_slide_window_3_matches_oracle_semantics(spark):
+    """config.slide_window is honored (was hardcoded 2): window=3 slides
+    must equal the oracle's 3-sentence joins."""
+    from dataclasses import replace
+
+    import pandas as pd
+
+    from prove_spark.config import DEFAULT_CONFIG
+    from prove_spark.functions.text import slide_sentences
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 1,
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["user"],
+            "text": ["alpha one. beta two. gamma three. delta four. epsilon five."],
+            "tool": [""],
+            "ts": pd.Series([pd.Timestamp("2026-01-01")], dtype="datetime64[us]"),
+        }
+    )
+    cfg = replace(DEFAULT_CONFIG, slide_window=3)
+    base = stages.extract_sentences(spark.createDataFrame(pdf), cfg)
+    ev = stages.with_slide_windows(base, cfg).toPandas()
+    slides = sorted(ev.loc[ev.sent_id % 2 == 1, "sentence"])
+    sents = [s for _, s in sorted(
+        (r.sent_id, r.sentence) for r in base.collect()
+    )]
+    assert slides == sorted(slide_sentences(sents, window=3))
