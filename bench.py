@@ -117,32 +117,43 @@ def kg_measure(
     }
 
 
+SUBPROC_TIMEOUT = int(os.environ.get("SPARK_GRAFT_KG_TIMEOUT", "900"))
+
+
 def kg_subprocess(
     cores: int, replicate: int, n_timed: int = N_TIMED, engine: str = "jvm"
-) -> dict:
-    """Fork a fresh interpreter (hence fresh JVM) for one measurement."""
+) -> dict | None:
+    """Fork a fresh interpreter (hence fresh JVM) for one measurement.
+    Returns None on timeout/crash so a partial bench still emits its JSON
+    line (the driver records whatever completed)."""
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
-    out = subprocess.run(
-        [
-            sys.executable,
-            os.path.abspath(__file__),
-            "--kg",
-            str(cores),
-            str(replicate),
-            str(n_timed),
-            engine,
-        ],
-        capture_output=True,
-        text=True,
-        env=env,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-        check=True,
-    )
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--kg",
+                str(cores),
+                str(replicate),
+                str(n_timed),
+                engine,
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            check=True,
+            timeout=SUBPROC_TIMEOUT,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(f"kg_subprocess({cores=}, {replicate=}) failed: {e}", file=sys.stderr)
+        return None
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError(f"kg subprocess produced no JSON: {out.stdout[-500:]}\n{out.stderr[-2000:]}")
+    print(f"kg subprocess produced no JSON: {out.stderr[-800:]}", file=sys.stderr)
+    return None
 
 
 def main() -> None:
@@ -169,16 +180,36 @@ def main() -> None:
     # KG throughput + scaling evidence: fresh subprocess (fresh JVM) per
     # core count — see module docstring for why.
     kg_hi = kg_subprocess(CPUS, KG_REPLICATE)
-    queries["kg_pipeline"] = kg_hi["wall_sec"]
-    total += kg_hi["wall_sec"]
+    if kg_hi:
+        queries["kg_pipeline"] = kg_hi["wall_sec"]
+        total += kg_hi["wall_sec"]
     # the mapInPandas engine (what real NN models run as), for contrast
     kg_arrow = kg_subprocess(CPUS, KG_REPLICATE, n_timed=2, engine="arrow")
 
     scale_hi = kg_subprocess(CPUS, SCALE_REPLICATE, N_TIMED_SCALE)
     scale_lo = kg_subprocess(SCALE_LOW, SCALE_REPLICATE, N_TIMED_SCALE)
 
-    ratio = scale_hi["turns_per_sec"] / scale_lo["turns_per_sec"]
-    efficiency = ratio / (CPUS / SCALE_LOW)
+    scaling = {
+        "cores_low": SCALE_LOW,
+        "cores_high": CPUS,
+        "replicate": SCALE_REPLICATE,
+    }
+    if scale_hi and scale_lo:
+        ratio = scale_hi["turns_per_sec"] / scale_lo["turns_per_sec"]
+        scaling.update(
+            {
+                "turns_low": scale_lo["n_turns"],
+                "turns_per_sec_low": scale_lo["turns_per_sec"],
+                "turns_per_sec_high": scale_hi["turns_per_sec"],
+                "runs_low_sec": scale_lo["all_runs_sec"],
+                "runs_high_sec": scale_hi["all_runs_sec"],
+                "speedup": round(ratio, 3),
+                "core_ratio": CPUS / SCALE_LOW,
+                "efficiency": round(ratio / (CPUS / SCALE_LOW), 3),
+            }
+        )
+    else:
+        scaling["error"] = "scaling subprocess timed out/failed; see stderr"
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
@@ -187,19 +218,7 @@ def main() -> None:
         "sf": sf,
         "kg": kg_hi,
         "kg_arrow_engine": kg_arrow,
-        "scaling": {
-            "cores_low": SCALE_LOW,
-            "cores_high": CPUS,
-            "replicate": SCALE_REPLICATE,
-            "turns_low": scale_lo["n_turns"],
-            "turns_per_sec_low": scale_lo["turns_per_sec"],
-            "turns_per_sec_high": scale_hi["turns_per_sec"],
-            "runs_low_sec": scale_lo["all_runs_sec"],
-            "runs_high_sec": scale_hi["all_runs_sec"],
-            "speedup": round(ratio, 3),
-            "core_ratio": CPUS / SCALE_LOW,
-            "efficiency": round(efficiency, 3),
-        },
+        "scaling": scaling,
     }
     print(json.dumps(out))
 
