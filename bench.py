@@ -186,7 +186,10 @@ def main() -> None:
     # the mapInPandas engine (what real NN models run as), for contrast
     kg_arrow = kg_subprocess(CPUS, KG_REPLICATE, n_timed=2, engine="arrow")
 
-    scale_hi = kg_subprocess(CPUS, SCALE_REPLICATE, N_TIMED_SCALE)
+    # the high-core side shows the larger run-to-run variance (GC/page-cache
+    # effects are relatively bigger on a 45s run than a 140s one) — give it
+    # one extra timed run for a better min estimate; each run is cheap there.
+    scale_hi = kg_subprocess(CPUS, SCALE_REPLICATE, N_TIMED_SCALE + 1)
     scale_lo = kg_subprocess(SCALE_LOW, SCALE_REPLICATE, N_TIMED_SCALE)
 
     scaling = {

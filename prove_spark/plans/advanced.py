@@ -185,6 +185,37 @@ GROUP BY CUBE(event_type, dom)
 """
 
 
+def grouping_sets_event_stats(spark, sf_dir):
+    """Explicit GROUPING SETS (the third grouping-set form next to rollup/
+    cube): per-(type,role-of-day) and per-type-only aggregates in one pass,
+    via SQL on a temp view (the DataFrame API has no grouping-sets method)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    e.createOrReplaceTempView("gs_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(dom AS STRING), 'ALL') AS dom,
+               COUNT(*) AS n, SUM(v) AS sum_value
+        FROM gs_events
+        GROUP BY GROUPING SETS ((event_type, dom), (event_type), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(dom AS VARCHAR), 'ALL') AS dom,
+       COUNT(*) AS n, SUM(v) AS sum_value
+FROM (SELECT event_type, EXTRACT(day FROM ts) AS dom,
+             CAST(value AS DECIMAL(18,6)) AS v FROM events)
+GROUP BY GROUPING SETS ((event_type, dom), (event_type), ())
+"""
+
+
 def percentile_event_values(spark, sf_dir):
     """Exact interpolated percentiles per group (Spark `percentile` ==
     ANSI percentile_cont; the approx_percentile sketch is the 100 TB path)."""
@@ -262,6 +293,7 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "slide2_word_pairs": (slide2_word_pairs, SLIDE2_SQL),
     "range_join_cooccur": (range_join_cooccur, RANGE_JOIN_SQL),
     "cube_event_stats": (cube_event_stats, CUBE_SQL),
+    "grouping_sets_event_stats": (grouping_sets_event_stats, GROUPING_SETS_SQL),
     "percentile_event_values": (percentile_event_values, PERCENTILE_SQL),
     "moving_avg_user_value": (moving_avg_user_value, MOVING_AVG_SQL),
     "url_host_extract": (url_host_extract, URL_HOST_SQL),
