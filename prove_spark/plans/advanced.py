@@ -123,18 +123,21 @@ def range_join_cooccur(spark, sf_dir):
     a = e.select(
         F.col("event_id").alias("event_a"),
         F.col("us").alias("us_a"),
+        # FLOOR, not cast-truncation: trunc rounds toward zero, collapsing
+        # buckets -1 and 0 for pre-1970 timestamps and breaking the
+        # 3-candidate-bucket coverage proof around zero
         F.explode(
             F.array(
-                (F.col("us") / _BAND_US).cast("long") - 1,
-                (F.col("us") / _BAND_US).cast("long"),
-                (F.col("us") / _BAND_US).cast("long") + 1,
+                F.floor(F.col("us") / _BAND_US) - 1,
+                F.floor(F.col("us") / _BAND_US),
+                F.floor(F.col("us") / _BAND_US) + 1,
             )
         ).alias("bucket"),
     )
     b = e.select(
         F.col("event_id").alias("event_b"),
         F.col("us").alias("us_b"),
-        (F.col("us") / _BAND_US).cast("long").alias("bucket"),
+        F.floor(F.col("us") / _BAND_US).alias("bucket"),
     )
     return (
         a.join(b, "bucket")
@@ -165,10 +168,21 @@ def cube_event_stats(spark, sf_dir):
     )
     return (
         e.cube("event_type", "dom")
-        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sum_value"),
+            # GROUPING() discriminates subtotal rows from genuine NULL data
+            # values (COALESCE would conflate them into duplicate 'ALL' keys)
+            F.grouping("event_type").alias("_gt"),
+            F.grouping("dom").alias("_gd"),
+        )
         .select(
-            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-            F.coalesce(F.col("dom").cast("string"), F.lit("ALL")).alias("dom"),
+            F.when(F.col("_gt") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("_gd") == 1, F.lit("ALL"))
+            .otherwise(F.col("dom").cast("string"))
+            .alias("dom"),
             "n",
             "sum_value",
         )
@@ -176,8 +190,8 @@ def cube_event_stats(spark, sf_dir):
 
 
 CUBE_SQL = """
-SELECT COALESCE(event_type, 'ALL') AS event_type,
-       COALESCE(CAST(dom AS VARCHAR), 'ALL') AS dom,
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(dom) = 1 THEN 'ALL' ELSE CAST(dom AS VARCHAR) END AS dom,
        COUNT(*) AS n, SUM(v) AS sum_value
 FROM (SELECT event_type, EXTRACT(day FROM ts) AS dom,
              CAST(value AS DECIMAL(18,6)) AS v FROM events)
@@ -197,8 +211,8 @@ def grouping_sets_event_stats(spark, sf_dir):
     e.createOrReplaceTempView("gs_events")
     return spark.sql(
         """
-        SELECT COALESCE(event_type, 'ALL') AS event_type,
-               COALESCE(CAST(dom AS STRING), 'ALL') AS dom,
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+               CASE WHEN GROUPING(dom) = 1 THEN 'ALL' ELSE CAST(dom AS STRING) END AS dom,
                COUNT(*) AS n, SUM(v) AS sum_value
         FROM gs_events
         GROUP BY GROUPING SETS ((event_type, dom), (event_type), ())
@@ -207,8 +221,8 @@ def grouping_sets_event_stats(spark, sf_dir):
 
 
 GROUPING_SETS_SQL = """
-SELECT COALESCE(event_type, 'ALL') AS event_type,
-       COALESCE(CAST(dom AS VARCHAR), 'ALL') AS dom,
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(dom) = 1 THEN 'ALL' ELSE CAST(dom AS VARCHAR) END AS dom,
        COUNT(*) AS n, SUM(v) AS sum_value
 FROM (SELECT event_type, EXTRACT(day FROM ts) AS dom,
              CAST(value AS DECIMAL(18,6)) AS v FROM events)

@@ -81,7 +81,14 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 def check_query(spark, sf_dir: str, fn, sql: str | None) -> list[str]:
     spark_pdf = fn(spark, sf_dir).toPandas()
     if sql is None:
-        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+        # rows-only gate (mirrors the driver's weaker check for non-SQL-
+        # expressible queries): must produce a non-degenerate frame
+        problems = []
+        if len(spark_pdf.columns) == 0:
+            problems.append("rows-only query returned zero columns")
+        if len(spark_pdf) == 0:
+            problems.append("rows-only query returned zero rows")
+        return problems
     con = duckdb_conn(sf_dir)
     try:
         oracle_pdf = con.execute(sql).df()

@@ -284,25 +284,24 @@ def pivot_event_counts(spark, sf_dir):
     """Pivot-count + derived score (A6/A10: value_counts unstack + proveScore
     arithmetic, functions.py:383-398, 638-641)."""
     e = _t(spark, sf_dir, "events")
+    # total row count carried alongside the pivot so the score denominator is
+    # COUNT(*) (matching the SQL) even if event types outside EVENT_TYPES
+    # ever appear — summing only the pivoted columns would then diverge (and
+    # divide by zero for a user with only unlisted types)
+    totals = e.groupBy("user_id").agg(F.count("*").alias("_n_total"))
     out = (
         e.groupBy("user_id")
         .pivot("event_type", EVENT_TYPES)
         .count()
         .na.fill(0, EVENT_TYPES)
+        .join(totals, "user_id")
     )
     for t in EVENT_TYPES:
         out = out.withColumnRenamed(t, f"n_{t}")
     return out.withColumn(
         "engagement_score",
-        (F.col("n_purchase") - F.col("n_error"))
-        / (
-            F.col("n_click")
-            + F.col("n_view")
-            + F.col("n_purchase")
-            + F.col("n_signup")
-            + F.col("n_error")
-        ),
-    )
+        (F.col("n_purchase") - F.col("n_error")) / F.col("_n_total"),
+    ).drop("_n_total")
 
 
 PIVOT_SQL = """
@@ -434,10 +433,12 @@ def sessionize_events(spark, sf_dir):
     """Gap-based sessionization (lag + cumulative sum of gap>30min flags)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet timestamps are NTZ; session TZ is pinned UTC so epoch matches DuckDB
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
-    gap = epoch - F.lag(epoch, 1).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # MICROSECOND precision on both sides: casting to whole seconds truncates,
+    # so a 1800.05s gap read as 1800 stays in-session while the fractional
+    # oracle splits it (reproduced divergence for gaps in (1800, 1801))
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us, 1).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (
         e.withColumn("new_sess", new_sess)
         .withColumn(
@@ -456,9 +457,9 @@ SELECT user_id, event_id,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
 FROM (
   SELECT user_id, event_id, ts,
-    CASE WHEN EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
          IS NULL THEN 1
-         WHEN EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 THEN 1
+         WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000 THEN 1
          ELSE 0 END AS new_sess
   FROM events
 )
@@ -537,10 +538,17 @@ def rollup_order_stats(spark, sf_dir):
         .agg(
             F.count("*").alias("n_orders"),
             _dec_sum("o_totalprice", "sum_price"),
+            # GROUPING() discriminates subtotal rows from genuine NULLs
+            F.grouping("o_orderstatus").alias("_gs"),
+            F.grouping("o_orderpriority").alias("_gp"),
         )
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.when(F.col("_gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.when(F.col("_gp") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
             "n_orders",
             "sum_price",
         )
@@ -548,8 +556,8 @@ def rollup_order_stats(spark, sf_dir):
 
 
 ROLLUP_SQL = """
-SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-       COALESCE(o_orderpriority, 'ALL') AS priority,
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)

@@ -5,9 +5,10 @@ analysis (lang-id, quality, token counts, fingerprints), multimodal byte
 plumbing.
 
 Portability rules used throughout:
-- cross-engine hash = CAST(CONV(SUBSTR(MD5(x),1,15),16,10) AS BIGINT) —
-  identical in Spark and DuckDB (no engine-native hash() in any oracle-
-  compared column).
+- cross-engine hash: Spark CONV(SUBSTR(MD5(x),1,15),16,10)::BIGINT, DuckDB
+  CAST(CONCAT('0x', SUBSTR(MD5(x),1,15)) AS BIGINT) (DuckDB has no CONV;
+  the 0x-prefixed cast decodes the same 60-bit hex) — identical values, no
+  engine-native hash() in any oracle-compared column.
 - float reductions over embeddings go through DECIMAL(28,14) partial sums →
   exact and associative in both engines → cosines are bit-identical and safe
   to threshold/sort on.
@@ -101,8 +102,12 @@ shingles AS (
 # ------------------------------------------------------- n-gram Jaccard dedup
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by 3-gram-shingle Jaccard >= 0.5 (shingle inverted-index
-    self-join — never a cross join; integer-ratio Jaccard is exact)."""
-    sh = _shingles(spark, sf_dir)
+    self-join — never a cross join; integer-ratio Jaccard is exact).
+
+    The shingle set has THREE consumers (sizes + both self-join sides) —
+    persist it so the documents scan + explode run once, not three times
+    (the explode is the dominant cost at scale)."""
+    sh = _shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -192,19 +197,18 @@ def lsh_candidate_pairs(spark, sf_dir):
     rows_per_band = N_MINHASH // N_BANDS
     wide = _minhash_wide(spark, sf_dir)
     # map-only band construction from the wide signature (no extra shuffle):
-    # band key = sorted '_'-join of the band's minhash strings — identical to
-    # the collect_list+array_sort formulation over the long form.
+    # band key = '_'-join of the band's minhashes in H_IDX ORDER — sorting by
+    # value would let two docs whose hash minima merely permute collide,
+    # inflating candidates beyond the standard s^r banding model.
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
             F.array_join(
-                F.array_sort(
-                    F.array(
-                        *[
-                            F.col(f"m{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ]
-                    )
+                F.array(
+                    *[
+                        F.col(f"m{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ]
                 ),
                 "_",
             ).alias("band_key"),
@@ -236,7 +240,7 @@ WITH {SHINGLES_SQL},
 sigs AS ({_MINHASH_PARTS}),
 bands AS (
   SELECT doc_id, CAST(FLOOR(h_idx / {N_MINHASH // N_BANDS}) AS INT) AS band,
-         STRING_AGG(CAST(minhash AS VARCHAR), '_' ORDER BY CAST(minhash AS VARCHAR)) AS band_key
+         STRING_AGG(CAST(minhash AS VARCHAR), '_' ORDER BY h_idx) AS band_key
   FROM sigs GROUP BY 1, 2
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -312,7 +316,6 @@ def _cosine_pairs_base(spark, sf_dir, left_filter, right_filter, join_on_label: 
     b = ex.where(right_filter).select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), "i", F.col("x").alias("xb")
     )
-    cond = [a.i == b.i]
     dots = (
         a.join(b, on="i")
         .where(
