@@ -116,10 +116,15 @@ def sentences_expr(text: Column, max_chars: int) -> Column:
     posexplode at the call site yields the same (k, sentence) pairs as the
     Python kernel's enumerate()."""
     arr = F.split(F.substring(text, 1, max_chars), r"(?<=[.!?])\s+")
-    # NB: transform(arr, F.trim) would call trim(element, INDEX) — the
-    # two-arg trim-chars form — silently trimming digits; keep the lambda.
+    # regexp both-ends trim, NOT F.trim: trim strips spaces only, while the
+    # Python kernel's str.strip() removes tabs/newlines too. (Also note
+    # transform(arr, F.trim) would call trim(element, INDEX) — the two-arg
+    # trim-chars form — silently trimming digits; keep the lambda.)
     return F.filter(
-        F.transform(arr, lambda s: F.trim(s)), lambda s: s != F.lit("")
+        F.transform(
+            arr, lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")
+        ),
+        lambda s: s != F.lit(""),
     )
 
 

@@ -77,13 +77,20 @@ def canonical_map() -> dict[str, str]:
     return {q: find(q) for q, _ in ENTITIES}
 
 
-def conv_sentences_ordered(conv_pdf: pd.DataFrame) -> list[tuple[int, str]]:
-    """Stable (turn_idx, k) ordering → [(sent_id, sentence), ...] base sents."""
+def conv_sentences_ordered(
+    conv_pdf: pd.DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> list[tuple[int, str]]:
+    """Stable (turn_idx, k) ordering → [(sent_id, sentence), ...] base sents.
+    Mirrors extract_sentences exactly: NULL text = no sentences, turn text
+    truncated to max_turn_chars (spill control)."""
     out: list[tuple[int, str]] = []
     for turn_idx, text in (
         conv_pdf.sort_values("turn_idx")[["turn_idx", "text"]].itertuples(index=False)
     ):
-        for k, sent in enumerate(split_sentences(text)):
+        text = "" if pd.isna(text) else str(text)  # None and NaN alike
+        for k, sent in enumerate(
+            split_sentences(text[: config.max_turn_chars])
+        ):
             out.append((int(turn_idx) * SENT_ID_STRIDE + 2 * k, sent))
     return out
 
@@ -98,7 +105,7 @@ def run_oracle(
 
     rows: list[dict] = []
     for conv_id, conv_pdf in transcripts.groupby("conv_id"):
-        base = conv_sentences_ordered(conv_pdf)
+        base = conv_sentences_ordered(conv_pdf, config)
         # evidence pool: base sentences + slide-2 windows (C3)
         evidence: list[tuple[int, str]] = list(base)
         for i in range(len(base) - config.slide_window + 1):

@@ -100,6 +100,8 @@ def union_find_local(qids: list[str], edges: list[tuple[str, str]]) -> dict[str,
     `connected_components` above remains the scale path for edge sets too
     large to collect (e.g. data-derived same-as candidates at 100 TB).
     """
+    from ..dictionaries import qid_num  # single source of the min-QID rule
+
     parent = {q: q for q in qids}
 
     def find(x: str) -> str:
@@ -108,17 +110,11 @@ def union_find_local(qids: list[str], edges: list[tuple[str, str]]) -> dict[str,
             x = parent[x]
         return x
 
-    def qnum(q: str) -> int:
-        import re as _re
-
-        m = _re.search(r"(\d+)", q)
-        return int(m.group(1)) if m else 0
-
     for a, b in edges:
         ra, rb = find(a), find(b)
         if ra == rb:
             continue
-        if qnum(rb) < qnum(ra):
+        if qid_num(rb) < qid_num(ra):
             ra, rb = rb, ra
         parent[rb] = ra
     return {q: find(q) for q in qids}

@@ -156,6 +156,19 @@ def run_checkpointed(
         committed += 1
         if fail_after_groups is not None and committed >= fail_after_groups:
             raise RuntimeError(f"simulated failure after {committed} commits")
+    if not io.exists("triples"):
+        # a run whose input yields zero triples writes no files at all —
+        # return an empty, correctly-typed frame instead of failing the read
+        from .run import TRIPLE_COLUMNS  # noqa: F401 (schema doc)
+
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "subj string, pred string, obj string, conv_id string, "
+                "turn_idx int, claim_id string, verdict string, "
+                "malon string, score double, bucket int"
+            ),
+        )
     return io.read("triples")
 
 

@@ -100,15 +100,11 @@ def build_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
     """The `entities` dimension table (BASELINE.json: 'materializing triple
     and entity Iceberg tables'): one row per canonical entity with its label,
     member QIDs, and triple-participation stats from the fact table."""
-    from ..dictionaries import ENTITIES
-    from .canonicalize import canonical_map_df
-
-    import pandas as pd
+    from ..sources.dims import session_dim
+    from .canonicalize import canonical_map_df, entity_dim
 
     canon = canonical_map_df(spark)
-    labels = spark.createDataFrame(
-        pd.DataFrame(ENTITIES, columns=["qid", "label"])
-    )
+    labels = session_dim(spark, "entity_dim", entity_dim)
     dim = (
         canon.join(labels, "qid")
         .withColumn(

@@ -15,20 +15,37 @@ from .relational import RELATIONAL_QUERIES
 from .textops import TEXTOPS_QUERIES
 
 
-def kg_triples(spark, sf_dir):
-    """Full KG-construction pipeline: transcripts → verified canonical triples."""
+# caches persisted by the previous kg_* invocation — released on the next
+# call so repeated registry runs (bench loops, the driver's sweep) don't
+# accumulate dead cached intermediates
+_KG_CACHES: list = []
+
+
+def _kg_build(spark, sf_dir):
     from ..datagen import transcripts_df
     from ..pipeline.run import build_triples
 
-    return build_triples(spark, transcripts_df(spark, sf_dir))
+    for df in _KG_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _KG_CACHES.clear()
+    return build_triples(
+        spark, transcripts_df(spark, sf_dir), cache_registry=_KG_CACHES
+    )
+
+
+def kg_triples(spark, sf_dir):
+    """Full KG-construction pipeline: transcripts → verified canonical triples."""
+    return _kg_build(spark, sf_dir)
 
 
 def kg_entity_rollup(spark, sf_dir):
     """Per-entity verdict counts + proveScore (A6) over the KG output."""
-    from ..datagen import transcripts_df
-    from ..pipeline.run import build_triples, entity_rollup
+    from ..pipeline.run import entity_rollup
 
-    return entity_rollup(build_triples(spark, transcripts_df(spark, sf_dir)))
+    return entity_rollup(_kg_build(spark, sf_dir))
 
 
 def kg_top_supported(spark, sf_dir):
@@ -42,12 +59,9 @@ def kg_top_supported(spark, sf_dir):
 
 def kg_entities(spark, sf_dir):
     """The entities dimension table (canonical id, label, members, stats)."""
-    from ..datagen import transcripts_df
-    from ..pipeline.run import build_entities, build_triples
+    from ..pipeline.run import build_entities
 
-    return build_entities(
-        spark, build_triples(spark, transcripts_df(spark, sf_dir))
-    )
+    return build_entities(spark, _kg_build(spark, sf_dir))
 
 
 KG_QUERIES: dict[str, tuple] = {

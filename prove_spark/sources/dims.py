@@ -21,9 +21,14 @@ _CACHE: dict[tuple[str, str], DataFrame] = {}
 def session_dim(
     spark: SparkSession, key: str, builder: Callable[[SparkSession], DataFrame]
 ) -> DataFrame:
-    cache_key = (spark.sparkContext.applicationId, key)
+    app_id = spark.sparkContext.applicationId
+    cache_key = (app_id, key)
     df = _CACHE.get(cache_key)
     if df is None:
+        # purge entries from other (stopped) sessions so the cache stays
+        # bounded across session restarts within one process
+        for k in [k for k in _CACHE if k[0] != app_id]:
+            del _CACHE[k]
         df = builder(spark)
         _CACHE[cache_key] = df
     return df

@@ -104,10 +104,18 @@ def assemble_conversations_stateful(
         for pdf in pdfs:
             for t_idx, txt, ts in zip(pdf["turn_idx"], pdf["text"], pdf["ts"]):
                 turn_idxs.append(int(t_idx))
-                texts.append(str(txt))
-                last_ms = max(last_ms, int(pd.Timestamp(ts).value // 1_000_000))
+                # NULL text == empty turn (matches batch extract_sentences;
+                # str(None) would inject a literal "None" token)
+                texts.append("" if txt is None else str(txt))
+                t = pd.Timestamp(ts)
+                if not pd.isna(t):  # NaT must not poison the event clock
+                    last_ms = max(last_ms, int(t.value // 1_000_000))
         state.update((turn_idxs, texts, last_ms))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        # timeout must be ahead of the current watermark or Spark kills the
+        # query (INVALID_TIMEOUT_TIMESTAMP) — a conversation whose rows all
+        # carry NULL ts would otherwise set a 1970-epoch timeout
+        base_ms = max(last_ms, state.getCurrentWatermarkMs())
+        state.setTimeoutTimestamp(base_ms + gap_ms)
         return
         yield  # generator contract
 
@@ -129,8 +137,10 @@ def stream_triples_foreach_batch(
 ):
     """Micro-batch bridge: run the full batch KG pipeline per micro-batch.
 
-    foreachBatch gives exactly-once parquet appends keyed by batch id and
-    lets the streaming path reuse every batch stage without reimplementation.
+    foreachBatch alone is only at-least-once (a crash between the write and
+    the checkpoint commit replays the batch), so the write is made IDEMPOTENT
+    by partitioning on batch_id with dynamic partition overwrite: a replayed
+    batch replaces exactly its own partition instead of appending duplicates.
     """
     from ..pipeline.run import build_triples
 
@@ -140,7 +150,9 @@ def stream_triples_foreach_batch(
         triples = build_triples(spark, batch_df, persist_sentences=False)
         (
             triples.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_path)
         )
 

@@ -39,6 +39,9 @@ CORPUS = [
     "日本語のテキスト。英語 mixed.",
     "trailing space ",
     " leading space",
+    "\tleading tab sentence.",
+    "trailing newline sentence.\n",
+    "mid. \t tab-separated. next.",
     "never say never again.",
     "it is not so.",
 ]
