@@ -170,7 +170,10 @@ def cube_event_stats(spark, sf_dir):
         e.cube("event_type", "dom")
         .agg(
             F.count("*").alias("n"),
-            F.sum("v").alias("sum_value"),
+            # decimal-exact sum, then one cast to DOUBLE (float discipline:
+            # a DECIMAL output surfaces as pandas object-of-Decimal and
+            # hash-mismatches the oracle's float64)
+            F.sum("v").cast("double").alias("sum_value"),
             # GROUPING() discriminates subtotal rows from genuine NULL data
             # values (COALESCE would conflate them into duplicate 'ALL' keys)
             F.grouping("event_type").alias("_gt"),
@@ -192,7 +195,7 @@ def cube_event_stats(spark, sf_dir):
 CUBE_SQL = """
 SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
        CASE WHEN GROUPING(dom) = 1 THEN 'ALL' ELSE CAST(dom AS VARCHAR) END AS dom,
-       COUNT(*) AS n, SUM(v) AS sum_value
+       COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
 FROM (SELECT event_type, EXTRACT(day FROM ts) AS dom,
              CAST(value AS DECIMAL(18,6)) AS v FROM events)
 GROUP BY CUBE(event_type, dom)
@@ -213,7 +216,7 @@ def grouping_sets_event_stats(spark, sf_dir):
         """
         SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
                CASE WHEN GROUPING(dom) = 1 THEN 'ALL' ELSE CAST(dom AS STRING) END AS dom,
-               COUNT(*) AS n, SUM(v) AS sum_value
+               COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
         FROM gs_events
         GROUP BY GROUPING SETS ((event_type, dom), (event_type), ())
         """
@@ -223,7 +226,7 @@ def grouping_sets_event_stats(spark, sf_dir):
 GROUPING_SETS_SQL = """
 SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
        CASE WHEN GROUPING(dom) = 1 THEN 'ALL' ELSE CAST(dom AS VARCHAR) END AS dom,
-       COUNT(*) AS n, SUM(v) AS sum_value
+       COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
 FROM (SELECT event_type, EXTRACT(day FROM ts) AS dom,
              CAST(value AS DECIMAL(18,6)) AS v FROM events)
 GROUP BY GROUPING SETS ((event_type, dom), (event_type), ())

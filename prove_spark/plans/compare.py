@@ -44,6 +44,37 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(series: pd.Series) -> str:
+    """Coarse dtype class for parity checking: the driver hashes value
+    representations, so an int64 Spark column vs a float64 oracle column
+    (DuckDB HUGEINT) hash-mismatches even when every value is equal, and a
+    Spark DECIMAL surfaces as pandas object-of-Decimal vs the oracle's
+    float64. Map dtypes to {int, float, bool, datetime, str, other} and
+    treat any class difference as a failure."""
+    kind = series.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind in "mM":
+        return "datetime"
+    if kind == "O":
+        import decimal
+
+        for v in series:
+            if v is None:
+                continue
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            if isinstance(v, str):
+                return "str"
+            return "other"
+        return "str"  # all-null object column: assume string-ish
+    return "other"
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Returns a list of mismatch descriptions (empty = match)."""
     problems: list[str] = []
@@ -54,6 +85,21 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
             f"columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
         )
         return problems
+    # dtype-class parity BEFORE value comparison: values can be numerically
+    # equal while the driver's representation hash still rejects them
+    for c in sorted(spark_pdf.columns):
+        sc, oc = _dtype_class(spark_pdf[c]), _dtype_class(oracle_pdf[c])
+        if sc != oc:
+            problems.append(
+                f"col {c}: dtype class {sc} (spark {spark_pdf[c].dtype}) != "
+                f"{oc} (oracle {oracle_pdf[c].dtype}) — cast both sides "
+                "(ints stay BIGINT, decimals surface as DOUBLE)"
+            )
+        elif sc == "decimal":
+            problems.append(
+                f"col {c}: both sides are object-of-Decimal — violates the "
+                "float discipline (cast SUM(decimal) to DOUBLE on both sides)"
+            )
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
     if len(a) != len(b):
         return problems

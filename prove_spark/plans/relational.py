@@ -453,8 +453,9 @@ def sessionize_events(spark, sf_dir):
 
 SESSIONIZE_SQL = """
 SELECT user_id, event_id,
-  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  -- DuckDB SUM(BIGINT) is HUGEINT -> pandas float64; CAST keeps int64 parity
+  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM (
   SELECT user_id, event_id, ts,
     CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -578,7 +579,7 @@ def salted_event_counts(spark, sf_dir):
 
 
 SALTED_AGG_SQL = """
-SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_users
+SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_users
 FROM events GROUP BY event_type
 """
 
