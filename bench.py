@@ -127,7 +127,11 @@ def kg_subprocess(
     Returns None on timeout/crash so a partial bench still emits its JSON
     line (the driver records whatever completed)."""
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    # PREPEND the repo dir — clobbering would drop dependencies the parent
+    # was given via PYTHONPATH
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prior = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo_dir + (os.pathsep + prior if prior else "")
     try:
         out = subprocess.run(
             [

@@ -51,6 +51,10 @@ class PipelineConfig:
     # (reference behavior: claim_entailment.py:67-68 with its class order).
     classes: tuple[str, ...] = ("SUPPORTS", "REFUTES", "NOT ENOUGH INFO")
     default_probs: tuple[float, ...] = (0.0, 0.0, 1.0)
+    # Verdict for claims whose kernel inputs were unusable (the transcripts
+    # analog of the reference's 'irretrievable'/'error' lane —
+    # functions.py:383-398 counts it as a 4th proveScore class).
+    error_class: str = "error"
 
     def __post_init__(self) -> None:
         if self.engine not in ("jvm", "arrow"):

@@ -198,6 +198,24 @@ HOT_QIDS: list[str] = ["Q1", "Q2", "Q3"]
 SAME_AS_SEED: list[tuple[str, str]] = [("Q209", "Q309")]
 
 
+def sitelink_count(qid: str) -> int:
+    """Deterministic per-QID popularity stand-in for the reference's
+    N_connected_site column (functions.py:642-647). Multiplicative hash so
+    popularity order differs from numeric-QID order — a popularity-ranked
+    disambiguation that silently fell back to the min-QID prior would be
+    caught by the oracle."""
+    n = int(qid[1:])
+    # multiplier chosen so at least one ambiguous alias resolves AGAINST the
+    # min-QID prior ('the professor': Q11 beats Q7, 16 > 1) while another
+    # agrees with it ('the admiral': Q2 beats Q15, 58 > 31)
+    return (n * 29) % 101
+
+
+# (qid, n_connected_site) — the external popularity dim (reference reads it
+# from a sitelinks CSV; sources/popularity.py materializes this as that CSV)
+SITELINKS: list[tuple[str, int]] = [(q, sitelink_count(q)) for q, _ in ENTITIES]
+
+
 def entities_pdf():
     import pandas as pd
 

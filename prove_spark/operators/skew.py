@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..config import DEFAULT_CONFIG
 
@@ -44,7 +45,15 @@ def salted_agg(
     one key dominates a partition.)
     """
     keys = [key] if isinstance(key, str) else list(key)
-    salted = with_salt(df, salt_from or df.columns, n_salts)
+    if salt_from is None:
+        # hash() rejects MAP columns (undefined hashcode); any other column
+        # set is an equally good deterministic disambiguator
+        salt_from = [
+            f.name
+            for f in df.schema.fields
+            if not isinstance(f.dataType, T.MapType)
+        ]
+    salted = with_salt(df, salt_from, n_salts)
     partial_exprs = []
     final_exprs = []
     for fn, col, alias in aggs:

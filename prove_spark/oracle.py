@@ -141,6 +141,7 @@ def run_oracle(
 
             if not kept:
                 weighted = list(config.default_probs)
+                result_sentence = None
             else:
                 weighted = [0.0, 0.0, 0.0]
                 labels = []
@@ -149,6 +150,14 @@ def run_oracle(
                     labels.append(config.classes[probs.index(max(probs))])
                     for i in range(3):
                         weighted[i] += probs[i] * sim
+                # A4 second half (claim_entailment.py:126-146): the sentence
+                # of the best kept row by (label priority, score desc, id asc)
+                pri = {config.classes[0]: 2, config.classes[1]: 1}
+                best = min(
+                    zip(kept, labels),
+                    key=lambda t: (-pri.get(t[1], 0), -t[0][0], t[0][1]),
+                )
+                result_sentence = best[0][2]
             verdict = config.classes[weighted.index(max(weighted))]
             # MALON label (A3): any-SUPPORTS > any-REFUTES > NEI
             if kept:
@@ -170,6 +179,12 @@ def run_oracle(
                     "verdict": verdict,
                     "malon": malon,
                     "score": weighted[config.classes.index(verdict)],
+                    "result_sentence": result_sentence,
+                    # C18: full per-class weighted distribution
+                    # (claim_entailment.py:212-223)
+                    "label_probabilities": {
+                        config.classes[i]: weighted[i] for i in range(3)
+                    },
                 }
             )
     out = pd.DataFrame(
@@ -184,6 +199,8 @@ def run_oracle(
             "verdict",
             "malon",
             "score",
+            "result_sentence",
+            "label_probabilities",
         ],
     )
     out["turn_idx"] = out["turn_idx"].astype("int32")

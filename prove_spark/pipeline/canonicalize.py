@@ -1,7 +1,8 @@
 """Entity canonicalization: connected components over same-as candidate edges.
 
-GraphFrames-style alternating large-star/small-star via plain DataFrame
-joins (no GraphFrames dependency), run to fixpoint. Edges come from
+Alternating large-star/small-star (Kiveris et al. 2014, the GraphFrames/
+MapReduce CC algorithm) via plain DataFrame joins (no GraphFrames
+dependency), run to fixpoint in O(log diameter) rounds. Edges come from
 canonical-label equality plus seed same-as pairs (dictionaries.SAME_AS_SEED);
 component representative = minimum numeric QID, and triples are re-keyed to
 the representative with a broadcast join (the component map is an
@@ -44,48 +45,89 @@ def _qnum(col: str) -> F.Column:
     return F.regexp_extract(col, r"(\d+)", 1).cast("long")
 
 
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond', §3): every node connects its STRICTLY LARGER neighbors to
+    its minimum neighborhood label m = min(N(u) ∪ {u}). Output edges are
+    directed big→small (u > v)."""
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """Small-star round: on big→small edges, every node rewires all its
+    (smaller) neighbors AND itself to m = min(N(u)). Keeps edges directed
+    big→small."""
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        directed.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = m.select("u", F.col("m").alias("v"))
+    return (
+        rewired.unionByName(self_edges)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iterations: int = DEFAULT_CONFIG.max_cc_iterations
 ) -> DataFrame:
     """vertices(qid) + edges(src,dst) → (qid, canonical_qid).
 
-    Min-label propagation to fixpoint: each vertex repeatedly adopts the
-    minimum component id among itself and its neighbors. Converges in
-    O(diameter) rounds; each round is two shuffles on the (small) vertex set.
+    Alternating large-star/small-star (Kiveris et al. 2014): converges in
+    O(log d) rounds on component diameter d — a 2^20-node chain finishes in
+    ~20 rounds where min-label propagation needs 2^20. Each round is one
+    self-join + one min-aggregation on the edge set (entity-dimension-sized,
+    never the fact table). At fixpoint the edge set is a star forest: every
+    node points directly at its component's minimum numeric QID.
     """
-    sym = edges.select("src", "dst").unionByName(
+    sym_q = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    comp = vertices.select(
-        F.col("qid"), _qnum("qid").alias("comp")
+    # numeric working ids (min-QID representative rule is numeric)
+    cur = (
+        sym_q.select(_qnum("src").alias("u"), _qnum("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    prev = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(comp, sym.dst == comp.qid)
-            .groupBy(F.col("src").alias("qid"))
-            .agg(F.min("comp").alias("nbr_comp"))
+        star = _large_star(
+            cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         )
-        new_comp = (
-            comp.join(neighbor_min, "qid", "left")
-            .select(
-                "qid",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
+        nxt = _small_star(star).localCheckpoint(eager=True)  # cut lineage per round
+        if prev is not None:
+            # set-equality fixpoint test on the (dim-sized) directed edges
+            delta = nxt.exceptAll(prev).limit(1).count() + prev.exceptAll(
+                nxt
+            ).limit(1).count()
+            if delta == 0:
+                cur = nxt
+                break
+        prev = nxt
+        cur = nxt
+    parent = cur.groupBy("u").agg(F.min("v").alias("root"))
+    verts = vertices.select("qid", _qnum("qid").alias("u"))
+    return (
+        verts.join(parent, "u", "left")
+        .select(
+            "qid",
+            F.concat(
+                F.lit("Q"),
+                F.coalesce(F.col("root"), F.col("u")).cast("string"),
+            ).alias("canonical_qid"),
         )
-        changed = (
-            comp.alias("a")
-            .join(new_comp.alias("b"), "qid")
-            .where(F.col("a.comp") != F.col("b.comp"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp.localCheckpoint(eager=True)  # cut the lineage per round
-        if changed == 0:
-            break
-    return comp.select(
-        "qid", F.concat(F.lit("Q"), F.col("comp").cast("string")).alias("canonical_qid")
     )
 
 

@@ -95,6 +95,13 @@ def run_checkpointed(
         if other:
             io.drop("triples")
             io.drop("manifest")
+    elif io.exists("triples"):
+        # Orphaned data: a crash between overwrite_buckets and the manifest
+        # append leaves triples with no manifest. Nothing proves those files
+        # came from THIS input, and with no manifest rows every bucket reads
+        # as not-done — so the fingerprint-mismatch wipe above can never
+        # fire. Wipe unconditionally; the rerun recomputes everything.
+        io.drop("triples")
     done = completed_buckets(io, fp)
 
     bucketed = with_bucket(transcripts, "conv_id", config.n_buckets)
@@ -166,7 +173,8 @@ def run_checkpointed(
             schema=(
                 "subj string, pred string, obj string, conv_id string, "
                 "turn_idx int, claim_id string, verdict string, "
-                "malon string, score double, bucket int"
+                "malon string, score double, result_sentence string, "
+                "label_probabilities map<string,double>, bucket int"
             ),
         )
     return io.read("triples")

@@ -25,6 +25,8 @@ TRIPLE_COLUMNS = [
     "verdict",
     "malon",
     "score",
+    "result_sentence",
+    "label_probabilities",
 ]
 
 
@@ -79,7 +81,19 @@ def build_triples(
     # (claim_entailment.py:67-68) is applied INSIDE entail_and_verdict's
     # conditional agg. No claims-side rejoin needed — verdicts IS the full
     # claim set (structural invariant, pinned by the golden suite).
-    full = verdicts.select(
+    # result_sentence (A4 second half, claim_entailment.py:126-146): the
+    # winning evidence's TEXT joins back HERE, at claim scale — verdicts is
+    # top-k-claims-sized, the sentence pool is the big side, so this is a
+    # narrow equi join on (conv_id, sent_id) that Catalyst plans as a
+    # shuffle join keyed the same way as the rest of the pipeline.
+    sent_lookup = evidence_pool.select(
+        "conv_id",
+        F.col("sent_id").alias("result_ev_sent_id"),
+        F.col("sentence").alias("result_sentence"),
+    )
+    full = verdicts.join(
+        sent_lookup, ["conv_id", "result_ev_sent_id"], "left"
+    ).select(
         "conv_id",
         "claim_id",
         "sent_id",
@@ -90,13 +104,19 @@ def build_triples(
         "malon",
         "score",
         "turn_idx",
+        "result_sentence",
+        "label_probabilities",
     )
 
     canon = canonical_map_df(spark)
     return rekey_triples(full, canon).select(*TRIPLE_COLUMNS)
 
 
-def build_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
+def build_entities(
+    spark: SparkSession,
+    triples: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
     """The `entities` dimension table (BASELINE.json: 'materializing triple
     and entity Iceberg tables'): one row per canonical entity with its label,
     member QIDs, and triple-participation stats from the fact table."""
@@ -120,7 +140,7 @@ def build_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
     )
     subj_stats = triples.groupBy(F.col("subj").alias("canonical_qid")).agg(
         F.count("*").alias("n_subj_claims"),
-        F.sum(F.when(F.col("verdict") == DEFAULT_CONFIG.classes[0], 1).otherwise(0)).alias(
+        F.sum(F.when(F.col("verdict") == config.classes[0], 1).otherwise(0)).alias(
             "n_subj_supports"
         ),
     )
@@ -134,10 +154,14 @@ def build_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
     )
 
 
-def entity_rollup(triples: DataFrame) -> DataFrame:
+def entity_rollup(
+    triples: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """A6: per-entity verdict counts + proveScore = (supports-refutes)/total
-    (reference: functions.py:383-398). Uses a two-phase (salted) aggregation
-    via the generic skew helper so hot entities don't bottleneck one reducer.
+    over ALL FOUR verdict lanes (reference: functions.py:383-398 counts
+    refuting/inconclusive/supportive/irretrievable — the error lane is in
+    the denominator). Uses a two-phase (salted) aggregation via the generic
+    skew helper so hot entities don't bottleneck one reducer.
     """
     from ..operators.skew import salted_count_pivot
 
@@ -145,10 +169,15 @@ def entity_rollup(triples: DataFrame) -> DataFrame:
         triples,
         key="subj",
         pivot_col="verdict",
-        pivot_values=list(DEFAULT_CONFIG.classes),
-        aliases=["n_supports", "n_refutes", "n_nei"],
+        pivot_values=list(config.classes) + [config.error_class],
+        aliases=["n_supports", "n_refutes", "n_nei", "n_errors"],
     ).withColumn(
         "prove_score",
         (F.col("n_supports") - F.col("n_refutes"))
-        / (F.col("n_supports") + F.col("n_refutes") + F.col("n_nei")),
+        / (
+            F.col("n_supports")
+            + F.col("n_refutes")
+            + F.col("n_nei")
+            + F.col("n_errors")
+        ),
     )

@@ -422,21 +422,36 @@ def entail_and_verdict(
     if config.engine == "jvm":
         # evidence carries the pre-tokenized sentence set (ev_tokens);
         # claim-side sets tokenize at top-k scale (short label strings).
-        te = J.nli_from_tokens(
-            J.token_set_expr(F.col("subj_label")),
-            J.token_set_expr(F.col("object_label")),
-            J.token_set_expr(F.col("claim_verbalized")),
-            F.col("ev_tokens"),
+        # Null input → null te_probs (explicitly: nli_from_tokens's
+        # when-chain would otherwise null-propagate into the NEI branch
+        # and silently mislabel a failed upstream row as real signal).
+        te = F.when(
+            F.col("ev_tokens").isNotNull(),
+            J.nli_from_tokens(
+                J.token_set_expr(F.col("subj_label")),
+                J.token_set_expr(F.col("object_label")),
+                J.token_set_expr(F.col("claim_verbalized")),
+                F.col("ev_tokens"),
+            ),
         )
     else:
-        te = _nli_udf(
-            "subj_label", "object_label", "claim_verbalized", "ev_sentence"
+        te = F.when(
+            F.col("ev_sentence").isNotNull(),
+            _nli_udf(
+                "subj_label", "object_label", "claim_verbalized", "ev_sentence"
+            ),
         )
     probs = evidence.withColumn("te_probs", te)
     p = [F.col("te_probs")[i] for i in range(3)]
     classes = list(config.classes)
+    # error lane (reference 'irretrievable' analog): a kernel output that is
+    # null or contains NaN is unusable evidence, never silent NEI
+    invalid = F.col("te_probs").isNull() | F.exists(
+        F.col("te_probs"), lambda x: x.isNull() | F.isnan(x)
+    )
+    probs = probs.withColumn("invalid", invalid)
     probs = probs.withColumn("ev_label", _argmax_label(p, classes))
-    passed = F.col("passed")
+    passed = F.col("passed") & ~F.col("invalid")
     defaults = list(config.default_probs)
     agg = probs.groupBy(
         "conv_id",
@@ -471,22 +486,73 @@ def entail_and_verdict(
             F.lit(0),
         ).alias("malon_pri"),
         F.count(F.when(passed, 1)).alias("n_evidence"),
+        F.count(F.when(F.col("invalid"), 1)).alias("n_invalid"),
+        # A4 second half (claim_entailment.py:126-146): the sentence shown
+        # with the verdict = the best KEPT evidence row, ranked by label
+        # priority (any SUPPORTS > any REFUTES > NEI), then score desc, then
+        # sent_id asc. Only the sent_id rides through the agg; the sentence
+        # string joins back at claim scale in build_triples (carrying text
+        # through the pair explosion is the 100 TB mistake).
+        F.max_by(
+            F.col("ev_sent_id"),
+            F.when(
+                passed,
+                F.struct(
+                    F.when(F.col("ev_label") == classes[0], 2)
+                    .when(F.col("ev_label") == classes[1], 1)
+                    .otherwise(0)
+                    .alias("pri"),
+                    F.col("similarity_score").alias("sim"),
+                    (-F.col("ev_sent_id")).alias("neg_sid"),
+                ),
+            ),
+        ).alias("result_ev_sent_id"),
     )
     wcols = [F.col(f"w{i}") for i in range(3)]
+    # a claim whose usable evidence was ALL lost to kernel failures is
+    # 'error', never a silent default-NEI (reference irretrievable lane)
+    is_error = (F.col("n_invalid") > 0) & (F.col("n_evidence") == 0)
     return (
-        agg.withColumn("verdict", _argmax_label(wcols, classes))
+        agg.withColumn(
+            "verdict",
+            F.when(is_error, F.lit(config.error_class)).otherwise(
+                _argmax_label(wcols, classes)
+            ),
+        )
         .withColumn(
             "malon",
-            F.when(F.col("malon_pri") == 2, classes[0])
+            F.when(is_error, F.lit(config.error_class))
+            .when(F.col("malon_pri") == 2, classes[0])
             .when(F.col("malon_pri") == 1, classes[1])
             .otherwise(F.lit(classes[2])),
         )
         .withColumn(
             "score",
-            F.when(F.col("verdict") == classes[0], F.col("w0"))
+            F.when(is_error, F.lit(0.0))
+            .when(F.col("verdict") == classes[0], F.col("w0"))
             .when(F.col("verdict") == classes[1], F.col("w1"))
             .otherwise(F.col("w2")),
         )
+        # C18 at the pipeline level (claim_entailment.py:212-223): the full
+        # per-class weighted distribution rides on the claim; null for error
+        # claims (no usable signal to report)
+        .withColumn(
+            "label_probabilities",
+            F.when(
+                ~is_error,
+                F.create_map(
+                    *[
+                        x
+                        for i in range(3)
+                        for x in (F.lit(classes[i]), F.col(f"w{i}"))
+                    ]
+                ),
+            ),
+        )
+        .withColumn(
+            "result_ev_sent_id",
+            F.when(~is_error, F.col("result_ev_sent_id")),
+        )
         .withColumn("turn_idx", (F.col("sent_id") / SENT_ID_STRIDE).cast("int"))
-        .drop("malon_pri")
+        .drop("malon_pri", "n_invalid")
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .advanced import ADVANCED_QUERIES
+from .disambig import DISAMBIG_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .textops import TEXTOPS_QUERIES
 
@@ -75,5 +76,6 @@ ALL_QUERIES: dict[str, tuple] = {
     **RELATIONAL_QUERIES,
     **TEXTOPS_QUERIES,
     **ADVANCED_QUERIES,
+    **DISAMBIG_QUERIES,
     **KG_QUERIES,
 }

@@ -52,8 +52,19 @@ class TableIO:
         return fs, hpath
 
     def exists(self, table: str) -> bool:
+        """True only if the directory holds committed output: a _SUCCESS
+        marker or at least one non-underscore entry. A crashed write can
+        leave only `_temporary/` behind — counting that as present makes
+        callers skip their empty-table fallbacks and die on schema
+        inference."""
         fs, hpath = self._fs(self.path(table))
-        return fs.exists(hpath) and len(fs.listStatus(hpath)) > 0
+        if not fs.exists(hpath):
+            return False
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if name == "_SUCCESS" or not name.startswith(("_", ".")):
+                return True
+        return False
 
     def drop(self, table: str) -> None:
         fs, hpath = self._fs(self.path(table))

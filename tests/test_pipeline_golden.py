@@ -30,6 +30,17 @@ def test_golden_exact_match(spark, spark_transcripts, golden_triples):
         assert (merged[f"{col}_s"] == merged[f"{col}_o"]).all(), col
     # scores are dyadic-rational sums → must be bit-exact
     assert (merged["score_s"] == merged["score_o"]).all()
+    # A4 second half: the winning evidence sentence (None when no kept rows)
+    rs = merged["result_sentence_s"].where(merged["result_sentence_s"].notna(), None)
+    ro = merged["result_sentence_o"].where(merged["result_sentence_o"].notna(), None)
+    assert (rs == ro).all() or all(
+        (a == b) or (a is None and b is None) for a, b in zip(rs, ro)
+    )
+    # C18: per-class weighted distribution, bit-exact per key
+    for s_map, o_map in zip(
+        merged["label_probabilities_s"], merged["label_probabilities_o"]
+    ):
+        assert dict(s_map) == dict(o_map)
 
 
 def test_precision_recall_gate(spark, spark_transcripts, golden_triples):
@@ -52,7 +63,8 @@ def test_entity_rollup_prove_score(spark, spark_transcripts, golden_triples):
         assert row.n_supports == g.loc[row.subj].get("SUPPORTS", 0)
         assert row.n_refutes == g.loc[row.subj].get("REFUTES", 0)
         assert row.n_nei == g.loc[row.subj].get("NOT ENOUGH INFO", 0)
-        total = row.n_supports + row.n_refutes + row.n_nei
+        assert row.n_errors == 0  # deterministic kernels never fail here
+        total = row.n_supports + row.n_refutes + row.n_nei + row.n_errors
         assert abs(row.prove_score - (row.n_supports - row.n_refutes) / total) < 1e-12
 
 
@@ -74,3 +86,67 @@ def test_entities_table(spark, spark_transcripts, golden_triples):
     # members fold back to their root
     for q, row in ents.iterrows():
         assert all(canon[m] == q for m in row.member_qids)
+
+
+def test_error_lane_injected(spark):
+    """Error verdict lane (reference 'irretrievable', functions.py:383-398):
+    a claim whose kernel inputs are unusable (null tokens → null te_probs)
+    gets verdict='error', not a silent default-NEI; the rollup counts it in
+    the proveScore denominator."""
+    import pandas as pd
+
+    from prove_spark.config import DEFAULT_CONFIG
+    from prove_spark.pipeline.run import entity_rollup
+    from prove_spark.pipeline.stages import entail_and_verdict
+
+    def ev_row(claim_id, ev_sent_id, tokens, sim, passed):
+        return {
+            "conv_id": "c1",
+            "claim_id": claim_id,
+            "sent_id": 0,
+            "subj_qid": "Q1",
+            "property_id": "P1",
+            "obj_qid": "Q2",
+            "subj_label": "alice",
+            "property_label": "knows",
+            "object_label": "bob",
+            "claim_verbalized": "alice knows bob",
+            "ev_tokens": tokens,
+            "ev_sent_id": ev_sent_id,
+            "similarity_score": sim,
+            "passed": passed,
+        }
+
+    rows = [
+        # claim A: only evidence row has null tokens (failed upstream) → error
+        ev_row("c1:0", 1, None, 0.9, True),
+        # claim B: healthy supporting evidence → SUPPORTS, untouched by lane
+        ev_row("c1:2", 3, ["alice", "knows", "bob"], 0.8, True),
+        # claim C: an invalid row PLUS a valid passing row → normal verdict
+        ev_row("c1:4", 5, None, 0.9, True),
+        ev_row("c1:4", 7, ["alice", "knows", "bob"], 0.7, True),
+    ]
+    ev = spark.createDataFrame(pd.DataFrame(rows))
+    out = entail_and_verdict(ev).toPandas().set_index("claim_id")
+    assert out.loc["c1:0", "verdict"] == DEFAULT_CONFIG.error_class
+    assert out.loc["c1:0", "malon"] == DEFAULT_CONFIG.error_class
+    assert out.loc["c1:0", "score"] == 0.0
+    assert out.loc["c1:0", "label_probabilities"] is None or pd.isna(
+        out.loc["c1:0", "label_probabilities"]
+    )
+    assert out.loc["c1:2", "verdict"] == "SUPPORTS"
+    assert out.loc["c1:4", "verdict"] == "SUPPORTS"  # invalid row ignored
+    assert out.loc["c1:4", "result_ev_sent_id"] == 7
+
+    # rollup: error lane lands in the denominator
+    triples = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"subj": "Q1", "verdict": "SUPPORTS"},
+                {"subj": "Q1", "verdict": "error"},
+            ]
+        )
+    )
+    roll = entity_rollup(triples).toPandas().set_index("subj")
+    assert roll.loc["Q1", "n_errors"] == 1
+    assert roll.loc["Q1", "prove_score"] == 0.5  # (1-0)/(1+0+0+1)

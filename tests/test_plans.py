@@ -99,3 +99,35 @@ def test_entity_rollup_is_two_phase(spark):
     plan = plan_of(entity_rollup(build_triples(spark, tr, persist_sentences=False)))
     assert "HashAggregate" in plan
     assert "pmod" in plan or "salt" in plan
+
+
+def test_dedup_df_cap_bounds_hot_shingle_fanout(spark, tmp_path):
+    """Adversarial hot shingle: k docs sharing one stop-shingle would emit
+    k*(k-1)/2 self-join pairs uncapped. With the df-cap the hot shingle is
+    dropped from the Jaccard universe, so the pair count stays bounded (here:
+    zero, since the docs share nothing else)."""
+    import pandas as pd
+
+    from prove_spark.plans.textops import MAX_SHINGLE_DF, dedup_ngram_jaccard
+
+    k = MAX_SHINGLE_DF * 3  # well past the cap
+    rows = [
+        # one shared 3-gram ("hot stop shingle") + unique filler per doc
+        {"doc_id": i, "text": f"hot stop shingle unique{i} filler{i} tail{i}"}
+        for i in range(k)
+    ]
+    d = str(tmp_path)
+    pd.DataFrame(rows).to_parquet(f"{d}/documents.parquet")
+    pairs = dedup_ngram_jaccard(spark, d)
+    assert pairs.count() == 0, "hot shingle survived the df-cap"
+    # sanity: below the cap the same shape DOES pair up (cap is not a
+    # drop-everything filter) — two identical docs must match
+    rows2 = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+    ]
+    d2 = str(tmp_path / "small")
+    (tmp_path / "small").mkdir()
+    pd.DataFrame(rows2).to_parquet(f"{d2}/documents.parquet")
+    out = dedup_ngram_jaccard(spark, d2).collect()
+    assert len(out) == 1 and out[0].jaccard == 1.0
