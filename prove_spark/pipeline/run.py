@@ -56,8 +56,6 @@ def build_triples(
         base = base.persist()
         if cache_registry is not None:
             cache_registry.append(base)
-        if eager_cache:
-            base.count()
     evidence_pool = stages.with_slide_windows(base, config)
 
     claims = stages.detect_claims(base, config)
@@ -71,6 +69,11 @@ def build_triples(
         if cache_registry is not None:
             cache_registry.append(verbalized)
         if eager_cache:
+            # ONE blocking action materializes BOTH caches: verbalized is a
+            # full downstream of base (detect_claims reads every partition),
+            # so this count populates base's cache on the way — the old
+            # two-count version paid a second job's fixed scheduling cost
+            # for nothing, pure serial floor in the scaling measurement.
             verbalized.count()
     scored = stages.score_evidence(verbalized, evidence_pool, config)
     verdicts = stages.entail_and_verdict(scored, config)

@@ -227,10 +227,20 @@ WITH {SHINGLES_SQL}
 """
 
 
+# Band-bucket size cap: an adversarial corpus (or a degenerate signature,
+# e.g. millions of empty docs hashing identically) can put k docs in ONE
+# band bucket → k*(k-1)/2 pairs from that bucket alone. Buckets larger than
+# the cap are dropped on both engines: a bucket of >64 "near-dups" is noise
+# (the exact-Jaccard verify step would reject the flood anyway — cheaper to
+# never emit it). 64 is well above the observed max (16 at sf0.1).
+LSH_BUCKET_CAP = 64
+
+
 def lsh_candidate_pairs(spark, sf_dir):
     """LSH banding: band key = (band_id, h0, h1 of the band); docs sharing a
     band key become candidate near-dup pairs (then verified by Jaccard in
-    dedup_ngram_jaccard — the classic two-step at scale)."""
+    dedup_ngram_jaccard — the classic two-step at scale). Hot buckets above
+    LSH_BUCKET_CAP are dropped before the self-join (bounded fan-out)."""
     rows_per_band = N_MINHASH // N_BANDS
     wide = _minhash_wide(spark, sf_dir)
     # map-only band construction from the wide signature (no extra shuffle):
@@ -255,6 +265,15 @@ def lsh_candidate_pairs(spark, sf_dir):
     bands = wide.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    # hot-bucket cap: the oversized-bucket set is tiny by construction —
+    # broadcast anti-join keeps the filter map-side
+    hot = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz") > LSH_BUCKET_CAP)
+        .select("band", "band_key")
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -275,10 +294,14 @@ def lsh_candidate_pairs(spark, sf_dir):
 LSH_SQL = f"""
 WITH {SHINGLES_SQL},
 sigs AS ({_MINHASH_PARTS}),
-bands AS (
+bands_raw AS (
   SELECT doc_id, CAST(FLOOR(h_idx / {N_MINHASH // N_BANDS}) AS INT) AS band,
          STRING_AGG(CAST(minhash AS VARCHAR), '_' ORDER BY h_idx) AS band_key
   FROM sigs GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, band, band_key FROM bands_raw
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {LSH_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -287,40 +310,67 @@ FROM bands a JOIN bands b
 
 
 # ----------------------------------------------------------------- SimHash
-N_SIMHASH_BITS = 16
+# 64 bits — the production width (a 16-bit space saturates at ~2^8 docs by
+# birthday collision; 64-bit SimHash is the standard near-dup fingerprint).
+# The portable hash is 60 bits (15 hex chars of md5), so two independently
+# salted hashes each contribute 32 bits.
+N_SIMHASH_BITS = 64
+
+
+def _simhash_bit(j: int):
+    """(source column name, shift) for bit j: lo hash covers bits 0-31,
+    hi hash bits 32-63."""
+    return ("h_lo", j) if j < 32 else ("h_hi", j - 32)
+
+
+def _simhash_term(j: int) -> int:
+    """Signed long encoding of bit j: bit 63 is the two's-complement sign
+    bit, so it contributes -(2^63) — the arithmetic stays in BIGINT range
+    on both engines (no unsigned 64-bit type in either)."""
+    return (1 << j) if j < 63 else -(1 << 63)
 
 
 def simhash_fingerprints(spark, sf_dir):
-    """16-bit SimHash over term frequencies: bit j set iff the tf-weighted
-    sum of (+1/-1 for bit j of H(word)) is positive."""
+    """64-bit SimHash over term frequencies: bit j set iff the tf-weighted
+    sum of (+1/-1 for bit j of H(word)) is positive. Map-only per doc after
+    one (doc_id, word) tf aggregation."""
     d = _t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    h = tf.withColumn("h", _portable_hash(F.col("w")))
+    h = tf.withColumn(
+        "h_lo", _portable_hash(F.concat(F.lit("s0|"), F.col("w")))
+    ).withColumn("h_hi", _portable_hash(F.concat(F.lit("s1|"), F.col("w"))))
     bit_sums = h.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(
-                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.shiftright(F.col(_simhash_bit(j)[0]), _simhash_bit(j)[1])
+                    .bitwiseAND(F.lit(1))
+                    == 1,
                     F.col("tf"),
                 ).otherwise(-F.col("tf"))
             ).alias(f"b{j}")
             for j in range(N_SIMHASH_BITS)
         ]
     )
+    # bits 0..62 first (partial sums ≤ 2^63-1), the negative sign-bit term
+    # last — every intermediate stays in long range under ANSI arithmetic
     sim = None
     for j in range(N_SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(
+            F.col(f"b{j}") > 0, F.lit(_simhash_term(j)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else (sim + term)
     return bit_sums.select("doc_id", sim.alias("simhash"))
 
 
 _SIMHASH_BITSUMS = ",\n".join(
-    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS b{j}"
+    f"SUM(CASE WHEN ({'h_lo' if j < 32 else 'h_hi'} >> {j if j < 32 else j - 32}) & 1 = 1 THEN tf ELSE -tf END) AS b{j}"
     for j in range(N_SIMHASH_BITS)
 )
 _SIMHASH_COMBINE = " + ".join(
-    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS)
+    f"(CASE WHEN b{j} > 0 THEN CAST({_simhash_term(j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(N_SIMHASH_BITS)
 )
 SIMHASH_SQL = f"""
 WITH tf AS (
@@ -328,9 +378,12 @@ WITH tf AS (
     SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
   ) GROUP BY doc_id, w
 ),
-h AS (SELECT doc_id, tf, {PORTABLE_HASH_SQL.format(x='w')} AS h FROM tf),
+h AS (SELECT doc_id, tf,
+        {PORTABLE_HASH_SQL.format(x="CONCAT('s0|', w)")} AS h_lo,
+        {PORTABLE_HASH_SQL.format(x="CONCAT('s1|', w)")} AS h_hi
+      FROM tf),
 bit_sums AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM h GROUP BY doc_id)
-SELECT doc_id, {_SIMHASH_COMBINE} AS simhash FROM bit_sums
+SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM bit_sums
 """
 
 

@@ -131,3 +131,26 @@ def test_dedup_df_cap_bounds_hot_shingle_fanout(spark, tmp_path):
     pd.DataFrame(rows2).to_parquet(f"{d2}/documents.parquet")
     out = dedup_ngram_jaccard(spark, d2).collect()
     assert len(out) == 1 and out[0].jaccard == 1.0
+
+
+def test_lsh_bucket_cap_bounds_hot_bucket(spark, tmp_path):
+    """Adversarial LSH bucket: k identical docs share every band bucket →
+    k*(k-1)/2 pairs uncapped. Buckets above LSH_BUCKET_CAP are dropped, so
+    the flood never reaches the self-join; distinct near-dup pairs below the
+    cap still pair up."""
+    import pandas as pd
+
+    from prove_spark.plans.textops import LSH_BUCKET_CAP, lsh_candidate_pairs
+
+    k = LSH_BUCKET_CAP * 2
+    rows = [{"doc_id": i, "text": "identical text body of this document"} for i in range(k)]
+    # two genuinely similar (but not hot) docs that must still be found
+    rows += [
+        {"doc_id": 9000, "text": "rare alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 9001, "text": "rare alpha beta gamma delta epsilon zeta"},
+    ]
+    d = str(tmp_path)
+    pd.DataFrame(rows).to_parquet(f"{d}/documents.parquet")
+    got = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(spark, d).collect()}
+    assert (9000, 9001) in got
+    assert all(a == 9000 for a, _ in got), "hot-bucket pairs leaked past the cap"
