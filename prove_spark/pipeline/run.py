@@ -84,19 +84,11 @@ def build_triples(
     # (claim_entailment.py:67-68) is applied INSIDE entail_and_verdict's
     # conditional agg. No claims-side rejoin needed — verdicts IS the full
     # claim set (structural invariant, pinned by the golden suite).
-    # result_sentence (A4 second half, claim_entailment.py:126-146): the
-    # winning evidence's TEXT joins back HERE, at claim scale — verdicts is
-    # top-k-claims-sized, the sentence pool is the big side, so this is a
-    # narrow equi join on (conv_id, sent_id) that Catalyst plans as a
-    # shuffle join keyed the same way as the rest of the pipeline.
-    sent_lookup = evidence_pool.select(
-        "conv_id",
-        F.col("sent_id").alias("result_ev_sent_id"),
-        F.col("sentence").alias("result_sentence"),
-    )
-    full = verdicts.join(
-        sent_lookup, ["conv_id", "result_ev_sent_id"], "left"
-    ).select(
+    # result_sentence (A4 second half, claim_entailment.py:126-146) arrives
+    # ON the verdicts rows: the winning text is max_by'd inside the verdict
+    # agg from the already-top-k'd pairs (see entail_and_verdict), so no
+    # second join against the sentence pool is needed.
+    full = verdicts.select(
         "conv_id",
         "claim_id",
         "sent_id",

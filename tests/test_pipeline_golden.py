@@ -112,6 +112,7 @@ def test_error_lane_injected(spark):
             "object_label": "bob",
             "claim_verbalized": "alice knows bob",
             "ev_tokens": tokens,
+            "ev_sentence": None if tokens is None else " ".join(tokens),
             "ev_sent_id": ev_sent_id,
             "similarity_score": sim,
             "passed": passed,
@@ -136,7 +137,8 @@ def test_error_lane_injected(spark):
     )
     assert out.loc["c1:2", "verdict"] == "SUPPORTS"
     assert out.loc["c1:4", "verdict"] == "SUPPORTS"  # invalid row ignored
-    assert out.loc["c1:4", "result_ev_sent_id"] == 7
+    assert out.loc["c1:4", "result_sentence"] == "alice knows bob"
+    assert out.loc["c1:0", "result_sentence"] is None
 
     # rollup: error lane lands in the denominator
     triples = spark.createDataFrame(
