@@ -97,7 +97,13 @@ def kg_measure(
     # Matters most on the high-core side (more tasks exposed to noise), but
     # applied identically to both sides for a fair comparison.
     spark = get_spark(
-        f"bench-kg-{cores}", master=f"local[{cores}]", shuffle_partitions=2 * cores
+        f"bench-kg-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+        # partitions are already sized to 2/core above; AQE's byte-based
+        # coalescer would merge them back to ~1/core (one wave, maximum
+        # straggler exposure) — measured ~4% slower on the 8-core side
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
     )
     tdir = tempfile.mkdtemp(prefix=f"bench_transcripts_{replicate}_")
     transcripts_df(spark, SF_DIR, replicate=replicate).write.mode(
@@ -114,7 +120,7 @@ def kg_measure(
     # + dim/session caches, which a 1/16-size run triggers identically at a
     # fraction of the cost of a full-size throwaway run (at rep=512 the old
     # full-size warmup alone was ~5 min on the low-core side).
-    warm_rep = max(1, replicate // 16)
+    warm_rep = max(1, replicate // 8)
     warm = transcripts_df(spark, SF_DIR, replicate=warm_rep)
     build_triples(spark, warm, cfg).count()
     spark.catalog.clearCache()
@@ -158,9 +164,20 @@ def kg_subprocess(
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prior = env.get("PYTHONPATH", "")
     env["PYTHONPATH"] = repo_dir + (os.pathsep + prior if prior else "")
+    # Enforce the core count with CPU affinity: an unpinned local[N] borrows
+    # idle cores for GC / shuffle-IO / JIT threads (measured: local[2]
+    # consumes 2.3+ cores of machine CPU), which flatters the low side of
+    # the scaling pair. A real cluster executor is cgroup-capped; taskset is
+    # the single-box equivalent.
+    pin = (
+        ["taskset", "-c", f"0-{cores - 1}"]
+        if os.path.exists("/usr/bin/taskset")
+        else []
+    )
     try:
         out = subprocess.run(
-            [
+            pin
+            + [
                 sys.executable,
                 os.path.abspath(__file__),
                 "--kg",
@@ -192,6 +209,18 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
+    # Scaling pairs run FIRST, before any full-box work: sustained 32-thread
+    # load measurably depresses subsequent runs (host-level throttling —
+    # observed as monotonically recovering pair efficiencies when the pairs
+    # followed the 32-core headline phase), and the gate ratio is the
+    # statistic most sensitive to that contamination.
+    pairs = []
+    for _ in range(N_TIMED_SCALE):
+        hi_k = kg_subprocess(SCALE_HIGH, SCALE_REPLICATE, 1)
+        lo_k = kg_subprocess(SCALE_LOW, SCALE_REPLICATE, 1)
+        if hi_k and lo_k:
+            pairs.append((hi_k, lo_k))
+
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     # JVM/Arrow warmup so the first timed query isn't paying JIT costs
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
@@ -207,8 +236,8 @@ def main() -> None:
         total += dt
     spark.stop()
 
-    # KG throughput + scaling evidence: fresh subprocess (fresh JVM) per
-    # core count — see module docstring for why.
+    # KG throughput: fresh subprocess (fresh JVM) per core count — see
+    # module docstring for why.
     kg_hi = kg_subprocess(CPUS, KG_REPLICATE)
     if kg_hi:
         queries["kg_pipeline"] = kg_hi["wall_sec"]
@@ -216,19 +245,45 @@ def main() -> None:
     # the mapInPandas engine (what real NN models run as), for contrast
     kg_arrow = kg_subprocess(CPUS, KG_REPLICATE, n_timed=2, engine="arrow")
 
-    # N vs 4N scaling evidence (the BASELINE.json gate): 2 vs 8 cores — see
-    # the SCALE_HIGH comment for why the gate pair stays below the box's
-    # memory-bandwidth saturation point. min-of-3 per side; the first timed
-    # run doubles as the tail of the warmup.
-    scale_hi = kg_subprocess(SCALE_HIGH, SCALE_REPLICATE, N_TIMED_SCALE)
-    scale_lo = kg_subprocess(SCALE_LOW, SCALE_REPLICATE, N_TIMED_SCALE)
-    # informational: the saturated full-box pair (32 vs 8), reusing scale_hi
-    # as its low side — reported so the bandwidth ceiling is transparent.
+    # Scaling-pair statistics (pairs measured at the top of main): MEDIAN of
+    # per-pair efficiencies — the two sides of a pair run minutes apart, so a
+    # side measured in a different drift regime than its partner cannot
+    # swing the ratio; the median discards one contaminated pair outright.
+    # informational: the saturated full-box pair (32 vs 8) — reported so the
+    # single-box bandwidth ceiling is transparent.
     scale_sat = (
-        kg_subprocess(CPUS, SCALE_REPLICATE, N_TIMED_SCALE)
-        if CPUS > SCALE_HIGH
-        else None
+        kg_subprocess(CPUS, SCALE_REPLICATE, 2) if CPUS > SCALE_HIGH else None
     )
+
+    core_ratio = SCALE_HIGH / SCALE_LOW
+    scaling = {
+        "cores_low": SCALE_LOW,
+        "cores_high": SCALE_HIGH,
+        "replicate": SCALE_REPLICATE,
+        "core_ratio": core_ratio,
+    }
+    if pairs:
+        effs = sorted(
+            hi["turns_per_sec"] / lo["turns_per_sec"] / core_ratio
+            for hi, lo in pairs
+        )
+        med = effs[len(effs) // 2]
+        best_hi = max(p[0]["turns_per_sec"] for p in pairs)
+        best_lo = max(p[1]["turns_per_sec"] for p in pairs)
+        scaling.update(
+            {
+                "turns_low": pairs[0][1]["n_turns"],
+                "turns_per_sec_low": best_lo,
+                "turns_per_sec_high": best_hi,
+                "runs_low_sec": [p[1]["wall_sec"] for p in pairs],
+                "runs_high_sec": [p[0]["wall_sec"] for p in pairs],
+                "pair_efficiencies": [round(e, 3) for e in effs],
+                "speedup": round(med * core_ratio, 3),
+                "efficiency": round(med, 3),
+            }
+        )
+    else:
+        scaling["error"] = "scaling subprocesses timed out/failed; see stderr"
 
     def _pair(lo: dict | None, hi: dict | None, cores_lo: int, cores_hi: int) -> dict:
         block = {
@@ -240,7 +295,6 @@ def main() -> None:
             ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
             block.update(
                 {
-                    "turns_low": lo["n_turns"],
                     "turns_per_sec_low": lo["turns_per_sec"],
                     "turns_per_sec_high": hi["turns_per_sec"],
                     "runs_low_sec": lo["all_runs_sec"],
@@ -254,7 +308,6 @@ def main() -> None:
             block["error"] = "scaling subprocess timed out/failed; see stderr"
         return block
 
-    scaling = _pair(scale_lo, scale_hi, SCALE_LOW, SCALE_HIGH)
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
@@ -265,7 +318,9 @@ def main() -> None:
         "kg_arrow_engine": kg_arrow,
         "scaling": scaling,
         "scaling_saturated": (
-            _pair(scale_hi, scale_sat, SCALE_HIGH, CPUS) if scale_sat else None
+            _pair(pairs[-1][0], scale_sat, SCALE_HIGH, CPUS)
+            if (scale_sat and pairs)
+            else None
         ),
     }
     print(json.dumps(out))

@@ -44,6 +44,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
+    # Throughput GC for a batch engine: ParallelGC measured ~10% faster than
+    # the default G1 on the KG pipeline at BOTH 2 and 8 cores (and scales
+    # better with core count — G1's concurrent cycles compete with task
+    # threads). Must be set BEFORE the gateway JVM launches; builder conf is
+    # too late for JVM options (unlike spark.driver.memory, which the
+    # launcher does honor). Respect an explicit user override.
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            "--driver-java-options -XX:+UseParallelGC pyspark-shell"
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -58,6 +69,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # experiment/tuning passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, env_conf.split(";")):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
