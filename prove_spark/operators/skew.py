@@ -46,12 +46,20 @@ def salted_agg(
     """
     keys = [key] if isinstance(key, str) else list(key)
     if salt_from is None:
-        # hash() rejects MAP columns (undefined hashcode); any other column
-        # set is an equally good deterministic disambiguator
+        # hash() rejects MAP columns at ANY nesting depth (undefined
+        # hashcode) — a map inside a struct/array field still throws; any
+        # map-free column set is an equally good deterministic disambiguator
+        def has_map(dt: T.DataType) -> bool:
+            if isinstance(dt, T.MapType):
+                return True
+            if isinstance(dt, T.StructType):
+                return any(has_map(f.dataType) for f in dt.fields)
+            if isinstance(dt, T.ArrayType):
+                return has_map(dt.elementType)
+            return False
+
         salt_from = [
-            f.name
-            for f in df.schema.fields
-            if not isinstance(f.dataType, T.MapType)
+            f.name for f in df.schema.fields if not has_map(f.dataType)
         ]
     salted = with_salt(df, salt_from, n_salts)
     partial_exprs = []

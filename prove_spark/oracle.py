@@ -150,14 +150,21 @@ def run_oracle(
                     labels.append(config.classes[probs.index(max(probs))])
                     for i in range(3):
                         weighted[i] += probs[i] * sim
-                # A4 second half (claim_entailment.py:126-146): the sentence
-                # of the best kept row by (label priority, score desc, id asc)
-                pri = {config.classes[0]: 2, config.classes[1]: 1}
-                best = min(
-                    zip(kept, labels),
-                    key=lambda t: (-pri.get(t[1], 0), -t[0][0], t[0][1]),
+                # A4 second half — reference get_final_verdict
+                # (claim_entailment.py:126-146): the FIRST SUPPORTS sentence
+                # if any; else the first sentence of the modal label, where
+                # pandas mode()[0] breaks count ties to the lexicographically
+                # smallest label. "First" = the kept ordering (sim desc,
+                # sent_id asc).
+                if SUPPORTS in labels:
+                    sel = SUPPORTS
+                else:
+                    counts = {lab: labels.count(lab) for lab in set(labels)}
+                    mx = max(counts.values())
+                    sel = min(lab for lab, n in counts.items() if n == mx)
+                result_sentence = next(
+                    ev for (s, sid, ev), lab in zip(kept, labels) if lab == sel
                 )
-                result_sentence = best[0][2]
             verdict = config.classes[weighted.index(max(weighted))]
             # MALON label (A3): any-SUPPORTS > any-REFUTES > NEI
             if kept:
@@ -181,10 +188,13 @@ def run_oracle(
                     "score": weighted[config.classes.index(verdict)],
                     "result_sentence": result_sentence,
                     # C18: full per-class weighted distribution
-                    # (claim_entailment.py:212-223)
-                    "label_probabilities": {
-                        config.classes[i]: weighted[i] for i in range(3)
-                    },
+                    # (claim_entailment.py:212-223) as three fixed-order
+                    # double columns — the canonical hashable rendering the
+                    # Spark pipeline emits (a dict column breaks pandas
+                    # sort/hash canonicalization downstream)
+                    "w_supports": weighted[0],
+                    "w_refutes": weighted[1],
+                    "w_nei": weighted[2],
                 }
             )
     out = pd.DataFrame(
@@ -200,7 +210,9 @@ def run_oracle(
             "malon",
             "score",
             "result_sentence",
-            "label_probabilities",
+            "w_supports",
+            "w_refutes",
+            "w_nei",
         ],
     )
     out["turn_idx"] = out["turn_idx"].astype("int32")

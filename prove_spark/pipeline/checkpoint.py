@@ -174,7 +174,7 @@ def run_checkpointed(
                 "subj string, pred string, obj string, conv_id string, "
                 "turn_idx int, claim_id string, verdict string, "
                 "malon string, score double, result_sentence string, "
-                "label_probabilities map<string,double>, bucket int"
+                "w_supports double, w_refutes double, w_nei double, bucket int"
             ),
         )
     return io.read("triples")

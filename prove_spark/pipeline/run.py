@@ -26,7 +26,9 @@ TRIPLE_COLUMNS = [
     "malon",
     "score",
     "result_sentence",
-    "label_probabilities",
+    "w_supports",
+    "w_refutes",
+    "w_nei",
 ]
 
 
@@ -100,7 +102,9 @@ def build_triples(
         "score",
         "turn_idx",
         "result_sentence",
-        "label_probabilities",
+        "w_supports",
+        "w_refutes",
+        "w_nei",
     )
 
     canon = canonical_map_df(spark)
@@ -130,7 +134,12 @@ def build_entities(
             # NUMERIC min-QID member's label — lexicographic qid order would
             # pick Q209 over Q9 and disagree with the canonical representative
             F.min_by("label", "qid_n").alias("label"),
-            F.sort_array(F.collect_set("qid")).alias("member_qids"),
+            # canonical hashable rendering (an ArrayType column surfaces as
+            # a numpy array in pandas and crashes driver-side sort/hash
+            # canonicalization — same failure class as MapType)
+            F.array_join(
+                F.sort_array(F.collect_set("qid")), ","
+            ).alias("member_qids"),
         )
     )
     subj_stats = triples.groupBy(F.col("subj").alias("canonical_qid")).agg(

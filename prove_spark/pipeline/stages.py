@@ -479,48 +479,52 @@ def entail_and_verdict(
             ).alias(f"w{i}")
             for i in range(3)
         ],
-        # A3 MALON: any SUPPORTS > any REFUTES > NEI — a priority-max agg
-        F.coalesce(
-            F.max(
+        # per-label kept counts: drive n_evidence, A3 MALON (any SUPPORTS >
+        # any REFUTES > NEI), and the reference's
+        # modal result-sentence selection in one pass
+        *[
+            F.count(
+                F.when(passed & (F.col("ev_label") == classes[i]), 1)
+            ).alias(f"c{i}")
+            for i in range(3)
+        ],
+        # invalid counts only among THRESHOLD-PASSING rows: a below-threshold
+        # invalid row was never usable signal, so it must not flip a normal
+        # default-NEI claim into the error lane (the raw `passed` flag here,
+        # not the invalid-masked one)
+        F.count(F.when(F.col("passed") & F.col("invalid"), 1)).alias(
+            "n_invalid"
+        ),
+        # A4 second half (claim_entailment.py:126-146): first kept sentence
+        # PER LABEL, "first" = the evidence ordering (sim desc, sent_id asc).
+        # The text arrives here already claim-scale: the pair join's partial
+        # WindowGroupLimit cut to <=k rows per claim before the exchange, so
+        # min_by over the string is strictly cheaper than a second join
+        # against the (sentence-scale) evidence pool — measured ~2.7 s of an
+        # 8 s pipeline at rep=16.
+        *[
+            F.min_by(
+                F.col("ev_sentence"),
                 F.when(
-                    passed & (F.col("ev_label") == classes[0]), 2
-                )
-                .when(passed & (F.col("ev_label") == classes[1]), 1)
-                .when(passed, 0)
-            ),
-            F.lit(0),
-        ).alias("malon_pri"),
-        F.count(F.when(passed, 1)).alias("n_evidence"),
-        F.count(F.when(F.col("invalid"), 1)).alias("n_invalid"),
-        # A4 second half (claim_entailment.py:126-146): the sentence shown
-        # with the verdict = the best KEPT evidence row, ranked by label
-        # priority (any SUPPORTS > any REFUTES > NEI), then score desc, then
-        # sent_id asc. The text arrives here already claim-scale: the pair
-        # join's partial WindowGroupLimit cut to <=k rows per claim before
-        # the exchange, so max_by over the string is strictly cheaper than a
-        # second join against the (sentence-scale) evidence pool — measured
-        # ~2.7 s of an 8 s pipeline at rep=16.
-        F.max_by(
-            F.col("ev_sentence"),
-            F.when(
-                passed,
-                F.struct(
-                    F.when(F.col("ev_label") == classes[0], 2)
-                    .when(F.col("ev_label") == classes[1], 1)
-                    .otherwise(0)
-                    .alias("pri"),
-                    F.col("similarity_score").alias("sim"),
-                    (-F.col("ev_sent_id")).alias("neg_sid"),
+                    passed & (F.col("ev_label") == classes[i]),
+                    F.struct(
+                        (-F.col("similarity_score")).alias("nsim"),
+                        F.col("ev_sent_id").alias("sid"),
+                    ),
                 ),
-            ),
-        ).alias("result_sentence"),
+            ).alias(f"fs{i}")
+            for i in range(3)
+        ],
     )
     wcols = [F.col(f"w{i}") for i in range(3)]
+    ccols = [F.col(f"c{i}") for i in range(3)]
     # a claim whose usable evidence was ALL lost to kernel failures is
     # 'error', never a silent default-NEI (reference irretrievable lane)
-    is_error = (F.col("n_invalid") > 0) & (F.col("n_evidence") == 0)
+    n_evidence = ccols[0] + ccols[1] + ccols[2]
+    is_error = (F.col("n_invalid") > 0) & (n_evidence == 0)
     return (
-        agg.withColumn(
+        agg.withColumn("n_evidence", n_evidence)
+        .withColumn(
             "verdict",
             F.when(is_error, F.lit(config.error_class)).otherwise(
                 _argmax_label(wcols, classes)
@@ -529,8 +533,8 @@ def entail_and_verdict(
         .withColumn(
             "malon",
             F.when(is_error, F.lit(config.error_class))
-            .when(F.col("malon_pri") == 2, classes[0])
-            .when(F.col("malon_pri") == 1, classes[1])
+            .when(ccols[0] > 0, classes[0])
+            .when(ccols[1] > 0, classes[1])
             .otherwise(F.lit(classes[2])),
         )
         .withColumn(
@@ -541,25 +545,25 @@ def entail_and_verdict(
             .otherwise(F.col("w2")),
         )
         # C18 at the pipeline level (claim_entailment.py:212-223): the full
-        # per-class weighted distribution rides on the claim; null for error
-        # claims (no usable signal to report)
-        .withColumn(
-            "label_probabilities",
-            F.when(
-                ~is_error,
-                F.create_map(
-                    *[
-                        x
-                        for i in range(3)
-                        for x in (F.lit(classes[i]), F.col(f"w{i}"))
-                    ]
-                ),
-            ),
-        )
+        # per-class weighted distribution as THREE fixed-order double columns
+        # — a canonical, hashable rendering (a MapType column surfaces as a
+        # Python dict in pandas and breaks sort/hash canonicalization in any
+        # downstream harness); null for error claims (no usable signal)
+        .withColumn("w_supports", F.when(~is_error, F.col("w0")))
+        .withColumn("w_refutes", F.when(~is_error, F.col("w1")))
+        .withColumn("w_nei", F.when(~is_error, F.col("w2")))
+        # reference get_final_verdict (claim_entailment.py:126-146): the
+        # first SUPPORTS sentence if any; else the first sentence of the
+        # MODAL label — pandas mode()[0] resolves count ties to the
+        # lexicographically smallest label, and "NOT ENOUGH INFO" < "REFUTES",
+        # so REFUTES wins only on a strict count majority
         .withColumn(
             "result_sentence",
-            F.when(~is_error, F.col("result_sentence")),
+            F.when(is_error, F.lit(None).cast("string"))
+            .when(ccols[0] > 0, F.col("fs0"))
+            .when(ccols[1] > ccols[2], F.col("fs1"))
+            .otherwise(F.col("fs2")),
         )
         .withColumn("turn_idx", (F.col("sent_id") / SENT_ID_STRIDE).cast("int"))
-        .drop("malon_pri", "n_invalid")
+        .drop("n_invalid", "c0", "c1", "c2", "fs0", "fs1", "fs2")
     )

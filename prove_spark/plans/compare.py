@@ -64,7 +64,11 @@ def _dtype_class(series: pd.Series) -> str:
         import decimal
 
         for v in series:
-            if v is None:
+            # skip NaN-valued nulls too: pandas merges on nullable string
+            # columns surface missing values as float NaN inside an object
+            # column, which is neither None nor str and would misclassify
+            # the whole column as 'other'
+            if v is None or (isinstance(v, float) and math.isnan(v)):
                 continue
             if isinstance(v, decimal.Decimal):
                 return "decimal"
@@ -75,9 +79,25 @@ def _dtype_class(series: pd.Series) -> str:
     return "other"
 
 
+def driver_sortable(pdf: pd.DataFrame) -> list[str]:
+    """Replicate the DRIVER's canonicalization: sort_values over the RAW
+    columns (no astype(str) rescue). Unhashable cell types — dicts from
+    MapType, lists from ArrayType — crash pandas factorize there, so any
+    query emitting them fails the driver even when values are correct.
+    This check makes that failure reproducible locally."""
+    try:
+        pdf.sort_values(sorted(pdf.columns), kind="mergesort")
+    except TypeError as e:
+        return [
+            "driver canonicalization would crash on raw values "
+            f"(unhashable column type?): {e}"
+        ]
+    return []
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Returns a list of mismatch descriptions (empty = match)."""
-    problems: list[str] = []
+    problems: list[str] = driver_sortable(spark_pdf)
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count {len(spark_pdf)} != {len(oracle_pdf)}")
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
@@ -128,8 +148,10 @@ def check_query(spark, sf_dir: str, fn, sql: str | None) -> list[str]:
     spark_pdf = fn(spark, sf_dir).toPandas()
     if sql is None:
         # rows-only gate (mirrors the driver's weaker check for non-SQL-
-        # expressible queries): must produce a non-degenerate frame
-        problems = []
+        # expressible queries): must produce a non-degenerate frame AND
+        # survive the driver's raw-value sort (unhashable output types
+        # crashed the r2 driver harness despite passing a rows-only check)
+        problems = driver_sortable(spark_pdf)
         if len(spark_pdf.columns) == 0:
             problems.append("rows-only query returned zero columns")
         if len(spark_pdf) == 0:
