@@ -32,15 +32,13 @@ for _qid in _ALIASES_BY_QID:
 
 _LABEL_BY_QID = dict(ENTITIES)
 
-# Disambiguation prior: an ambiguous alias links to its lowest-numbered QID
-# (stand-in for the reference's sitelink-count popularity sort,
-# functions.py:642-647). Datagen uses the same rule so injected evidence
-# matches what the linker will resolve.
-_LINKED_QID_BY_ALIAS: dict[str, str] = {}
-for _alias, _qid in ALIASES:
-    cur = _LINKED_QID_BY_ALIAS.get(_alias)
-    if cur is None or qid_num(_qid) < qid_num(cur):
-        _LINKED_QID_BY_ALIAS[_alias] = _qid
+# Disambiguation prior: an ambiguous alias links to its most-popular QID by
+# sitelink count (the reference's N_connected_site sort, functions.py:
+# 642-669). Datagen uses the same rule so injected evidence matches what the
+# popularity-ranked linker will resolve.
+from .dictionaries import resolve_alias_map
+
+_LINKED_QID_BY_ALIAS: dict[str, str] = resolve_alias_map()
 
 _ROLES = ["user", "assistant", "tool"]
 _TOOLS = ["search", "browser", "python", ""]

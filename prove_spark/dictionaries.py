@@ -238,3 +238,24 @@ def predicates_pdf():
 
 def qid_num(qid: str) -> int:
     return int(qid[1:])
+
+
+def popularity_key(qid: str) -> tuple[int, int]:
+    """Single source of the disambiguation ranking (reference
+    functions.py:642-669): sitelink count DESC, then numeric QID ASC.
+    Minimize this key to pick the winner."""
+    return (-sitelink_count(qid), qid_num(qid))
+
+
+def resolve_alias_map() -> dict[str, str]:
+    """alias → popularity-winning QID (the linker's prior). Shared by the
+    datagen (evidence injection), the pandas oracle, and the DuckDB KG
+    oracle; the Spark linker derives the same ranking from the external
+    sitelinks CSV (sources/popularity.py) so a skew between the CSV path
+    and this rule is caught by the golden suite."""
+    out: dict[str, str] = {}
+    for alias, qid in ALIASES:
+        cur = out.get(alias)
+        if cur is None or popularity_key(qid) < popularity_key(cur):
+            out[alias] = qid
+    return out

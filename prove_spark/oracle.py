@@ -44,8 +44,12 @@ _PRED_BY_PATTERN = {p: (pid, label, dt) for pid, p, label, dt in PREDICATES}
 
 
 def _linked_qid(alias: str) -> str:
+    """Popularity-ranked disambiguation (reference functions.py:642-669):
+    highest sitelink count wins, numeric QID breaks ties."""
+    from .dictionaries import popularity_key
+
     cands = [q for a, q in ALIASES if a == alias]
-    return min(cands, key=qid_num)
+    return min(cands, key=popularity_key)
 
 
 def canonical_map() -> dict[str, str]:

@@ -52,23 +52,36 @@ def alias_dim(spark: SparkSession) -> DataFrame:
 
 
 def resolved_alias_dim(spark: SparkSession) -> DataFrame:
-    """Disambiguated alias dimension: each alias resolved to its most-popular
-    QID (popularity prior = lowest numeric QID; stand-in for the reference's
-    sitelink-count ranking, functions.py:642-647).
+    """Disambiguated alias dimension: each alias resolved to its most-POPULAR
+    candidate QID by sitelink count from the external sitelinks CSV
+    (reference functions.py:642-669; S9/J8 — sources/popularity.py), numeric
+    QID breaking ties. datagen/oracle share the rule via
+    dictionaries.resolve_alias_map, so a skew between the CSV path and the
+    literal rule fails the golden suite ('the professor' must resolve to Q11
+    by popularity, against the min-QID prior Q7).
 
     Scale note: disambiguation runs on the DIMENSION (thousands of rows), not
     the fact table — the fact side then needs only a broadcast hash join.
     Session-cached: static dims are built once per SparkSession.
     """
     from ..sources.dims import session_dim
+    from ..sources.popularity import read_popularity
 
     def build(s: SparkSession) -> DataFrame:
         dim = alias_dim(s).withColumn(
             "qid_n", F.regexp_extract("qid", r"(\d+)", 1).cast("long")
         )
-        return dim.groupBy("alias").agg(
-            F.min_by("qid", "qid_n").alias("qid"),
-            F.min_by("label", "qid_n").alias("label"),
+        pop = read_popularity(s)
+        ranked = dim.join(F.broadcast(pop), "qid", "left").withColumn(
+            "pop_key",
+            F.struct(
+                F.coalesce(F.col("n_connected_site"), F.lit(-1)).alias("n"),
+                (-F.col("qid_n")).alias("neg_qid"),
+            ),
+        )
+        return ranked.groupBy("alias").agg(
+            F.max_by("qid", "pop_key").alias("qid"),
+            F.max_by("label", "pop_key").alias("label"),
         )
 
     return session_dim(spark, "resolved_alias_dim", build)

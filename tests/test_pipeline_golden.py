@@ -87,6 +87,21 @@ def test_entities_table(spark, spark_transcripts, golden_triples):
         assert all(canon[m] == q for m in row.member_qids.split(","))
 
 
+def test_popularity_disambiguation_wired(spark):
+    """The pipeline linker ranks ambiguous aliases by sitelink count from the
+    external CSV (reference functions.py:642-669), not the min-QID prior:
+    'the professor' → Q11 (sitelinks 16 > Q7's 1) even though Q7 < Q11."""
+    from prove_spark.dictionaries import resolve_alias_map
+    from prove_spark.pipeline.stages import resolved_alias_dim
+
+    got = {
+        r["alias"]: r["qid"] for r in resolved_alias_dim(spark).collect()
+    }
+    assert got["the professor"] == "Q11"  # popularity beats the min-QID prior
+    assert got["the admiral"] == "Q2"  # popularity agrees with the prior here
+    assert got == resolve_alias_map()  # CSV path == literal rule, every alias
+
+
 def test_error_lane_injected(spark):
     """Error verdict lane (reference 'irretrievable', functions.py:383-398):
     a claim whose kernel inputs are unusable (null tokens → null te_probs)
