@@ -2,9 +2,10 @@
 
 entry(spark)  — flagship: full KG-construction pipeline at sf0.001.
 queries()     — every implemented operator (SURVEY.md §2 + training-data ops).
-oracle_sql()  — DuckDB-equivalent ANSI SQL for each SQL-expressible query;
-                KG-pipeline queries are covered instead by the pytest golden
-                suite against the pandas oracle (tests/test_pipeline_golden.py).
+oracle_sql()  — DuckDB-equivalent ANSI SQL for EVERY registered query,
+                including the KG lane (plans/kg_oracle.py re-derives
+                transcripts → triples inside DuckDB); the pytest golden
+                suite (pandas oracle) additionally pins the pipeline.
 """
 
 from __future__ import annotations

@@ -1,9 +1,18 @@
 """Unified query registry: name → (spark_fn, oracle_sql | None).
 
-Drives __spark_entry__.queries()/oracle_sql(). KG-pipeline queries have no
-SQL oracle (the transcript derivation + mention kernels are not SQL-
-expressible); their correctness gate is the pytest golden-equivalence suite
-(tests/test_pipeline_golden.py) against the pandas oracle.
+Drives __spark_entry__.queries()/oracle_sql(). The KG-pipeline queries ARE
+SQL-oracled (plans/kg_oracle.py re-derives transcripts → triples entirely in
+DuckDB: the derivation is deterministic arithmetic over `documents` and the
+kernels are regex/set algebra), on top of the pytest golden suite against
+the pandas oracle (tests/test_pipeline_golden.py).
+
+Ordering/size: the KG lane leads and the registry is capped at 50 entries —
+the driver sweep records at most 50 rows, and every registered query must
+get a row. Two derivable queries are intentionally unregistered (still
+importable + unit-tested): kg_top_supported (pure orderBy/limit over
+kg_entity_rollup) and salted_pivot_counts (the exact machinery
+kg_entity_rollup's oracled row now covers; salted_event_counts keeps the
+salted-agg CORR row).
 """
 
 from __future__ import annotations
@@ -65,17 +74,41 @@ def kg_entities(spark, sf_dir):
     return build_entities(spark, _kg_build(spark, sf_dir))
 
 
+def _kg_sqls() -> dict[str, str]:
+    from .kg_oracle import (
+        kg_entities_sql,
+        kg_entity_rollup_sql,
+        kg_triples_sql,
+    )
+
+    return {
+        "kg_triples": kg_triples_sql(),
+        "kg_entity_rollup": kg_entity_rollup_sql(),
+        "kg_entities": kg_entities_sql(),
+    }
+
+
+_SQLS = _kg_sqls()
+
 KG_QUERIES: dict[str, tuple] = {
-    "kg_triples": (kg_triples, None),
-    "kg_entity_rollup": (kg_entity_rollup, None),
-    "kg_top_supported": (kg_top_supported, None),
-    "kg_entities": (kg_entities, None),
+    "kg_triples": (kg_triples, _SQLS["kg_triples"]),
+    "kg_entity_rollup": (kg_entity_rollup, _SQLS["kg_entity_rollup"]),
+    "kg_entities": (kg_entities, _SQLS["kg_entities"]),
 }
 
+_UNREGISTERED = {"salted_pivot_counts"}  # see module docstring
+
 ALL_QUERIES: dict[str, tuple] = {
-    **RELATIONAL_QUERIES,
-    **TEXTOPS_QUERIES,
-    **ADVANCED_QUERIES,
-    **DISAMBIG_QUERIES,
     **KG_QUERIES,
+    **{
+        k: v
+        for k, v in {
+            **RELATIONAL_QUERIES,
+            **TEXTOPS_QUERIES,
+            **ADVANCED_QUERIES,
+            **DISAMBIG_QUERIES,
+        }.items()
+        if k not in _UNREGISTERED
+    },
 }
+assert len(ALL_QUERIES) <= 50, "driver sweep records at most 50 rows"
