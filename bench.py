@@ -103,7 +103,15 @@ def kg_measure(
         # partitions are already sized to 2/core above; AQE's byte-based
         # coalescer would merge them back to ~1/core (one wave, maximum
         # straggler exposure) — measured ~4% slower on the 8-core side
-        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            # small input splits → several task waves per scan on BOTH sides
+            # of the scaling pair. The default 128 MB splits gave the 2-core
+            # side a 3-task single-wave scan (one core idle for half the
+            # stage); 8 MB splits cost negligible per-task overhead and give
+            # both sides statistically balanced waves.
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
     )
     tdir = tempfile.mkdtemp(prefix=f"bench_transcripts_{replicate}_")
     transcripts_df(spark, SF_DIR, replicate=replicate).write.mode(
@@ -263,18 +271,26 @@ def main() -> None:
         "core_ratio": core_ratio,
     }
     if pairs:
+        # statistic: MEDIAN of per-pair efficiencies (each pair's two sides
+        # run minutes apart; the median discards one drift-contaminated pair
+        # outright). The reported lo/hi throughputs are the MEDIAN PAIR'S
+        # OWN, so turns_per_sec_high / turns_per_sec_low / core_ratio ==
+        # efficiency exactly — the block is internally consistent.
+        by_eff = sorted(
+            pairs,
+            key=lambda p: p[0]["turns_per_sec"] / p[1]["turns_per_sec"],
+        )
+        med_hi, med_lo = by_eff[len(by_eff) // 2]
+        med = med_hi["turns_per_sec"] / med_lo["turns_per_sec"] / core_ratio
         effs = sorted(
             hi["turns_per_sec"] / lo["turns_per_sec"] / core_ratio
             for hi, lo in pairs
         )
-        med = effs[len(effs) // 2]
-        best_hi = max(p[0]["turns_per_sec"] for p in pairs)
-        best_lo = max(p[1]["turns_per_sec"] for p in pairs)
         scaling.update(
             {
                 "turns_low": pairs[0][1]["n_turns"],
-                "turns_per_sec_low": best_lo,
-                "turns_per_sec_high": best_hi,
+                "turns_per_sec_low": med_lo["turns_per_sec"],
+                "turns_per_sec_high": med_hi["turns_per_sec"],
                 "runs_low_sec": [p[1]["wall_sec"] for p in pairs],
                 "runs_high_sec": [p[0]["wall_sec"] for p in pairs],
                 "pair_efficiencies": [round(e, 3) for e in effs],

@@ -64,8 +64,12 @@ def build_triples(
     linked = stages.link_and_filter(claims, spark)
     # verbalized feeds BOTH the scoring chain and the final claim-set join —
     # persist the (claim-scale, narrow) DF so mention detection + linking
-    # run once instead of twice.
-    verbalized = stages.verbalize(linked, config)
+    # run once instead of twice. Pre-partition it by conv_id BEFORE the
+    # cache: every downstream consumer (pair join, claim-attribute rejoin,
+    # verdict agg) requires hash(conv_id)-compatible clustering, so one
+    # claim-scale exchange here replaces one per consumer (InMemoryRelation
+    # preserves its child's outputPartitioning).
+    verbalized = stages.verbalize(linked, config).repartition("conv_id")
     if persist_sentences:
         verbalized = verbalized.persist()
         if cache_registry is not None:

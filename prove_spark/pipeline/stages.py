@@ -12,12 +12,21 @@ re-expressed Spark-first:
     └─ score_evidence        J9 conv_id join + M2 similarity + W1 top-k
     └─ entail_and_verdict    M3 NLI kernel + A2/A3 verdict aggregation
 
-Shuffle budget (the thing that matters at 100 TB): exactly ONE hash
-repartition per input branch, on conv_id. Every downstream window/groupBy
-partitions by (conv_id, ...) supersets, so Catalyst reuses the existing
-hash partitioning (EnsureRequirements' subset rule) and inserts no further
-exchanges. Entity disambiguation is pre-aggregated on the (tiny) dimension
-side and broadcast — never a fact-side shuffle.
+Shuffle budget (the thing that matters at 100 TB): exactly TWO fact-side
+exchanges end to end —
+  1. base sentences, hash(conv_id), for the slide window; the evidence pool
+     (base + slides) is emitted from that SAME post-window stage via
+     inline(), so a Generate preserves the partitioning and the pair join
+     re-uses it (the union formulation re-shuffled the tokenized pool:
+     583 MB extra at rep=64);
+  2. claims, hash(conv_id), a claim-scale repartition materialized into the
+     verbalized cache; the pair join, the top-k window, the verdict agg and
+     the claim-attribute rejoin all run in that one partitioning
+     (requireAllClusterKeysForCoPartition=false accepts the conv_id subset).
+Entity disambiguation is pre-aggregated on the (tiny) dimension side and
+broadcast — never a fact-side shuffle. Claim detection runs behind a cheap
+predicate-pattern prefilter so the expensive mention regex touches ~1/4 of
+sentences.
 """
 
 from __future__ import annotations
@@ -174,21 +183,33 @@ def with_slide_windows(
         F.lead("sentence", i).over(w).alias(f"_nxt{i}")
         for i in range(1, window)
     ]
-    slides = (
-        sentences.select("conv_id", "sent_id", *parts)
-        # a full window exists only where the furthest lead is non-null
-        .where(F.col(f"_nxt{window - 1}").isNotNull())
-        .select(
-            "conv_id",
-            (F.col("sent_id") + F.lit(1)).alias("sent_id"),
-            F.concat_ws(
-                config.slide_join,
-                F.col("sentence"),
-                *[F.col(f"_nxt{i}") for i in range(1, window)],
-            ).alias("sentence"),
-        )
+    # Emit BOTH the base sentence and (where a full window exists) its slide
+    # from the same post-window row via inline() — a Generate preserves the
+    # window's hash(conv_id) partitioning, so the evidence pool leaves this
+    # stage co-partitioned for the pair join. The union formulation
+    # (base ∪ slides) destroyed that partitioning and forced the join to
+    # RE-exchange the whole tokenized pool: measured 583 MB of extra shuffle
+    # vs the single ~124 MB sentence exchange this shape keeps.
+    base_struct = F.struct(
+        F.col("sent_id").alias("sent_id"), F.col("sentence").alias("sentence")
     )
-    return sentences.unionByName(slides)
+    slide_struct = F.struct(
+        (F.col("sent_id") + F.lit(1)).alias("sent_id"),
+        F.concat_ws(
+            config.slide_join,
+            F.col("sentence"),
+            *[F.col(f"_nxt{i}") for i in range(1, window)],
+        ).alias("sentence"),
+    )
+    rows = F.when(
+        # a full window exists only where the furthest lead is non-null
+        F.col(f"_nxt{window - 1}").isNotNull(),
+        F.array(base_struct, slide_struct),
+    ).otherwise(F.array(base_struct))
+    return (
+        sentences.select("conv_id", "sent_id", *parts)
+        .select("conv_id", F.inline(rows))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -210,6 +231,13 @@ def detect_claims(
         accepted, subj, pattern, obj = J.detect_claim_exprs(
             F.col("sentence"), alias_list, pattern_list
         )
+        # candidate prefilter: the expensive full claim regex only runs on
+        # sentences containing a predicate pattern (a provable superset of
+        # matches — see claim_prefilter_pattern). Dominant-CPU + worst-
+        # scaling stage without it.
+        base_sentences = base_sentences.where(
+            J.claim_prefilter_expr(F.col("sentence"), pattern_list)
+        )
         return (
             base_sentences.select(
                 "conv_id",
@@ -230,12 +258,20 @@ def detect_claims(
             )
         )
 
+    import re as _re
+
+    prefilter = _re.compile(J.claim_prefilter_pattern(pattern_list))
+
     def detect_batch(batches):
         for pdf in batches:
             hits = []
             for conv_id, sent_id, sent in zip(
                 pdf["conv_id"], pdf["sent_id"], pdf["sentence"]
             ):
+                # same superset prefilter as the JVM path (cheap small-
+                # alternation search before the big claim regex)
+                if prefilter.search(sent.lower()) is None:
+                    continue
                 hit = K.detect_claim(sent, alias_list, pattern_list)
                 if hit is not None:
                     hits.append(
@@ -366,7 +402,14 @@ def score_evidence(
         claim_keys = claims.select("conv_id", "claim_id", "claim_verbalized")
         sim = _similarity_udf("claim_verbalized", "ev_sentence")
         pair_drop = ["rank", "claim_verbalized"]
-    paired = claim_keys.join(ev, "conv_id", "inner")
+    # FORCE the shuffle join: if the claims side happens to fit under the
+    # broadcast threshold (it does at bench scale, never at 100 TB), a BHJ
+    # would leave the pair output in the evidence pool's (unknown, post-
+    # union) partitioning and the downstream window would then exchange the
+    # full pair set — measured 583 MB vs the 124 MB co-partitioned shuffle
+    # this hint preserves. With "merge", both sides land hash(conv_id) and
+    # the window + verdict agg + claim rejoin all reuse that one exchange.
+    paired = claim_keys.hint("merge").join(ev, "conv_id", "inner")
     if config.engine != "jvm":
         # Arrow path: EXPLICIT repartition on the high-cardinality
         # (conv_id, claim_id) key BEFORE the scorer UDF. The pair join's
@@ -400,10 +443,14 @@ def score_evidence(
         )
         .drop(*pair_drop)
     )
-    # claim attributes rejoin at claim scale (top-k rows per claim)
-    return topk.join(
-        claims.drop("conv_id"), "claim_id", "inner"
-    )
+    # claim attributes rejoin at claim scale (top-k rows per claim).
+    # Joining on (conv_id, claim_id) — claim_id functionally determines
+    # conv_id, so semantics are identical to a claim_id join — lets the
+    # window output's existing hash(conv_id) partitioning AND its
+    # (conv_id, claim_id, …) sort order satisfy the join requirements:
+    # no pairs-side exchange, no re-sort (measured: a 60 MB shuffle stage
+    # disappears from the plan). Only the (claim-scale) claims side moves.
+    return topk.join(claims, ["conv_id", "claim_id"], "inner")
 
 
 # --------------------------------------------------------------------------

@@ -61,7 +61,14 @@ def alias_resolve_popularity(spark, sf_dir):
     )
     n_cands = aliases.groupBy("alias").agg(F.count("*").alias("n_candidates"))
 
-    # mention counting: broadcast the alias list; documents never shuffle
+    # mention counting: broadcast the alias list; documents never shuffle.
+    # SCALE NOTE: this is O(docs × aliases) substring work — fine for a
+    # literal-sized alias dim, but a production alias dictionary (10^6
+    # surface forms) needs a single-pass multi-pattern matcher instead:
+    # either the pipeline's combined-regex approach (one compiled
+    # alternation per task, functions/jvm_kernels.py:claim_pattern) or an
+    # Aho-Corasick automaton in an Arrow-batched kernel (build once per
+    # executor from the broadcast dim, stream the corpus through it).
     mentions = (
         docs.crossJoin(F.broadcast(aliases.select("alias").distinct()))
         .where(F.contains(F.col("text"), F.col("alias")))

@@ -68,6 +68,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Accept subset co-partitioning for joins: our plans deliberately
+        # join on (conv_id, claim_id) where the fact side is already
+        # hash(conv_id)-partitioned by the upstream window — with the
+        # default (true) Spark re-exchanges BOTH sides on the full key set,
+        # shuffling the fact side a second time for nothing.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     # experiment/tuning passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")

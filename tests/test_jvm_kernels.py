@@ -135,3 +135,30 @@ def test_detect_claim_exprs_match_kernel(spark):
     got = [(r.s, r.p, r.o) if r.ok else None for r in rows]
     want = [K.detect_claim(x, aliases, patterns) for x in sents]
     assert got == want
+
+
+def test_claim_prefilter_is_superset_of_matches(spark):
+    """The cheap pattern prefilter (claim_prefilter_expr) may only ever DROP
+    sentences the full claim regex would reject — never a true match, even
+    with exotic whitespace between pattern words (normalize collapses \\s+
+    to single spaces before the full regex runs)."""
+    from prove_spark.dictionaries import ALIASES, PREDICATES
+
+    aliases = sorted({a for a, _ in ALIASES})
+    patterns = sorted({p for _, p, _, _ in PREDICATES})
+    sents = CORPUS + [
+        f"{aliases[0]} {patterns[0]} {aliases[-1]}.",
+        f"{aliases[0]} works\tat {aliases[-1]}.",  # tab inside the pattern
+        f"{aliases[0]} Works  At {aliases[-1]}.",  # case + double space
+        f"indeed {aliases[0]} {patterns[0]} {aliases[-1]}.",
+        f"{aliases[0]} does not {patterns[0]} {aliases[-1]}.",
+        "filler with no predicate pattern at all.",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"sentence": sents}))
+    pre = J.claim_prefilter_expr(F.col("sentence"), patterns)
+    kept = {r.sentence for r in df.where(pre).collect()}
+    for x in sents:
+        if K.detect_claim(x, aliases, patterns) is not None:
+            assert x in kept, f"prefilter dropped a true claim: {x!r}"
+    # and it does drop pattern-free fillers (the point of the prefilter)
+    assert "filler with no predicate pattern at all." not in kept
