@@ -518,9 +518,13 @@ def entail_and_verdict(
     probs = probs.withColumn("ev_label", _argmax_label(p, classes))
     passed = F.col("passed") & ~F.col("invalid")
     defaults = list(config.default_probs)
-    agg = probs.groupBy(
-        "conv_id",
-        "claim_id",
+    # group by (conv_id, claim_id) ONLY — the exact prefix of the upstream
+    # window's sort order, so SortAggregate's required child ordering is
+    # already satisfied and NO re-sort of the evidence rows is inserted
+    # (grouping by the full 9-column key forced a fresh 9-key sort of every
+    # evidence row). The remaining claim attributes are constant per claim
+    # and ride through as max() aggregates.
+    attrs = [
         "sent_id",
         "subj_qid",
         "property_id",
@@ -528,7 +532,9 @@ def entail_and_verdict(
         "subj_label",
         "property_label",
         "object_label",
-    ).agg(
+    ]
+    agg = probs.groupBy("conv_id", "claim_id").agg(
+        *[F.max(a).alias(a) for a in attrs],
         # conditional sums: only threshold-passing evidence contributes; a
         # claim with none gets NULL → coalesced to the default distribution
         # (claim_entailment.py:67-68) without a second claims join
