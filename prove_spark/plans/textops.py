@@ -317,12 +317,6 @@ FROM bands a JOIN bands b
 N_SIMHASH_BITS = 64
 
 
-def _simhash_bit(j: int):
-    """(source column name, shift) for bit j: lo hash covers bits 0-31,
-    hi hash bits 32-63."""
-    return ("h_lo", j) if j < 32 else ("h_hi", j - 32)
-
-
 def _simhash_term(j: int) -> int:
     """Signed long encoding of bit j: bit 63 is the two's-complement sign
     bit, so it contributes -(2^63) — the arithmetic stays in BIGINT range
@@ -330,38 +324,64 @@ def _simhash_term(j: int) -> int:
     return (1 << j) if j < 63 else -(1 << 63)
 
 
+def _simhash_packed_lane(j: int) -> tuple[str, int]:
+    """Bit j's (hash column, shift) — lo hash covers bits 0-31, hi 32-63."""
+    return ("h_lo", j) if j < 32 else ("h_hi", j - 32)
+
+
 def simhash_fingerprints(spark, sf_dir):
     """64-bit SimHash over term frequencies: bit j set iff the tf-weighted
-    sum of (+1/-1 for bit j of H(word)) is positive. Map-only per doc after
-    one (doc_id, word) tf aggregation."""
+    count of words with bit j set exceeds half the total weight
+    (2·c_j > T ⟺ the classic ±tf sum is positive). Map-only per doc after
+    one (doc_id, word) tf aggregation.
+
+    Aggregation is BIT-PACKED: two 32-bit lanes per long → 32 packed SUMs +
+    one total instead of 64 SUM(CASE) aggregates (the brute-force
+    formulation measured ~2.5 s at sf0.1 purely on aggregate width). Lane
+    safety is unconditional: each lane holds c_j ≤ T < 2^32 (a single doc
+    would need 4 billion words to overflow), lanes are non-negative so no
+    cross-lane carry, and the packed long stays < 2^63."""
     d = _t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     h = tf.withColumn(
         "h_lo", _portable_hash(F.concat(F.lit("s0|"), F.col("w")))
     ).withColumn("h_hi", _portable_hash(F.concat(F.lit("s1|"), F.col("w"))))
-    bit_sums = h.groupBy("doc_id").agg(
+
+    def bit_tf(j: int):
+        col, sh = _simhash_packed_lane(j)
+        return F.when(
+            F.shiftright(F.col(col), sh).bitwiseAND(F.lit(1)) == 1,
+            F.col("tf"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    packed = h.groupBy("doc_id").agg(
+        F.sum("tf").alias("t_total"),
         *[
             F.sum(
-                F.when(
-                    F.shiftright(F.col(_simhash_bit(j)[0]), _simhash_bit(j)[1])
-                    .bitwiseAND(F.lit(1))
-                    == 1,
-                    F.col("tf"),
-                ).otherwise(-F.col("tf"))
-            ).alias(f"b{j}")
-            for j in range(N_SIMHASH_BITS)
-        ]
+                bit_tf(2 * k)
+                + F.shiftleft(bit_tf(2 * k + 1).cast("long"), 32)
+            ).alias(f"p{k}")
+            for k in range(N_SIMHASH_BITS // 2)
+        ],
     )
-    # bits 0..62 first (partial sums ≤ 2^63-1), the negative sign-bit term
-    # last — every intermediate stays in long range under ANSI arithmetic
+    # unpack: c_{2k} = p_k & 0xFFFFFFFF, c_{2k+1} = p_k >> 32 (p_k ≥ 0);
+    # bit j set iff 2*c_j > T. Bits 0..62 sum first, the negative
+    # two's-complement sign-bit term last — all intermediates in long range.
+    def c(j: int) -> F.Column:
+        k = j // 2
+        if j % 2 == 0:
+            return F.col(f"p{k}").bitwiseAND(F.lit(0xFFFFFFFF))
+        return F.shiftright(F.col(f"p{k}"), 32)
+
     sim = None
     for j in range(N_SIMHASH_BITS):
         term = F.when(
-            F.col(f"b{j}") > 0, F.lit(_simhash_term(j)).cast("long")
+            2 * c(j) > F.col("t_total"),
+            F.lit(_simhash_term(j)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else (sim + term)
-    return bit_sums.select("doc_id", sim.alias("simhash"))
+    return packed.select("doc_id", sim.alias("simhash"))
 
 
 _SIMHASH_BITSUMS = ",\n".join(
