@@ -165,3 +165,68 @@ def test_error_lane_injected(spark):
     roll = entity_rollup(triples).toPandas().set_index("subj")
     assert roll.loc["Q1", "n_errors"] == 1
     assert roll.loc["Q1", "prove_score"] == 0.5  # (1-0)/(1+0+0+1)
+
+
+def test_result_sentence_reference_semantics(spark):
+    """Reference get_final_verdict parity (claim_entailment.py:126-146):
+    first SUPPORTS sentence if any; otherwise the first sentence of the
+    MODAL label, where pandas mode()[0] resolves count ties to the
+    lexicographically smallest label — 'NOT ENOUGH INFO' < 'REFUTES', so
+    REFUTES needs a strict majority."""
+    import pandas as pd
+
+    from prove_spark.pipeline.stages import entail_and_verdict
+
+    def ev(claim, sid, toks, sim):
+        return {
+            "conv_id": "c1",
+            "claim_id": claim,
+            "sent_id": 0,
+            "subj_qid": "Q1",
+            "property_id": "P1",
+            "obj_qid": "Q2",
+            "subj_label": "alice",
+            "property_label": "knows",
+            "object_label": "bob",
+            "claim_verbalized": "alice knows bob",
+            "ev_tokens": toks,
+            "ev_sentence": " ".join(toks),
+            "ev_sent_id": sid,
+            "similarity_score": sim,
+            "passed": True,
+        }
+
+    nei1 = ["alice", "maybe"]          # NEI lane
+    nei2 = ["bob", "perhaps"]          # NEI lane
+    ref = ["alice", "bob", "not"]      # REFUTES lane
+    sup = ["alice", "knows", "bob"]    # SUPPORTS lane
+    rows = [
+        # claim A: {NEI:2, REFUTES:1} → modal NEI → first NEI sentence
+        # (old MALON-priority variant would have picked the REFUTES one)
+        ev("c1:0", 1, ref, 0.9),
+        ev("c1:0", 3, nei1, 0.8),
+        ev("c1:0", 5, nei2, 0.7),
+        # claim B: {NEI:1, REFUTES:1} tie → lex-min label = NEI
+        ev("c1:2", 1, ref, 0.9),
+        ev("c1:2", 3, nei1, 0.8),
+        # claim C: SUPPORTS present → its sentence wins regardless of counts
+        ev("c1:4", 1, nei1, 0.9),
+        ev("c1:4", 3, nei2, 0.8),
+        ev("c1:4", 5, sup, 0.1),
+        # claim D: {REFUTES:2, NEI:1} strict majority → first REFUTES by
+        # (sim desc, sent_id asc)
+        ev("c1:6", 1, nei1, 0.95),
+        ev("c1:6", 3, ref, 0.9),
+        ev("c1:6", 5, ["bob", "alice", "never"], 0.8),
+    ]
+    out = (
+        entail_and_verdict(spark.createDataFrame(pd.DataFrame(rows)))
+        .toPandas()
+        .set_index("claim_id")
+    )
+    assert out.loc["c1:0", "result_sentence"] == "alice maybe"
+    assert out.loc["c1:2", "result_sentence"] == "alice maybe"
+    assert out.loc["c1:4", "result_sentence"] == "alice knows bob"
+    assert out.loc["c1:6", "result_sentence"] == "alice bob not"
+    # MALON stays the priority lane (any REFUTES beats NEI) — independent
+    assert out.loc["c1:0", "malon"] == "REFUTES"
