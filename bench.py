@@ -62,11 +62,14 @@ KG_REPLICATE = int(os.environ.get("SPARK_GRAFT_KG_REPLICATE", "16"))
 # efficiency. Larger replicates buy little accuracy at 3-4x the wall time.
 SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "128"))
 N_TIMED = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-# 4 interleaved pairs: the machine carries external load with multi-minute
-# drift episodes; the upper median of 4 tolerates two contaminated pairs
-# where 3 pairs tolerate one — while staying ~4 min cheaper than 5 (the
-# whole bench must fit the round driver's window).
-N_TIMED_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "4"))
+# 3 interleaved pairs, each side min-of-2 timed runs: the machine carries
+# external load with multi-minute drift episodes. Noise only ever makes a
+# run SLOWER, so min-of-2 per side approaches the machine's true wall from
+# below on BOTH sides symmetrically; the median over 3 pairs then discards
+# a pair whose drift outlasted both runs of one side. (Measured: single-run
+# pairs spread 0.74–0.86 on identical code purely with load phase.)
+N_TIMED_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+N_TIMED_SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_SIDE_RUNS", "2"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -272,8 +275,8 @@ def main() -> None:
     # statistic most sensitive to that contamination.
     pairs = []
     for _ in range(N_TIMED_SCALE):
-        hi_k = kg_subprocess(SCALE_HIGH, SCALE_REPLICATE, 1)
-        lo_k = kg_subprocess(SCALE_LOW, SCALE_REPLICATE, 1)
+        hi_k = kg_subprocess(SCALE_HIGH, SCALE_REPLICATE, N_TIMED_SCALE_RUNS)
+        lo_k = kg_subprocess(SCALE_LOW, SCALE_REPLICATE, N_TIMED_SCALE_RUNS)
         if hi_k and lo_k:
             pairs.append((hi_k, lo_k))
 
