@@ -27,3 +27,26 @@ def test_registry_within_sweep_cap():
     assert len(ALL_QUERIES) <= 50
     assert all(sql is not None for _fn, sql in ALL_QUERIES.values())
     assert list(ALL_QUERIES)[0] == "kg_triples"  # flagship leads the sweep
+
+
+def test_driver_sortable_catches_unhashable_columns():
+    """The r2 driver crash class: MapType → dict cells and ArrayType →
+    ndarray/list cells survive a rows-only count check but crash the
+    driver's raw-value sort canonicalization. The local gate must flag
+    them — and must pass clean frames, including all-null object columns
+    (NaN-valued nulls from pandas merges)."""
+    import numpy as np
+    import pandas as pd
+
+    from prove_spark.plans.compare import driver_sortable
+
+    assert driver_sortable(pd.DataFrame({"a": [1, 2], "b": ["x", None]})) == []
+    assert driver_sortable(pd.DataFrame({"a": [np.nan, np.nan]})) == []
+    # multi-column frames (every real query output) go through pandas
+    # lexsort/factorize, which hashes cell values — dict/ndarray cells throw
+    assert driver_sortable(
+        pd.DataFrame({"a": [{"k": 1}, {"k": 2}], "b": [1, 2]})
+    ) != []
+    assert driver_sortable(
+        pd.DataFrame({"a": [np.array([1]), np.array([2])], "b": [1, 2]})
+    ) != []
