@@ -35,3 +35,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql is not None
     }
+
+
+def unregistered() -> frozenset[str]:
+    """Queries implemented + unit-tested but intentionally left out of the
+    50-row driver sweep (derivable from registered rows) — exposed so sweep
+    reports can show the exclusions instead of them being silent."""
+    from prove_spark.plans.registry import _UNREGISTERED
+
+    return frozenset(_UNREGISTERED)

@@ -62,13 +62,15 @@ KG_REPLICATE = int(os.environ.get("SPARK_GRAFT_KG_REPLICATE", "16"))
 # efficiency. Larger replicates buy little accuracy at 3-4x the wall time.
 SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "128"))
 N_TIMED = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-# 3 interleaved pairs, each side min-of-2 timed runs: the machine carries
+# 5 interleaved pairs, each side min-of-2 timed runs: the machine carries
 # external load with multi-minute drift episodes. Noise only ever makes a
 # run SLOWER, so min-of-2 per side approaches the machine's true wall from
-# below on BOTH sides symmetrically; the median over 3 pairs then discards
-# a pair whose drift outlasted both runs of one side. (Measured: single-run
-# pairs spread 0.74–0.86 on identical code purely with load phase.)
-N_TIMED_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+# below on BOTH sides symmetrically; the median over 5 pairs then discards
+# up to TWO pairs whose drift outlasted both runs of one side. (Measured:
+# single-run pairs spread 0.74–0.86 on identical code purely with load
+# phase; r3 shipped one 0.78 pair among 0.94s — with 3 pairs a single
+# additional drift episode away from a failed gate, hence 5.)
+N_TIMED_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "5"))
 N_TIMED_SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_SIDE_RUNS", "2"))
 
 HEADLINE = [
@@ -103,27 +105,46 @@ def kg_measure(
     # straggler task costs half a wave instead of doubling the whole stage.
     # Matters most on the high-core side (more tasks exposed to noise), but
     # applied identically to both sides for a fair comparison.
+    # Measurement knobs (attribution experiments set these per-variant; the
+    # defaults are the confs of record — see BASELINE.md "regression
+    # attribution" for the measured cost of each):
+    #   SPARK_GRAFT_SPLIT_MB   input split size in MB; 0 = Spark default 128
+    #   SPARK_GRAFT_BENCH_UI   1 = UI + REST per-stage attribution (default)
+    #   SPARK_GRAFT_PAIR_HINT  pair-join hint; "none" = let AQE choose
+    split_mb = int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "8"))
+    ui_on = os.environ.get("SPARK_GRAFT_BENCH_UI", "1") == "1"
+    pair_hint = os.environ.get("SPARK_GRAFT_PAIR_HINT", "merge")
+    conf = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    if split_mb:
+        # small input splits → several task waves per scan on BOTH sides
+        # of the scaling pair. The default 128 MB splits gave the 2-core
+        # side a 3-task single-wave scan (one core idle for half the
+        # stage); 8 MB splits cost negligible per-task overhead and give
+        # both sides statistically balanced waves.
+        conf["spark.sql.files.maxPartitionBytes"] = str(split_mb * 1024 * 1024)
+    if ui_on:
+        # UI on for per-stage executor CPU/GC attribution (read via the
+        # status REST API below); a fixed port per core count avoids
+        # collisions between the interleaved pair subprocesses. Retain far
+        # more stages than a bench run creates — with the default 1000 the
+        # UI store would evict stages between the pre/post reads at high
+        # replicate counts and silently corrupt the deltas.
+        conf["spark.ui.enabled"] = "true"
+        conf["spark.ui.port"] = str(4060 + cores)
+        conf["spark.ui.retainedStages"] = "100000"
     spark = get_spark(
         f"bench-kg-{cores}",
         master=f"local[{cores}]",
+        # 2x partitions per core: two reduce waves, so one noisy-neighbor
+        # straggler task costs half a wave instead of doubling the whole
+        # stage (see comment at the top of kg_measure).
         shuffle_partitions=2 * cores,
         # partitions are already sized to 2/core above; AQE's byte-based
         # coalescer would merge them back to ~1/core (one wave, maximum
         # straggler exposure) — measured ~4% slower on the 8-core side
-        extra_conf={
-            "spark.sql.adaptive.coalescePartitions.enabled": "false",
-            # small input splits → several task waves per scan on BOTH sides
-            # of the scaling pair. The default 128 MB splits gave the 2-core
-            # side a 3-task single-wave scan (one core idle for half the
-            # stage); 8 MB splits cost negligible per-task overhead and give
-            # both sides statistically balanced waves.
-            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
-            # UI on for per-stage executor CPU/GC attribution (read via the
-            # status REST API below); a fixed port per core count avoids
-            # collisions between the interleaved pair subprocesses.
-            "spark.ui.enabled": "true",
-            "spark.ui.port": str(4060 + cores),
-        },
+        extra_conf=conf,
     )
     tdir = tempfile.mkdtemp(prefix=f"bench_transcripts_{replicate}_")
     transcripts_df(spark, SF_DIR, replicate=replicate).write.mode(
@@ -135,7 +156,11 @@ def kg_measure(
 
     from prove_spark.config import DEFAULT_CONFIG
 
-    cfg = replace(DEFAULT_CONFIG, engine=engine)
+    cfg = replace(
+        DEFAULT_CONFIG,
+        engine=engine,
+        pair_join_hint="" if pair_hint == "none" else pair_hint,
+    )
     # Warmup at a SMALL replicate: its purpose is JIT + Python-worker spin-up
     # + dim/session caches, which a 1/16-size run triggers identically at a
     # fraction of the cost of a full-size throwaway run (at rep=512 the old
@@ -152,6 +177,8 @@ def kg_measure(
     import urllib.request
 
     def _stage_totals() -> dict | None:
+        if not ui_on:
+            return None
         try:
             url = (
                 f"http://localhost:{4060 + cores}/api/v1/applications/"
@@ -212,12 +239,17 @@ SUBPROC_TIMEOUT = int(os.environ.get("SPARK_GRAFT_KG_TIMEOUT", "1800"))
 
 
 def kg_subprocess(
-    cores: int, replicate: int, n_timed: int = N_TIMED, engine: str = "jvm"
+    cores: int,
+    replicate: int,
+    n_timed: int = N_TIMED,
+    engine: str = "jvm",
+    extra_env: dict[str, str] | None = None,
 ) -> dict | None:
     """Fork a fresh interpreter (hence fresh JVM) for one measurement.
     Returns None on timeout/crash so a partial bench still emits its JSON
     line (the driver records whatever completed)."""
     env = dict(os.environ)
+    env.update(extra_env or {})
     # PREPEND the repo dir — clobbering would drop dependencies the parent
     # was given via PYTHONPATH
     repo_dir = os.path.dirname(os.path.abspath(__file__))
@@ -296,13 +328,19 @@ def main() -> None:
     spark.stop()
 
     # KG throughput: fresh subprocess (fresh JVM) per core count — see
-    # module docstring for why.
-    kg_hi = kg_subprocess(CPUS, KG_REPLICATE)
+    # module docstring for why. The HEADLINE measurement runs with default
+    # 128 MB input splits: the 8 MB splits exist to balance task waves on
+    # the 2-core scaling side and were measured to cost ~0.4-0.6 s at
+    # local[32] (r3's kg_pipeline "regression" attribution — BASELINE.md).
+    headline_env = {"SPARK_GRAFT_SPLIT_MB": "0"}
+    kg_hi = kg_subprocess(CPUS, KG_REPLICATE, extra_env=headline_env)
     if kg_hi:
         queries["kg_pipeline"] = kg_hi["wall_sec"]
         total += kg_hi["wall_sec"]
     # the mapInPandas engine (what real NN models run as), for contrast
-    kg_arrow = kg_subprocess(CPUS, KG_REPLICATE, n_timed=2, engine="arrow")
+    kg_arrow = kg_subprocess(
+        CPUS, KG_REPLICATE, n_timed=2, engine="arrow", extra_env=headline_env
+    )
 
     # Scaling-pair statistics (pairs measured at the top of main): MEDIAN of
     # per-pair efficiencies — the two sides of a pair run minutes apart, so a
@@ -356,8 +394,12 @@ def main() -> None:
                 # job must burn ~the same CPU at both core counts — r2's
                 # gate failure was a 1.4x inflation at the high side (regex
                 # hot loop), fixed in r3 (prefilter + exchange restructure)
+                # guard: None only when a REST read FAILED (missing data);
+                # a pathological 0.0 cpu reading must surface, not be masked
                 "cpu_inflation_high_vs_low": (
-                    round(cpu_hi / cpu_lo, 3) if cpu_hi and cpu_lo else None
+                    round(cpu_hi / cpu_lo, 3)
+                    if cpu_hi is not None and cpu_lo
+                    else None
                 ),
             }
         )

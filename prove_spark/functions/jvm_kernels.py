@@ -134,13 +134,28 @@ def claim_pattern(aliases: list[str], patterns: list[str]) -> str:
     return claim_regex(aliases, patterns).pattern
 
 
+# Whitespace class equal to PYTHON's str-mode \s, spelled explicitly so it
+# means the same thing under java.util.regex (whose bare \s is ASCII-only)
+# and under Python re. Used between prefilter pattern words so both engines'
+# prefilters keep exactly the same sentences — with a dialect-dependent \s a
+# predicate phrase separated by e.g. U+00A0 would be kept by the Python
+# engine and dropped by the JVM one (latent engine-parity divergence; the
+# normalize stage itself retains the documented ASCII-\s contract).
+_PY_WS_CLASS = (
+    "[ \\t\\n\\x0B\\f\\r\\x1C-\\x1F\\x85\\xA0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+
+
 def claim_prefilter_pattern(patterns: list[str]) -> str:
     """Cheap candidate prefilter: a sentence can only match the (expensive,
     ~90-alternation) claim regex if it contains one of the predicate surface
     patterns. Pattern-word sequences are invariant under normalize_text
     except for whitespace collapse, so matching the RAW lowercased sentence
-    with `\\s+` between pattern words is a strict superset of the
-    post-normalize match — the prefilter can never drop a true claim.
+    with a whitespace run between pattern words is a strict superset of the
+    post-normalize match — the prefilter can never drop a true claim. The
+    whitespace run uses _PY_WS_CLASS (Python's \\s set, a superset of Java's
+    ASCII \\s) so both regex dialects keep identical sentence sets.
 
     Why it exists: the full claim regex was the pipeline's dominant CPU
     (measured 57–82 executor-cpu-s of ~170 at rep=64) AND its worst scaler
@@ -150,11 +165,16 @@ def claim_prefilter_pattern(patterns: list[str]) -> str:
     import re as _re
 
     alts = sorted({p for p in patterns}, key=len, reverse=True)
-    # re.escape renders a space as '\ ' (special under re.VERBOSE), so
-    # replace the escaped form as well as a bare space
+    ws = _PY_WS_CLASS + "+"
+    # Substitute each space (re.escape may render it bare or as '\ ' —
+    # it is special under re.VERBOSE) with the whitespace-run class in ONE
+    # left-to-right pass. Chained str.replace calls would re-scan the
+    # already-inserted class, whose own literal space char they then
+    # corrupt into nested garbage (caught by test_prefilter_superset).
+    # The lambda replacement keeps re.sub from interpreting the class's
+    # backslash escapes as group references.
     return "|".join(
-        _re.escape(p).replace("\\ ", r"\s+").replace(" ", r"\s+")
-        for p in alts
+        _re.sub(r"\\? ", lambda _m: ws, _re.escape(p)) for p in alts
     )
 
 

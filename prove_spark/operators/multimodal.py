@@ -2,17 +2,20 @@
 
 Images/audio/video ride through the engine as `binary` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched `mapInPandas` kernels. The actual codec step is STUBBED here
-(no image/audio libraries in this container): `decode_image_batch` raises
-NotImplementedError unless `fake=True`, in which case a deterministic fake
-decoder produces (width, height, n_channels, mean_luma) from the payload
-bytes — the Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is real and tested (tests/test_multimodal.py).
+Arrow-batched `mapInPandas` kernels. The real-codec path (`fake=False`)
+carries a dependency-free pure-Python decoder for uncompressed 24-bit BMP
+and binary PPM (P6) — actual header parse + pixel scan + BT.601 luma — and
+raises NotImplementedError for formats that need PIL/ffmpeg (not in this
+container). The default `fake=True` path derives deterministic pseudo
+features from a content hash so the Spark-side plumbing (schema, batching,
+partitioning, UDF signatures) stays testable on arbitrary payloads
+(tests/test_multimodal.py covers both paths).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,17 +56,92 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, n_channels, mean_luma
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
+    """Real decode of an uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER):
+    header parse + full pixel scan. Rows are 4-byte padded, pixels BGR.
+    Returns (width, height, n_channels, mean_luma) with mean_luma the
+    BT.601 luma (0.299R + 0.587G + 0.114B) averaged over all pixels,
+    normalized to [0, 1] and rounded to 6 places."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, width, height) = struct.unpack_from("<Iii", payload, 14)
+    (planes, bpp) = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    total = 0
+    for r in range(height):
+        row = payload[pix_off + r * row_stride :][: width * 3]
+        # BGR byte triples; 1000x-scaled integer luma keeps the sum exact
+        for c in range(width):
+            b, g, rr = row[3 * c], row[3 * c + 1], row[3 * c + 2]
+            total += 299 * rr + 587 * g + 114 * b
+    n_px = width * height
+    return width, height, 3, round(total / (n_px * 1000 * 255.0), 6)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, float]:
+    """Real decode of a binary PPM (P6): ASCII header (width height maxval,
+    `#` comments allowed) then raw RGB triples."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: P6, width, height, maxval, then ONE whitespace
+    # byte before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    raster = payload[pos : pos + width * height * 3]
+    total = 0
+    for i in range(0, width * height * 3, 3):
+        total += 299 * raster[i] + 587 * raster[i + 1] + 114 * raster[i + 2]
+    n_px = width * height
+    return width, height, 3, round(total / (n_px * 1000 * 255.0), 6)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, float]:
+    """Dispatch on magic bytes; NotImplementedError for formats that need
+    real codec libraries (PNG/JPEG/WAV/MP4 → PIL/ffmpeg at deploy)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "real decode for this format needs PIL/ffmpeg — not in this container"
+    )
+
+
 def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract as a mapInPandas stage (Arrow batches of
-    binary payloads; one Python worker call per batch, never per row)."""
+    binary payloads; one Python worker call per batch, never per row).
+    fake=False runs the real pure-Python BMP/PPM decoder (NotImplementedError
+    surfaces per-task for unsupported formats, exactly as a missing codec
+    would in production)."""
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode needs PIL/ffmpeg — not in this container"
-                )
-            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            if fake:
+                feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            else:
+                feats = [decode_image(bytes(p)) for p in pdf["payload"]]
             out = pdf[["media_id", "media_type", "n_bytes"]].copy()
             out["width"] = [f[0] for f in feats]
             out["height"] = [f[1] for f in feats]

@@ -136,20 +136,28 @@ def extract_sentences(transcripts: DataFrame, config: PipelineConfig = DEFAULT_C
         )
 
     def split_batch(batches):
+        # batched twin of K.split_sentences: one vectorized split per batch,
+        # explode, strip, drop empties, then cumcount-per-turn re-derives the
+        # enumerate() k over the KEPT sentences (tests pin equality)
         for pdf in batches:
-            out_conv, out_sid, out_sent = [], [], []
-            for conv_id, turn_idx, txt in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
-            ):
-                # NULL text == no sentences (matches the JVM path, where
-                # split(NULL) → NULL array → posexplode drops the row)
-                text = "" if txt is None else str(txt)
-                for k, s in enumerate(K.split_sentences(text[:max_chars])):
-                    out_conv.append(conv_id)
-                    out_sid.append(int(turn_idx) * SENT_ID_STRIDE + 2 * k)
-                    out_sent.append(s)
+            # NULL text == no sentences (matches the JVM path, where
+            # split(NULL) → NULL array → posexplode drops the row)
+            text = pdf["text"].fillna("").astype(str).str.slice(0, max_chars)
+            ex = (
+                pdf[["conv_id", "turn_idx"]]
+                .assign(sentence=text.str.split(K.SENT_SPLIT_RE))
+                .explode("sentence")
+            )
+            ex["sentence"] = ex["sentence"].str.strip()
+            ex = ex[ex["sentence"].notna() & (ex["sentence"] != "")]
+            k = ex.groupby(level=0).cumcount()
             yield pd.DataFrame(
-                {"conv_id": out_conv, "sent_id": out_sid, "sentence": out_sent}
+                {
+                    "conv_id": ex["conv_id"],
+                    "sent_id": ex["turn_idx"].astype("int64") * SENT_ID_STRIDE
+                    + 2 * k,
+                    "sentence": ex["sentence"],
+                }
             )
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
@@ -258,35 +266,37 @@ def detect_claims(
             )
         )
 
-    import re as _re
+    from ..functions import arrow_kernels as AK
 
-    prefilter = _re.compile(J.claim_prefilter_pattern(pattern_list))
+    # The superset prefilter runs JVM-SIDE even in the arrow engine: it is a
+    # cheap filter (not a model stand-in), and pushing it ahead of the Arrow
+    # boundary cuts the rows serialized into the Python worker ~4x — exactly
+    # where a production pipeline would put a cheap candidate filter ahead
+    # of an expensive model stage.
+    base_sentences = base_sentences.where(
+        J.claim_prefilter_expr(F.col("sentence"), pattern_list)
+    )
 
     def detect_batch(batches):
+        # batch-vectorized claim regex + rejection (arrow_kernels twin of
+        # K.detect_claim; one C-loop extract pass per Arrow batch)
         for pdf in batches:
-            hits = []
-            for conv_id, sent_id, sent in zip(
-                pdf["conv_id"], pdf["sent_id"], pdf["sentence"]
-            ):
-                # same superset prefilter as the JVM path (cheap small-
-                # alternation search before the big claim regex)
-                if prefilter.search(sent.lower()) is None:
-                    continue
-                hit = K.detect_claim(sent, alias_list, pattern_list)
-                if hit is not None:
-                    hits.append(
-                        (conv_id, int(sent_id), f"{conv_id}:{sent_id}", *hit)
-                    )
+            g = AK.detect_claims_batch(
+                pdf["sentence"], alias_list, pattern_list
+            )
+            keep = pdf[g["ok"].to_numpy()]
+            gk = g[g["ok"].to_numpy()]
             yield pd.DataFrame(
-                hits,
-                columns=[
-                    "conv_id",
-                    "sent_id",
-                    "claim_id",
-                    "subj_alias",
-                    "pattern",
-                    "obj_alias",
-                ],
+                {
+                    "conv_id": keep["conv_id"],
+                    "sent_id": keep["sent_id"].astype("int64"),
+                    "claim_id": keep["conv_id"].astype(str)
+                    + ":"
+                    + keep["sent_id"].astype(str),
+                    "subj_alias": gk["subj_alias"],
+                    "pattern": gk["pattern"],
+                    "obj_alias": gk["obj_alias"],
+                }
             )
 
     return base_sentences.mapInPandas(detect_batch, schema=CLAIM_SCHEMA)
@@ -324,9 +334,9 @@ def link_and_filter(claims: DataFrame, spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 @F.pandas_udf(T.StringType())
 def _verbalize_udf(s: pd.Series, p: pd.Series, o: pd.Series) -> pd.Series:
-    return pd.Series(
-        [K.verbalize_triple(a, b, c) for a, b, c in zip(s, p, o)]
-    )
+    from ..functions.arrow_kernels import verbalize_batch
+
+    return verbalize_batch(s, p, o)
 
 
 def verbalize(
@@ -352,7 +362,9 @@ def verbalize(
 # --------------------------------------------------------------------------
 @F.pandas_udf(T.DoubleType())
 def _similarity_udf(verb: pd.Series, sent: pd.Series) -> pd.Series:
-    return pd.Series([K.similarity(v, s) for v, s in zip(verb, sent)])
+    from ..functions.arrow_kernels import similarity_batch
+
+    return similarity_batch(verb, sent)
 
 
 def score_evidence(
@@ -409,7 +421,9 @@ def score_evidence(
     # full pair set — measured 583 MB vs the 124 MB co-partitioned shuffle
     # this hint preserves. With "merge", both sides land hash(conv_id) and
     # the window + verdict agg + claim rejoin all reuse that one exchange.
-    paired = claim_keys.hint("merge").join(ev, "conv_id", "inner")
+    if config.pair_join_hint:
+        claim_keys = claim_keys.hint(config.pair_join_hint)
+    paired = claim_keys.join(ev, "conv_id", "inner")
     if config.engine != "jvm":
         # Arrow path: EXPLICIT repartition on the high-cardinality
         # (conv_id, claim_id) key BEFORE the scorer UDF. The pair join's
@@ -460,9 +474,9 @@ def score_evidence(
 def _nli_udf(
     subj: pd.Series, obj: pd.Series, verb: pd.Series, sent: pd.Series
 ) -> pd.Series:
-    return pd.Series(
-        [list(K.nli_probs(a, b, c, d)) for a, b, c, d in zip(subj, obj, verb, sent)]
-    )
+    from ..functions.arrow_kernels import nli_batch
+
+    return nli_batch(subj, obj, verb, sent)
 
 
 def _argmax_label(prob_cols: list, classes: list[str] | None = None) -> F.Column:

@@ -412,6 +412,17 @@ def kg_entity_rollup_sql() -> str:
     return _kg_ctes() + _rollup_select()
 
 
+def kg_top_supported_sql() -> str:
+    """Flagship read query oracle: top-10 entities by supported-claim count.
+    Deterministic despite the LIMIT — subj is unique per rollup row, so
+    (n_supports DESC, subj ASC) is a total order."""
+    return (
+        "SELECT * FROM ("
+        + kg_entity_rollup_sql()
+        + ") ORDER BY n_supports DESC, subj ASC LIMIT 10"
+    )
+
+
 def kg_entities_sql() -> str:
     """Entities-dimension oracle (build_entities twin)."""
     ent_rows = ENTITIES

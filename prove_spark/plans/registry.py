@@ -8,11 +8,9 @@ the pandas oracle (tests/test_pipeline_golden.py).
 
 Ordering/size: the KG lane leads and the registry is capped at 50 entries —
 the driver sweep records at most 50 rows, and every registered query must
-get a row. Two derivable queries are intentionally unregistered (still
-importable + unit-tested): kg_top_supported (pure orderBy/limit over
-kg_entity_rollup) and salted_pivot_counts (the exact machinery
-kg_entity_rollup's oracled row now covers; salted_event_counts keeps the
-salted-agg CORR row).
+get a row. Two derivable queries are intentionally unregistered (see
+_UNREGISTERED below; still importable + unit-tested, and exposed through
+__spark_entry__.unregistered() so the exclusion is visible at runtime).
 """
 
 from __future__ import annotations
@@ -78,12 +76,14 @@ def _kg_sqls() -> dict[str, str]:
     from .kg_oracle import (
         kg_entities_sql,
         kg_entity_rollup_sql,
+        kg_top_supported_sql,
         kg_triples_sql,
     )
 
     return {
         "kg_triples": kg_triples_sql(),
         "kg_entity_rollup": kg_entity_rollup_sql(),
+        "kg_top_supported": kg_top_supported_sql(),
         "kg_entities": kg_entities_sql(),
     }
 
@@ -93,10 +93,18 @@ _SQLS = _kg_sqls()
 KG_QUERIES: dict[str, tuple] = {
     "kg_triples": (kg_triples, _SQLS["kg_triples"]),
     "kg_entity_rollup": (kg_entity_rollup, _SQLS["kg_entity_rollup"]),
+    "kg_top_supported": (kg_top_supported, _SQLS["kg_top_supported"]),
     "kg_entities": (kg_entities, _SQLS["kg_entities"]),
 }
 
-_UNREGISTERED = {"salted_pivot_counts"}  # see module docstring
+# Intentionally unregistered to stay under the driver's 50-row sweep cap
+# (still importable + unit-tested; exposed via __spark_entry__.unregistered()
+# so sweep reports can show the exclusions):
+#   salted_pivot_counts — the exact machinery kg_entity_rollup's oracled row
+#     covers (salted_event_counts keeps the salted-agg CORR row)
+#   q18_large_orders — third of three near-isomorphic TPC-H join/agg queries
+#     (q3/q10 stay registered); retired in its favor of kg_top_supported
+_UNREGISTERED = {"salted_pivot_counts", "q18_large_orders"}
 
 ALL_QUERIES: dict[str, tuple] = {
     **KG_QUERIES,

@@ -28,20 +28,46 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 class TableIO:
-    """Minimal catalog: name → path under a warehouse root.
+    """Minimal catalog: name → path under a warehouse root (parquet mode) or
+    name → catalog identifier (Iceberg mode).
 
-    All path operations go through the Hadoop FileSystem API so s3a:// /
-    hdfs:// / file:// warehouses behave identically — local os.* calls would
-    silently break resume on any non-local warehouse (exists() returning
-    False forever means every rerun recomputes everything)."""
+    Iceberg mode (`use_iceberg=True`, autodetected from the classpath by
+    default) routes everything through the session catalog with
+    DataFrameWriterV2 semantics: append → `writeTo(...).append()`,
+    overwrite → `createOrReplace()`, per-bucket idempotent replace →
+    `overwritePartitions()` (Iceberg v2 dynamic REPLACE PARTITIONS — exactly
+    the resume primitive checkpoint.py relies on). Parquet mode emulates the
+    same semantics with directory-per-table dynamic partition overwrite.
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    All parquet path operations go through the Hadoop FileSystem API so
+    s3a:// / hdfs:// / file:// warehouses behave identically — local os.*
+    calls would silently break resume on any non-local warehouse (exists()
+    returning False forever means every rerun recomputes everything)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        use_iceberg: bool | None = None,
+        namespace: str = "prove",
+    ):
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
-        self.use_iceberg = iceberg_available(spark)
+        self.namespace = namespace
+        self.use_iceberg = (
+            iceberg_available(spark) if use_iceberg is None else use_iceberg
+        )
+        if self.use_iceberg:
+            self.spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {self.namespace}"
+            )
 
     def path(self, table: str) -> str:
         return f"{self.warehouse}/{table}"
+
+    def ident(self, table: str) -> str:
+        """Catalog identifier for Iceberg mode."""
+        return f"{self.namespace}.{table}"
 
     def _fs(self, path: str):
         jvm = self.spark._jvm
@@ -52,11 +78,14 @@ class TableIO:
         return fs, hpath
 
     def exists(self, table: str) -> bool:
-        """True only if the directory holds committed output: a _SUCCESS
-        marker or at least one non-underscore entry. A crashed write can
-        leave only `_temporary/` behind — counting that as present makes
-        callers skip their empty-table fallbacks and die on schema
-        inference."""
+        """True only if the table holds committed output. Iceberg: a catalog
+        lookup (an Iceberg commit is atomic, so presence == committed).
+        Parquet: a _SUCCESS marker or at least one non-underscore entry — a
+        crashed write can leave only `_temporary/` behind, and counting that
+        as present makes callers skip their empty-table fallbacks and die on
+        schema inference."""
+        if self.use_iceberg:
+            return bool(self.spark.catalog.tableExists(self.ident(table)))
         fs, hpath = self._fs(self.path(table))
         if not fs.exists(hpath):
             return False
@@ -67,23 +96,51 @@ class TableIO:
         return False
 
     def drop(self, table: str) -> None:
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.ident(table)}")
+            return
         fs, hpath = self._fs(self.path(table))
         if fs.exists(hpath):
             fs.delete(hpath, True)
 
     def read(self, table: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self.ident(table))
         return self.spark.read.parquet(self.path(table))
 
     def append(self, df: DataFrame, table: str) -> None:
+        if self.use_iceberg:
+            if self.exists(table):
+                df.writeTo(self.ident(table)).append()
+            else:
+                df.writeTo(self.ident(table)).using("iceberg").create()
+            return
         df.write.mode("append").parquet(self.path(table))
 
     def overwrite(self, df: DataFrame, table: str) -> None:
+        if self.use_iceberg:
+            df.writeTo(self.ident(table)).using("iceberg").createOrReplace()
+            return
         df.write.mode("overwrite").parquet(self.path(table))
 
     def overwrite_buckets(self, df: DataFrame, table: str, bucket_col: str = "bucket") -> None:
-        """Idempotent per-bucket replace: dynamic partition overwrite keyed by
-        the bucket column — re-running a bucket replaces exactly its files
-        (the parquet stand-in for Iceberg REPLACE PARTITIONS)."""
+        """Idempotent per-bucket replace: re-running a bucket replaces exactly
+        its files/partitions. Iceberg: `overwritePartitions()` on a table
+        partitioned by the bucket column (dynamic REPLACE PARTITIONS, an
+        atomic snapshot commit). Parquet: dynamic partition overwrite keyed
+        by the bucket column — same replace granularity, directory-level."""
+        if self.use_iceberg:
+            ident = self.ident(table)
+            if not self.exists(table):
+                (
+                    df.writeTo(ident)
+                    .using("iceberg")
+                    .partitionedBy(F.col(bucket_col))
+                    .create()
+                )
+            else:
+                df.writeTo(ident).overwritePartitions()
+            return
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -50,3 +50,98 @@ def test_sample_frames_bounded(media):
     assert (frames.byte_offset % 64 == 0).all()
     only_videos = media.where(F.col("media_type") == "video/mp4").count()
     assert frames.media_id.nunique() == only_videos
+
+
+# ---------------------------------------------------------------------------
+# real-decode path: pure-Python BMP / PPM codecs (no PIL in this container)
+# ---------------------------------------------------------------------------
+def _make_bmp(width: int, height: int, px) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP. px(r, c) -> (R, G, B),
+    with r=0 the TOP row (the encoder writes rows bottom-up as BMP does)."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    raster = bytearray()
+    for r in reversed(range(height)):  # bottom-up storage
+        row = bytearray()
+        for c in range(width):
+            rr, g, b = px(r, c)
+            row += bytes((b, g, rr))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    pix_off = 14 + 40
+    header = b"BM" + struct.pack(
+        "<IHHI", pix_off + len(raster), 0, 0, pix_off
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(raster)
+
+
+def _make_ppm(width: int, height: int, px) -> bytes:
+    raster = bytearray()
+    for r in range(height):
+        for c in range(width):
+            raster += bytes(px(r, c))
+    return (
+        b"P6\n# comment\n" + f"{width} {height}\n255\n".encode() + bytes(raster)
+    )
+
+
+def test_decode_bmp_real_pixels():
+    from prove_spark.operators.multimodal import decode_bmp
+
+    # 3x2 image: all-white top row, all-black bottom row → mean luma 0.5
+    w, h, ch, luma = decode_bmp(
+        _make_bmp(3, 2, lambda r, c: (255, 255, 255) if r == 0 else (0, 0, 0))
+    )
+    assert (w, h, ch) == (3, 2, 3)
+    assert luma == 0.5
+    # pure red: BT.601 luma = 0.299 exactly
+    _, _, _, red = decode_bmp(_make_bmp(5, 3, lambda r, c: (255, 0, 0)))
+    assert red == 0.299
+
+
+def test_decode_ppm_real_pixels():
+    from prove_spark.operators.multimodal import decode_ppm
+
+    w, h, ch, luma = decode_ppm(_make_ppm(4, 4, lambda r, c: (0, 255, 0)))
+    assert (w, h, ch) == (4, 4, 3)
+    assert luma == 0.587  # pure green
+
+
+def test_bmp_and_ppm_agree_on_same_pixels():
+    from prove_spark.operators.multimodal import decode_image
+
+    px = lambda r, c: ((r * 40) % 256, (c * 90) % 256, (r + c) % 256)  # noqa: E731
+    assert decode_image(_make_bmp(7, 5, px)) == decode_image(_make_ppm(7, 5, px))
+
+
+def test_decode_media_real_path_on_spark(spark):
+    """fake=False end to end: BMP/PPM payloads through the mapInPandas stage."""
+    import pandas as pd
+
+    payloads = [
+        (1, _make_bmp(3, 2, lambda r, c: (255, 255, 255) if r == 0 else (0, 0, 0)), "image/bmp"),
+        (2, _make_ppm(4, 4, lambda r, c: (0, 255, 0)), "image/ppm"),
+    ]
+    pdf = pd.DataFrame(payloads, columns=["media_id", "payload", "media_type"])
+    pdf["n_bytes"] = pdf["payload"].map(len)
+    media = spark.createDataFrame(pdf)
+    got = decode_media(media, fake=False).orderBy("media_id").toPandas()
+    assert list(got.width) == [3, 4]
+    assert list(got.height) == [2, 4]
+    assert list(got.mean_luma) == [0.5, 0.587]
+
+
+def test_decode_media_real_path_unsupported_format_raises(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(1, b"\x89PNG\r\n\x1a\nxxxx", "image/png", 12)],
+        columns=["media_id", "payload", "media_type", "n_bytes"],
+    )
+    media = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="NotImplementedError|PIL/ffmpeg"):
+        decode_media(media, fake=False).collect()
