@@ -52,6 +52,12 @@ class PipelineConfig:
     # (at bench scale that's a broadcast of the claims side; measured within
     # noise of the merge plan at local[32], see BASELINE.md attribution).
     pair_join_hint: str = "merge"
+    # Arrow engine only: repartition raw pairs by (conv_id, claim_id) before
+    # the scorer UDF instead of scoring map-side. Pays only when the scorer
+    # is expensive enough (per-row model forward passes) that rebalancing
+    # pair-density skew beats the partial-top-k shuffle cut; the r4 batch-
+    # vectorized stand-in scorer measures faster map-side (see stages.py).
+    arrow_repartition_pairs: bool = False
     # Canonicalization fixpoint guard.
     max_cc_iterations: int = 20
     # NLI class order + below-threshold default distribution: when no

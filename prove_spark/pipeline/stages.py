@@ -424,20 +424,19 @@ def score_evidence(
     if config.pair_join_hint:
         claim_keys = claim_keys.hint(config.pair_join_hint)
     paired = claim_keys.join(ev, "conv_id", "inner")
-    if config.engine != "jvm":
-        # Arrow path: EXPLICIT repartition on the high-cardinality
-        # (conv_id, claim_id) key BEFORE the scorer UDF. The pair join's
-        # natural output partitioning follows its inputs (a union of branches
-        # with very different per-partition pair density — measured 13x
-        # task-duration skew), and the Python scorer is expensive enough that
-        # rebalancing pays for the extra shuffle. The window then reuses this
-        # exact hash partitioning → no second exchange.
+    if config.engine != "jvm" and config.arrow_repartition_pairs:
+        # Arrow path, optional: EXPLICIT repartition on the high-cardinality
+        # (conv_id, claim_id) key BEFORE the scorer UDF. With the r1-r3
+        # per-row Python scorer this paid for itself (pair-density skew
+        # measured 13x task-duration spread); with the r4 batch-vectorized
+        # scorer the map-side plan below measures faster, so the default is
+        # now False and this branch remains for genuinely expensive models
+        # (a real NN forward pass) where rebalancing beats partial top-k.
         #
-        # JVM path: skip it. Set algebra per pair is cheap; leaving the
-        # scorer map-side lets Spark's partial WindowGroupLimit cut the
-        # shuffle to ≤k rows per (claim, map partition) before the exchange —
-        # at 100 TB that's the difference between shuffling all pairs and
-        # shuffling ~top-k·claims rows.
+        # Default (both engines): leave the scorer map-side — Spark's
+        # partial WindowGroupLimit cuts the shuffle to ≤k rows per (claim,
+        # map partition) before the exchange; at 100 TB that's the
+        # difference between shuffling all pairs and ~top-k·claims rows.
         paired = paired.repartition("conv_id", "claim_id")
     paired = paired.withColumn("similarity_score", sim)
     # Tie-break matches the oracle: (sim desc, ev_sent_id asc).
