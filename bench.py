@@ -300,11 +300,23 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
-    # Scaling pairs run FIRST, before any full-box work: sustained 32-thread
-    # load measurably depresses subsequent runs (host-level throttling —
-    # observed as monotonically recovering pair efficiencies when the pairs
-    # followed the 32-core headline phase), and the gate ratio is the
-    # statistic most sensitive to that contamination.
+    # The HEADLINE KG measurement runs first of all: it is the single number
+    # with a hard target, it loads the box for only ~2.5 min, and r4's
+    # full-protocol run showed that placing it AFTER the ~45-min scaling
+    # phase depresses it by ~2 s (executor CPU 149 s vs 87 s quiet for the
+    # same confs — sustained-load throttling). Default 128 MB splits: the
+    # 8 MB splits exist for 2-core wave balance and cost ~0.4-0.6 s at 32
+    # cores (BASELINE.md attribution).
+    headline_env = {"SPARK_GRAFT_SPLIT_MB": "0"}
+    kg_hi = kg_subprocess(CPUS, KG_REPLICATE, extra_env=headline_env)
+
+    # Scaling pairs next, before the remaining full-box phases: sustained
+    # 32-thread load measurably depresses subsequent runs (host-level
+    # throttling — observed as monotonically recovering pair efficiencies
+    # when the pairs followed the full 32-core phase), and the gate ratio is
+    # the statistic most sensitive to that contamination. The single short
+    # kg measurement above costs the first pair far less than 45 min of
+    # pair load costs the kg number; the 5-pair median absorbs it.
     pairs = []
     for _ in range(N_TIMED_SCALE):
         hi_k = kg_subprocess(SCALE_HIGH, SCALE_REPLICATE, N_TIMED_SCALE_RUNS)
@@ -327,13 +339,7 @@ def main() -> None:
         total += dt
     spark.stop()
 
-    # KG throughput: fresh subprocess (fresh JVM) per core count — see
-    # module docstring for why. The HEADLINE measurement runs with default
-    # 128 MB input splits: the 8 MB splits exist to balance task waves on
-    # the 2-core scaling side and were measured to cost ~0.4-0.6 s at
-    # local[32] (r3's kg_pipeline "regression" attribution — BASELINE.md).
-    headline_env = {"SPARK_GRAFT_SPLIT_MB": "0"}
-    kg_hi = kg_subprocess(CPUS, KG_REPLICATE, extra_env=headline_env)
+    # kg_pipeline was measured at the top of main (before the pair load)
     if kg_hi:
         queries["kg_pipeline"] = kg_hi["wall_sec"]
         total += kg_hi["wall_sec"]

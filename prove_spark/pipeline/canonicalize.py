@@ -79,24 +79,24 @@ def _small_star(directed: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iterations: int = DEFAULT_CONFIG.max_cc_iterations
+def connected_components_long(
+    edges_uv: DataFrame,
+    max_iterations: int = DEFAULT_CONFIG.max_cc_iterations,
 ) -> DataFrame:
-    """vertices(qid) + edges(src,dst) → (qid, canonical_qid).
+    """Long-keyed CC core: edges (u, v long) → (u, root) for every node that
+    appears in an edge, root = the component's minimum id.
 
     Alternating large-star/small-star (Kiveris et al. 2014): converges in
     O(log d) rounds on component diameter d — a 2^20-node chain finishes in
     ~20 rounds where min-label propagation needs 2^20. Each round is one
-    self-join + one min-aggregation on the edge set (entity-dimension-sized,
-    never the fact table). At fixpoint the edge set is a star forest: every
-    node points directly at its component's minimum numeric QID.
-    """
-    sym_q = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    # numeric working ids (min-QID representative rule is numeric)
+    self-join + one min-aggregation on the EDGE set (candidate-pair-sized,
+    never the corpus), so this also serves data-derived edge sets like LSH
+    near-dup candidates (plans/textops.py:dedup_lsh_clusters)."""
     cur = (
-        sym_q.select(_qnum("src").alias("u"), _qnum("dst").alias("v"))
+        edges_uv.select("u", "v")
+        .unionByName(
+            edges_uv.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -118,6 +118,28 @@ def connected_components(
         prev = nxt
         cur = nxt
     parent = cur.groupBy("u").agg(F.min("v").alias("root"))
+    # at fixpoint the star forest has edges u→root only for u != root, so
+    # the representative itself has no row — emit its self-row so every
+    # edge-touched node appears exactly once (cluster sizes depend on it)
+    roots = parent.select(F.col("root").alias("u"), F.col("root"))
+    return parent.unionByName(roots).distinct()
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iterations: int = DEFAULT_CONFIG.max_cc_iterations
+) -> DataFrame:
+    """vertices(qid) + edges(src,dst) → (qid, canonical_qid).
+
+    QID front-end over connected_components_long: numeric working ids (the
+    min-QID representative rule is numeric), then the star-forest root is
+    rendered back to a QID."""
+    sym_q = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    parent = connected_components_long(
+        sym_q.select(_qnum("src").alias("u"), _qnum("dst").alias("v")),
+        max_iterations,
+    )
     verts = vertices.select("qid", _qnum("qid").alias("u"))
     return (
         verts.join(parent, "u", "left")

@@ -103,8 +103,20 @@ KG_QUERIES: dict[str, tuple] = {
 #   salted_pivot_counts — the exact machinery kg_entity_rollup's oracled row
 #     covers (salted_event_counts keeps the salted-agg CORR row)
 #   q18_large_orders — third of three near-isomorphic TPC-H join/agg queries
-#     (q3/q10 stay registered); retired in its favor of kg_top_supported
-_UNREGISTERED = {"salted_pivot_counts", "q18_large_orders"}
+#     (q3/q10 stay... q3 stays registered); retired in favor of
+#     kg_top_supported (r4)
+#   q10_returned_items — second of the three; retired in favor of
+#     dedup_lsh_clusters (r4), which covers a genuinely distinct capability
+#     (LSH candidates → connected components → per-cluster representative)
+#     where q10 repeated q3's join/agg/topN shape
+#   stratified_sample — r4 data-mixing primitive; oracle-checked in pytest
+#     (tests/test_entry_queries.py covers unregistered-but-oracled entries)
+_UNREGISTERED = {
+    "salted_pivot_counts",
+    "q18_large_orders",
+    "q10_returned_items",
+    "stratified_sample",
+}
 
 ALL_QUERIES: dict[str, tuple] = {
     **KG_QUERIES,

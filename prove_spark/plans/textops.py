@@ -291,6 +291,47 @@ def lsh_candidate_pairs(spark, sf_dir):
     )
 
 
+def dedup_lsh_clusters(spark, sf_dir):
+    """Near-dup CLUSTER RESOLUTION — the step after candidate generation in
+    a real training-data dedup: LSH candidate pairs → connected components →
+    one representative (min doc_id) per cluster, every document labeled
+    (doc_id, cluster_rep, cluster_size, is_rep). Downstream keeps
+    `is_rep` rows: one survivor per near-dup family, singletons untouched.
+
+    Scale shape: the CC iterations (canonicalize.connected_components_long,
+    large-star/small-star, O(log d) rounds) run on the EDGE set — bounded by
+    the banding caps at candidate-pair scale, never the corpus. The corpus
+    then takes ONE hash join against the (clustered-docs-only) component map
+    and a broadcast join against the (cluster-count-sized) size table;
+    singleton sizes are literal 1s, so no corpus-wide aggregation happens.
+    """
+    from ..pipeline.canonicalize import connected_components_long
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    comp = connected_components_long(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).select(F.col("u").alias("doc_id"), F.col("root").alias("cluster_rep"))
+    sizes = comp.groupBy("cluster_rep").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        docs.join(comp, "doc_id", "left")
+        .withColumn(
+            "cluster_rep", F.coalesce("cluster_rep", F.col("doc_id"))
+        )
+        .join(F.broadcast(sizes), "cluster_rep", "left")
+        .select(
+            "doc_id",
+            "cluster_rep",
+            F.coalesce("cluster_size", F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_rep")).alias("is_rep"),
+        )
+    )
+
+
 LSH_SQL = f"""
 WITH {SHINGLES_SQL},
 sigs AS ({_MINHASH_PARTS}),
@@ -306,6 +347,34 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+# Oracle for dedup_lsh_clusters: the LSH pair query verbatim as a nested CTE
+# (a CTE body may itself be a WITH query), then min-label propagation as a
+# recursive CTE. The `r.lbl < e.dst` prune is sound for the final MIN: a
+# label l >= dst dropped at node dst is dominated — dst's own seed label is
+# smaller and reaches everything l would reach through dst. UNION (not ALL)
+# bounds the recursion to the finite (node, label) pair set.
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS ({LSH_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+  WHERE r.lbl < e.dst
+),
+comp AS (SELECT doc_id, MIN(lbl) AS cluster_rep FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_rep,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size,
+       doc_id = cluster_rep AS is_rep
+FROM comp
 """
 
 
@@ -764,6 +833,42 @@ FROM documents
 """
 
 
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the data-MIXING primitive of a
+    training corpus: per-stratum (source) rates, membership decided by a
+    portable content-independent hash of the doc id, NOT rand(). Map-only
+    (no shuffle) and bit-reproducible on any cluster size, any retry, any
+    engine — reproducible mixtures are a lineage requirement that
+    `TABLESAMPLE`/`sampleBy` (seeded per-partition RNG, partition-layout
+    dependent) cannot give. Rates here are a deterministic function of the
+    source id (25..70%) standing in for a mixing config table."""
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    rate = (F.lit(25) + F.lit(5) * F.pmod(src_num, F.lit(10))).cast("int")
+    h100 = F.pmod(
+        _portable_hash(
+            F.concat(F.lit("samp|"), F.col("doc_id").cast("string"))
+        ),
+        F.lit(100),
+    )
+    return d.where(h100 < rate).select(
+        "doc_id", "source", "lang", rate.alias("rate_pct")
+    )
+
+
+_SAMP_HASH = PORTABLE_HASH_SQL.format(
+    x="CONCAT('samp|', CAST(doc_id AS VARCHAR))"
+)
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, source, lang,
+  CAST(25 + 5 * (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 10) AS INT)
+    AS rate_pct
+FROM documents
+WHERE {_SAMP_HASH} % 100
+      < 25 + 5 * (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 10)
+"""
+
+
 # --------------------------------------------------------------- multimodal
 def multimodal_bytes(spark, sf_dir):
     """Multimodal byte-plumbing: opaque binary payload + typed metadata
@@ -788,6 +893,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "lsh_candidate_pairs": (lsh_candidate_pairs, LSH_SQL),
+    "dedup_lsh_clusters": (dedup_lsh_clusters, DEDUP_CLUSTERS_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "embedding_cosine_pairs": (embedding_cosine_pairs, COSINE_PAIRS_SQL),
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
@@ -797,4 +903,6 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "multimodal_bytes": (multimodal_bytes, MULTIMODAL_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
 }

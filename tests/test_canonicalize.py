@@ -72,3 +72,27 @@ def test_cc_star_forest_mixed_components(spark):
         "Q10": "Q10", "Q11": "Q10", "Q12": "Q10",
         "Q99": "Q99",
     }
+
+
+def test_connected_components_long_chain_and_cycle(spark):
+    """The long-keyed CC core (r4: shared by entity canonicalization and
+    LSH near-dup cluster resolution): chain + cycle + singleton edge all
+    resolve to the component minimum."""
+    import pandas as pd
+
+    from prove_spark.pipeline.canonicalize import connected_components_long
+
+    edges = pd.DataFrame(
+        # chain 10-20-30-40, cycle 5-6-7-5, pair 100-99
+        [(10, 20), (20, 30), (30, 40), (5, 6), (6, 7), (7, 5), (100, 99)],
+        columns=["u", "v"],
+    )
+    got = {
+        r.u: r.root
+        for r in connected_components_long(spark.createDataFrame(edges)).collect()
+    }
+    assert got == {
+        10: 10, 20: 10, 30: 10, 40: 10,
+        5: 5, 6: 5, 7: 5,
+        99: 99, 100: 99,
+    }

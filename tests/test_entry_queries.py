@@ -36,3 +36,31 @@ def test_entry_contract(spark):
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 35
+
+
+# unregistered-but-implemented queries (sweep-capped at 50 driver rows; see
+# registry._UNREGISTERED) still get the SAME oracle gate here in pytest
+from prove_spark.plans.registry import _UNREGISTERED  # noqa: E402
+from prove_spark.plans.relational import RELATIONAL_QUERIES  # noqa: E402
+from prove_spark.plans.textops import TEXTOPS_QUERIES  # noqa: E402
+
+_UNREG = {
+    n: v
+    for d in (RELATIONAL_QUERIES, TEXTOPS_QUERIES)
+    for n, v in d.items()
+    if n in _UNREGISTERED
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, (_f, s) in _UNREG.items() if s is not None)
+)
+def test_unregistered_query_matches_duckdb(spark, name):
+    fn, sql = _UNREG[name]
+    problems = check_query(spark, "/root/testdata/sf0.001", fn, sql)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_unregistered_exposed_and_disjoint():
+    assert set(entrymod.unregistered()) == set(_UNREGISTERED)
+    assert not set(entrymod.queries()) & set(_UNREGISTERED)

@@ -55,9 +55,12 @@ def test_jvm_engine_has_no_python_nodes(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_arrow_engine_rebalances_pairs(spark):
-    """engine='arrow' keeps the explicit (conv_id, claim_id) rebalance so
-    the Python scorer runs at full parallelism."""
+def test_arrow_engine_python_stages_and_mapside_topk(spark):
+    """engine='arrow' runs the model stand-ins as Python/Arrow stages AND
+    (since the r4 batch-vectorized scorer) scores map-side so the partial
+    WindowGroupLimit cuts the pair exchange — same shuffle shape as the
+    JVM engine. The r1-r3 explicit pair rebalance stays available behind
+    config.arrow_repartition_pairs for genuinely expensive models."""
     from prove_spark.datagen import transcripts_df
     from prove_spark.pipeline.run import build_triples
 
@@ -65,6 +68,7 @@ def test_arrow_engine_rebalances_pairs(spark):
     cfg = replace(DEFAULT_CONFIG, engine="arrow")
     plan = plan_of(build_triples(spark, tr, cfg, persist_sentences=False))
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan, "partial top-k not map-side (arrow)"
 
 
 def test_jvm_engine_keeps_mapside_topk(spark):
