@@ -337,6 +337,18 @@ def main() -> None:
         dt = time.time() - t0
         queries[name] = round(dt, 3)
         total += dt
+    # WARM second pass (informational; the headline metric stays the cold
+    # pass for cross-round comparability): at sf0.1 the cold walls are
+    # ~50% whole-stage-codegen + driver planning — the testdata parquet is
+    # single-row-group (scans can't parallelize below row-group granularity)
+    # so per-query wall is fixed-cost, not throughput, at this scale. The
+    # warm pass shows the steady-state a long-running session would see.
+    queries_warm: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = ALL_QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        queries_warm[name] = round(time.time() - t0, 3)
     spark.stop()
 
     # kg_pipeline was measured at the top of main (before the pair load)
@@ -440,6 +452,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "queries_warm": queries_warm,
         "sf": sf,
         "kg": kg_hi,
         "kg_arrow_engine": kg_arrow,
