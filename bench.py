@@ -260,9 +260,11 @@ def kg_subprocess(
     # consumes 2.3+ cores of machine CPU), which flatters the low side of
     # the scaling pair. A real cluster executor is cgroup-capped; taskset is
     # the single-box equivalent.
+    import shutil as _shutil
+
     pin = (
         ["taskset", "-c", f"0-{cores - 1}"]
-        if os.path.exists("/usr/bin/taskset")
+        if _shutil.which("taskset")
         else []
     )
     try:
@@ -412,8 +414,12 @@ def main() -> None:
                 # job must burn ~the same CPU at both core counts — r2's
                 # gate failure was a 1.4x inflation at the high side (regex
                 # hot loop), fixed in r3 (prefilter + exchange restructure)
-                # guard: None only when a REST read FAILED (missing data);
-                # a pathological 0.0 cpu reading must surface, not be masked
+                # raw medians emitted alongside the ratio so a pathological
+                # 0.0 reading is VISIBLE even when the ratio itself must be
+                # None (division) — None ratio + non-None cpu_s_low/high
+                # distinguishes "corrupt zero" from "REST read failed"
+                "cpu_s_low": cpu_lo,
+                "cpu_s_high": cpu_hi,
                 "cpu_inflation_high_vs_low": (
                     round(cpu_hi / cpu_lo, 3)
                     if cpu_hi is not None and cpu_lo

@@ -77,7 +77,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     row_stride = (width * 3 + 3) & ~3
     total = 0
     for r in range(height):
-        row = payload[pix_off + r * row_stride :][: width * 3]
+        # slice both ends: an open-ended slice would copy the whole
+        # remaining payload per row (O(height x file_size) memcpy)
+        start = pix_off + r * row_stride
+        row = payload[start : start + width * 3]
         # BGR byte triples; 1000x-scaled integer luma keeps the sum exact
         for c in range(width):
             b, g, rr = row[3 * c], row[3 * c + 1], row[3 * c + 2]

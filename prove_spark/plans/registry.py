@@ -8,8 +8,9 @@ the pandas oracle (tests/test_pipeline_golden.py).
 
 Ordering/size: the KG lane leads and the registry is capped at 50 entries —
 the driver sweep records at most 50 rows, and every registered query must
-get a row. Two derivable queries are intentionally unregistered (see
-_UNREGISTERED below; still importable + unit-tested, and exposed through
+get a row. Four queries are intentionally unregistered (see _UNREGISTERED
+below; each still oracle-checked in pytest via
+tests/test_entry_queries.py's unregistered lane, and exposed through
 __spark_entry__.unregistered() so the exclusion is visible at runtime).
 """
 
@@ -103,8 +104,8 @@ KG_QUERIES: dict[str, tuple] = {
 #   salted_pivot_counts — the exact machinery kg_entity_rollup's oracled row
 #     covers (salted_event_counts keeps the salted-agg CORR row)
 #   q18_large_orders — third of three near-isomorphic TPC-H join/agg queries
-#     (q3/q10 stay... q3 stays registered); retired in favor of
-#     kg_top_supported (r4)
+#     (q3 stays registered as the family representative); retired in favor
+#     of kg_top_supported (r4)
 #   q10_returned_items — second of the three; retired in favor of
 #     dedup_lsh_clusters (r4), which covers a genuinely distinct capability
 #     (LSH candidates → connected components → per-cluster representative)

@@ -843,7 +843,10 @@ def stratified_sample(spark, sf_dir):
     dependent) cannot give. Rates here are a deterministic function of the
     source id (25..70%) standing in for a mixing config table."""
     d = _t(spark, sf_dir, "documents")
-    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    # try_cast, not cast: ANSI mode CRASHES on a digit-less source (''), and
+    # the DuckDB oracle uses TRY_CAST for the same reason — both engines
+    # silently drop such rows via NULL-comparison semantics instead
+    src_num = F.regexp_extract("source", r"(\d+)", 1).try_cast("int")
     rate = (F.lit(25) + F.lit(5) * F.pmod(src_num, F.lit(10))).cast("int")
     h100 = F.pmod(
         _portable_hash(
@@ -859,13 +862,16 @@ def stratified_sample(spark, sf_dir):
 _SAMP_HASH = PORTABLE_HASH_SQL.format(
     x="CONCAT('samp|', CAST(doc_id AS VARCHAR))"
 )
+# TRY_CAST, not CAST: a digit-less source gives regexp_extract '' — Spark's
+# cast('int') NULLs it (row silently dropped by the NULL comparison), DuckDB's
+# strict CAST would CRASH instead of matching that drop (engine/oracle parity)
 STRATIFIED_SAMPLE_SQL = f"""
 SELECT doc_id, source, lang,
-  CAST(25 + 5 * (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 10) AS INT)
-    AS rate_pct
+  CAST(25 + 5 * (TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 10)
+       AS INT) AS rate_pct
 FROM documents
 WHERE {_SAMP_HASH} % 100
-      < 25 + 5 * (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 10)
+      < 25 + 5 * (TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 10)
 """
 
 

@@ -42,6 +42,8 @@ transcripts_df(spark, SF, replicate={replicate}).write.mode("overwrite").parquet
 tr = spark.read.parquet(tdir)
 build_triples(spark, transcripts_df(spark, SF, replicate={max(1, replicate // 8)})).count()
 spark.catalog.clearCache()
+import atexit, shutil
+atexit.register(shutil.rmtree, tdir, True)
 url = ("http://localhost:{4160 + cores}/api/v1/applications/"
        + spark.sparkContext.applicationId + "/stages?status=complete")
 pre = {{s["stageId"] for s in json.loads(urllib.request.urlopen(url).read())}}
@@ -59,11 +61,13 @@ out = [{{"run_s": round(s["executorRunTime"]/1e3, 2),
 print("STAGES " + json.dumps(out))
 spark.stop()
 """
+    import shutil
+
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     pin = (
         ["taskset", "-c", f"0-{cores - 1}"]
-        if os.path.exists("/usr/bin/taskset")
+        if shutil.which("taskset")
         else []
     )
     out = subprocess.run(
@@ -87,17 +91,20 @@ def main() -> None:
     lo = stage_dump(2, rep)
     print(f"{'stage':>5} {'cpu2':>7} {'cpu8':>7} {'infl':>6} {'gc2':>6} "
           f"{'gc8':>6} {'in_mb':>8} {'sh_r':>8} {'tasks2/8':>9}")
-    tot2 = tot8 = 0.0
     for i, (l, h) in enumerate(zip(lo, hi)):
         infl = h["cpu_s"] / l["cpu_s"] if l["cpu_s"] else float("nan")
-        tot2 += l["cpu_s"]
-        tot8 += h["cpu_s"]
         print(f"{i:>5} {l['cpu_s']:>7.1f} {h['cpu_s']:>7.1f} {infl:>6.2f} "
               f"{l['gc_s']:>6.1f} {h['gc_s']:>6.1f} {l['in_mb']:>8.1f} "
               f"{l['sh_r_mb']:>8.1f} {l['tasks']:>4}/{h['tasks']}")
     if len(lo) != len(hi):
         print(f"WARNING: stage counts differ ({len(lo)} vs {len(hi)}) — "
-              "alignment past the shorter list is meaningless")
+              "per-row alignment past the shorter list is meaningless; "
+              "the TOTALS below still sum EACH side fully")
+    # totals over the FULL per-side lists — unmatched trailing stages (AQE
+    # reuse differences) are the likeliest home of non-scaling residue and
+    # must not silently drop out of the inflation ratio
+    tot2 = sum(s["cpu_s"] for s in lo)
+    tot8 = sum(s["cpu_s"] for s in hi)
     print(f"TOTAL cpu2={tot2:.1f}s cpu8={tot8:.1f}s inflation={tot8/tot2:.3f}")
 
 

@@ -96,3 +96,26 @@ def test_connected_components_long_empty_edges(spark):
 
     empty = spark.createDataFrame([], schema="u long, v long")
     assert connected_components_long(empty).count() == 0
+
+
+def test_stratified_sample_digitless_source_drops_identically(spark, tmp_path):
+    """ANSI mode crash class: cast('' AS INT) throws in Spark 4 and DuckDB;
+    both sides use try_cast so a digit-less source is silently dropped by
+    NULL-comparison semantics — identically (engine/oracle parity pin)."""
+    import duckdb
+
+    from prove_spark.plans.textops import (
+        STRATIFIED_SAMPLE_SQL,
+        stratified_sample,
+    )
+
+    pdf = pd.DataFrame(
+        [[i, "t", "en", s, 1] for i, s in enumerate(["web", "src3", "src7", ""])],
+        columns=DOC_COLS,
+    )
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/documents.parquet")
+    got = sorted(r.doc_id for r in stratified_sample(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(con.execute(STRATIFIED_SAMPLE_SQL).df()["doc_id"].tolist())
+    assert got == want
