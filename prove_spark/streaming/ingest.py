@@ -132,6 +132,26 @@ def assemble_conversations_stateful(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup — the training-ingest primitive for replayed /
+    at-least-once feeds: duplicates within the watermark horizon are dropped
+    with BOUNDED state. `dropDuplicatesWithinWatermark` (Spark 3.5+) evicts
+    a key's state once the watermark passes its event time — a plain
+    streaming dropDuplicates keeps every key forever, which on an unbounded
+    transcript feed is an OOM with a delay. Exactly-once-per-key holds only
+    within the horizon: a duplicate arriving later than the watermark delay
+    is a late row the sink's idempotent write (batch_id partition overwrite,
+    see stream_triples_foreach_batch) must absorb instead.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def stream_triples_foreach_batch(
     spark: SparkSession, stream: DataFrame, out_path: str
 ):

@@ -92,3 +92,55 @@ def test_stateful_conversation_assembly(spark, tmp_path):
         assert r.complete
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed rows inside the horizon are
+    dropped with bounded state; a second micro-batch replaying batch 1's
+    keys (still within the watermark) adds nothing."""
+    import pandas as pd
+
+    from prove_spark.streaming.ingest import dedup_stream, read_transcript_stream
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def rows(pairs, t0):
+        return pd.DataFrame(
+            {
+                "conv_id": [c for c, _ in pairs],
+                "turn_idx": pd.array([i for _, i in pairs], dtype="int32"),
+                "role": "user",
+                "text": "x",
+                "tool": "",
+                "ts": pd.Series([t0] * len(pairs), dtype="datetime64[us]"),
+            }
+        )
+
+    # batch 1 contains an in-batch duplicate; batch 2 replays batch 1 plus
+    # one genuinely new key, seconds later (well inside the 10 min horizon)
+    rows([("c1", 0), ("c1", 0), ("c1", 1)], base).to_parquet(src / "f1.parquet")
+    stream = read_transcript_stream(spark, str(src))
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT COUNT(*) c FROM dd_out").first().c == 2
+        rows(
+            [("c1", 0), ("c1", 1), ("c2", 0)], base + pd.Timedelta(seconds=5)
+        ).to_parquet(src / "f2.parquet")
+        q.processAllAvailable()
+        got = sorted(
+            (r.conv_id, r.turn_idx)
+            for r in spark.sql("SELECT conv_id, turn_idx FROM dd_out").collect()
+        )
+        assert got == [("c1", 0), ("c1", 1), ("c2", 0)]
+    finally:
+        q.stop()
