@@ -155,6 +155,99 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(decode_batch, schema=FEATURE_SCHEMA)
 
 
+def _read_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """(width, height, row-major RGB triples) for BMP/PPM payloads."""
+    if payload[:2] == b"BM":
+        (pix_off,) = struct.unpack_from("<I", payload, 10)
+        (_hs, width, height) = struct.unpack_from("<Iii", payload, 14)
+        (_pl, bpp) = struct.unpack_from("<HH", payload, 26)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP")
+        height = abs(height)
+        stride = (width * 3 + 3) & ~3
+        px = []
+        for r in range(height):
+            start = pix_off + (height - 1 - r) * stride  # bottom-up rows
+            row = payload[start : start + width * 3]
+            px.extend(
+                (row[3 * c + 2], row[3 * c + 1], row[3 * c])
+                for c in range(width)
+            )
+        return width, height, px
+    if payload[:2] == b"P6":
+        w, h, _ch, _l = decode_ppm(payload)  # header validation
+        # re-parse the header offset the same way decode_ppm does
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1
+        raster = payload[pos : pos + w * h * 3]
+        px = [
+            (raster[i], raster[i + 1], raster[i + 2])
+            for i in range(0, w * h * 3, 3)
+        ]
+        return w, h, px
+    raise NotImplementedError("resize supports BMP/PPM in this container")
+
+
+def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize for BMP/PPM payloads, re-encoded as a
+    binary PPM (P6) — the canonical uncompressed interchange so downstream
+    stages need one reader. Deterministic: sample index = floor(i * in/out)."""
+    in_w, in_h, px = _read_pixels(payload)
+    out = bytearray(f"P6\n{out_w} {out_h}\n255\n".encode())
+    for r in range(out_h):
+        sr = r * in_h // out_h
+        base = sr * in_w
+        for c in range(out_w):
+            out += bytes(px[base + (c * in_w // out_w)])
+    return bytes(out)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, width int, height int, n_bytes int"
+)
+
+
+def resize_media(media: DataFrame, out_w: int = 64, out_h: int = 64, fake: bool = True) -> DataFrame:
+    """Resize as a mapInPandas stage. fake=True emits a deterministic
+    truncated-payload stand-in (so the plumbing runs on arbitrary payloads);
+    fake=False runs the real BMP/PPM nearest-neighbor resampler."""
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake:
+                payloads = [
+                    bytes(p)[: out_w * out_h] for p in pdf["payload"]
+                ]
+            else:
+                payloads = [
+                    resize_image(bytes(p), out_w, out_h)
+                    for p in pdf["payload"]
+                ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": out_w,
+                    "height": out_h,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(resize_batch, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """Frame-sampling plumbing: emit up to max_frames byte-offset "frames"
     per video payload (a real implementation would seek keyframes; the

@@ -145,3 +145,62 @@ def test_decode_media_real_path_unsupported_format_raises(spark):
     media = spark.createDataFrame(pdf)
     with pytest.raises(Exception, match="NotImplementedError|PIL/ffmpeg"):
         decode_media(media, fake=False).collect()
+
+
+def test_resize_image_real_nearest_neighbor():
+    from prove_spark.operators.multimodal import decode_ppm, resize_image
+
+    # 4x4 quadrant image: TL red, TR green, BL blue, BR white
+    def px(r, c):
+        if r < 2 and c < 2:
+            return (255, 0, 0)
+        if r < 2:
+            return (0, 255, 0)
+        if c < 2:
+            return (0, 0, 255)
+        return (255, 255, 255)
+
+    for src in (_make_bmp(4, 4, px), _make_ppm(4, 4, px)):
+        out = resize_image(src, 2, 2)
+        w, h, ch, _ = decode_ppm(out)
+        assert (w, h, ch) == (2, 2, 3)
+        raster = out[out.index(b"255\n") + 4 :]
+        pixels = [tuple(raster[i : i + 3]) for i in range(0, 12, 3)]
+        # nearest-neighbor picks the top-left sample of each quadrant
+        assert pixels == [
+            (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255),
+        ]
+
+
+def test_resize_media_roundtrip_on_spark(spark):
+    import pandas as pd
+
+    from prove_spark.operators.multimodal import decode_media, resize_media
+
+    pdf = pd.DataFrame(
+        [
+            (1, _make_bmp(8, 6, lambda r, c: (255, 0, 0)), "image/bmp"),
+            (2, _make_ppm(5, 5, lambda r, c: (0, 255, 0)), "image/ppm"),
+        ],
+        columns=["media_id", "payload", "media_type"],
+    )
+    pdf["n_bytes"] = pdf["payload"].map(len)
+    media = spark.createDataFrame(pdf)
+    resized = resize_media(media, out_w=3, out_h=2, fake=False)
+    # decode the RESIZED payloads with the real decoder: dims + luma survive
+    feats = (
+        decode_media(
+            resized.select(
+                "media_id",
+                "payload",
+                F.lit("image/ppm").alias("media_type"),
+                "n_bytes",
+            ),
+            fake=False,
+        )
+        .orderBy("media_id")
+        .toPandas()
+    )
+    assert list(feats.width) == [3, 3]
+    assert list(feats.height) == [2, 2]
+    assert list(feats.mean_luma) == [0.299, 0.587]  # pure red / pure green
