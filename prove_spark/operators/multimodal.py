@@ -155,6 +155,86 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(decode_batch, schema=FEATURE_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "media_id long, n_channels int, sample_rate int, n_samples long, "
+    "duration_s double, rms double"
+)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float, float]:
+    """Real decode of a PCM WAV (RIFF) payload: proper chunk walk (fmt /
+    data, skipping LIST etc.), then RMS over the 16-bit interleaved samples.
+    Returns (n_channels, sample_rate, n_samples_per_channel, duration_s,
+    rms) with rms normalized to [0, 1] and rounded to 6 places."""
+    import math
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV supported (format={audio_format}, bits={bits})"
+        )
+    n_frames = len(data) // (2 * n_channels)
+    total = 0
+    for (s,) in struct.iter_unpack("<h", data[: n_frames * n_channels * 2]):
+        total += s * s
+    n = n_frames * n_channels
+    rms = math.sqrt(total / n) / 32768.0 if n else 0.0
+    return (
+        n_channels,
+        sample_rate,
+        n_frames,
+        round(n_frames / sample_rate, 6),
+        round(rms, 6),
+    )
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio feature extraction as a mapInPandas stage: real PCM WAV parse
+    (fake=False) or the deterministic hash-derived stand-in (fake=True)."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if fake:
+                    h = hashlib.md5(bytes(p)).digest()
+                    ch, sr = 1 + h[0] % 2, 8000 * (1 + h[1] % 6)
+                    ns = 100 + h[2] * 37
+                    rows.append(
+                        (mid, ch, sr, ns, round(ns / sr, 6), round(h[3] / 255.0, 6))
+                    )
+                else:
+                    rows.append((mid, *decode_wav(bytes(p))))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_channels",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_s",
+                    "rms",
+                ],
+            )
+
+    return media.mapInPandas(batch, schema=AUDIO_SCHEMA)
+
+
 def _read_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """(width, height, row-major RGB triples) for BMP/PPM payloads."""
     if payload[:2] == b"BM":

@@ -204,3 +204,58 @@ def test_resize_media_roundtrip_on_spark(spark):
     assert list(feats.width) == [3, 3]
     assert list(feats.height) == [2, 2]
     assert list(feats.mean_luma) == [0.299, 0.587]  # pure red / pure green
+
+
+def _make_wav(n_channels=1, sample_rate=8000, frames=(), extra_chunk=False) -> bytes:
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", s) for fr in frames for s in (fr,) * n_channels
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # decoder must skip unknown chunks
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_real_pcm():
+    from prove_spark.operators.multimodal import decode_wav
+
+    # constant full-scale-half samples -> rms = 16384/32768 = 0.5
+    ch, sr, ns, dur, rms = decode_wav(
+        _make_wav(2, 16000, (16384,) * 800, extra_chunk=True)
+    )
+    assert (ch, sr, ns) == (2, 16000, 800)
+    assert dur == 0.05
+    assert rms == 0.5
+    silent = decode_wav(_make_wav(1, 8000, (0,) * 10))
+    assert silent[4] == 0.0
+
+
+def test_audio_features_real_path_on_spark(spark):
+    import pandas as pd
+
+    from prove_spark.operators.multimodal import audio_features
+
+    pdf = pd.DataFrame(
+        [
+            (1, _make_wav(1, 8000, (16384,) * 400), "audio/wav"),
+            (2, _make_wav(2, 16000, (0,) * 160), "audio/wav"),
+        ],
+        columns=["media_id", "payload", "media_type"],
+    )
+    pdf["n_bytes"] = pdf["payload"].map(len)
+    got = (
+        audio_features(spark.createDataFrame(pdf), fake=False)
+        .orderBy("media_id")
+        .toPandas()
+    )
+    assert list(got.n_channels) == [1, 2]
+    assert list(got.sample_rate) == [8000, 16000]
+    assert list(got.duration_s) == [0.05, 0.01]
+    assert list(got.rms) == [0.5, 0.0]
