@@ -146,11 +146,21 @@ def kg_measure(
         # straggler exposure) — measured ~4% slower on the 8-core side
         extra_conf=conf,
     )
-    tdir = tempfile.mkdtemp(prefix=f"bench_transcripts_{replicate}_")
-    transcripts_df(spark, SF_DIR, replicate=replicate).write.mode(
-        "overwrite"
-    ).parquet(tdir)
-    tr = spark.read.parquet(tdir)
+    # Input parquet: use a pre-materialized shared dir when the parent bench
+    # provides one (SPARK_GRAFT_TRANSCRIPTS_DIR — written once at full
+    # parallelism; ~10 min of wall saved across 10+ subprocess invocations,
+    # and BOTH sides of every scaling pair then read the IDENTICAL files).
+    # Standalone invocations still materialize their own (untimed either way).
+    shared = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_DIR", "")
+    tdir = None
+    if shared:
+        tr = spark.read.parquet(shared)
+    else:
+        tdir = tempfile.mkdtemp(prefix=f"bench_transcripts_{replicate}_")
+        transcripts_df(spark, SF_DIR, replicate=replicate).write.mode(
+            "overwrite"
+        ).parquet(tdir)
+        tr = spark.read.parquet(tdir)
     n_turns = tr.count()
     from dataclasses import replace
 
@@ -216,9 +226,10 @@ def kg_measure(
         else None
     )
     spark.stop()
-    import shutil
+    if tdir:  # never remove a parent-owned shared input dir
+        import shutil
 
-    shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(tdir, ignore_errors=True)
     wall = min(times)
     return {
         "cores": cores,
@@ -300,7 +311,46 @@ def main() -> None:
     from prove_spark.plans.registry import ALL_QUERIES
     from prove_spark.session import get_spark
 
+    import shutil
+    import tempfile
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    # Pre-materialize the two transcript inputs ONCE at full parallelism and
+    # share them with every subprocess (SPARK_GRAFT_TRANSCRIPTS_DIR): each
+    # pinned subprocess re-materializing its own copy cost ~10 min of wall
+    # across a full run (worst on the taskset-2-core side), and sharing also
+    # means both sides of every scaling pair read IDENTICAL files.
+    kg_dir = tempfile.mkdtemp(prefix=f"bench_tr_{KG_REPLICATE}_")
+    scale_dir = tempfile.mkdtemp(prefix=f"bench_tr_{SCALE_REPLICATE}_")
+    prep_code = (
+        "from prove_spark.session import get_spark\n"
+        "from prove_spark.datagen import transcripts_df\n"
+        f"s = get_spark('bench-prep', master='local[{CPUS}]',"
+        f" shuffle_partitions={CPUS})\n"
+        f"transcripts_df(s, {SF_DIR!r}, replicate={KG_REPLICATE})"
+        f".write.mode('overwrite').parquet({kg_dir!r})\n"
+        f"transcripts_df(s, {SF_DIR!r}, replicate={SCALE_REPLICATE})"
+        f".write.mode('overwrite').parquet({scale_dir!r})\n"
+        "s.stop()\n"
+    )
+    prep_env = dict(os.environ)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prior = prep_env.get("PYTHONPATH", "")
+    prep_env["PYTHONPATH"] = repo_dir + (os.pathsep + prior if prior else "")
+    # prep runs in its OWN subprocess so the parent JVM stays cold for the
+    # headline-query session (a prep-warmed parent would JIT-flatter the
+    # cold query walls and break cross-round comparability)
+    subprocess.run(
+        [sys.executable, "-c", prep_code],
+        env=prep_env,
+        cwd=repo_dir,
+        check=True,
+        capture_output=True,
+        timeout=SUBPROC_TIMEOUT,
+    )
+    kg_env = {"SPARK_GRAFT_TRANSCRIPTS_DIR": kg_dir}
+    scale_env = {"SPARK_GRAFT_TRANSCRIPTS_DIR": scale_dir}
 
     # The HEADLINE KG measurement runs first of all: it is the single number
     # with a hard target, it loads the box for only ~2.5 min, and r4's
@@ -309,7 +359,7 @@ def main() -> None:
     # same confs — sustained-load throttling). Default 128 MB splits: the
     # 8 MB splits exist for 2-core wave balance and cost ~0.4-0.6 s at 32
     # cores (BASELINE.md attribution).
-    headline_env = {"SPARK_GRAFT_SPLIT_MB": "0"}
+    headline_env = {"SPARK_GRAFT_SPLIT_MB": "0", **kg_env}
     kg_hi = kg_subprocess(CPUS, KG_REPLICATE, extra_env=headline_env)
 
     # Scaling pairs next, before the remaining full-box phases: sustained
@@ -321,8 +371,12 @@ def main() -> None:
     # pair load costs the kg number; the 5-pair median absorbs it.
     pairs = []
     for _ in range(N_TIMED_SCALE):
-        hi_k = kg_subprocess(SCALE_HIGH, SCALE_REPLICATE, N_TIMED_SCALE_RUNS)
-        lo_k = kg_subprocess(SCALE_LOW, SCALE_REPLICATE, N_TIMED_SCALE_RUNS)
+        hi_k = kg_subprocess(
+            SCALE_HIGH, SCALE_REPLICATE, N_TIMED_SCALE_RUNS, extra_env=scale_env
+        )
+        lo_k = kg_subprocess(
+            SCALE_LOW, SCALE_REPLICATE, N_TIMED_SCALE_RUNS, extra_env=scale_env
+        )
         if hi_k and lo_k:
             pairs.append((hi_k, lo_k))
 
@@ -369,8 +423,12 @@ def main() -> None:
     # informational: the saturated full-box pair (32 vs 8) — reported so the
     # single-box bandwidth ceiling is transparent.
     scale_sat = (
-        kg_subprocess(CPUS, SCALE_REPLICATE, 2) if CPUS > SCALE_HIGH else None
+        kg_subprocess(CPUS, SCALE_REPLICATE, 2, extra_env=scale_env)
+        if CPUS > SCALE_HIGH
+        else None
     )
+    shutil.rmtree(kg_dir, ignore_errors=True)
+    shutil.rmtree(scale_dir, ignore_errors=True)
 
     core_ratio = SCALE_HIGH / SCALE_LOW
     scaling = {
