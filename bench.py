@@ -361,6 +361,13 @@ def main() -> None:
     # cores (BASELINE.md attribution).
     headline_env = {"SPARK_GRAFT_SPLIT_MB": "0", **kg_env}
     kg_hi = kg_subprocess(CPUS, KG_REPLICATE, extra_env=headline_env)
+    # the arrow engine is measured ADJACENT to the JVM engine so the
+    # arrow/JVM throughput ratio compares like machine states — run C showed
+    # a post-pair arrow read depressed by the pair load while kg was fresh,
+    # understating the ratio by ~10 points
+    kg_arrow = kg_subprocess(
+        CPUS, KG_REPLICATE, n_timed=2, engine="arrow", extra_env=headline_env
+    )
 
     # Scaling pairs next, before the remaining full-box phases: sustained
     # 32-thread load measurably depresses subsequent runs (host-level
@@ -407,14 +414,11 @@ def main() -> None:
         queries_warm[name] = round(time.time() - t0, 3)
     spark.stop()
 
-    # kg_pipeline was measured at the top of main (before the pair load)
+    # kg_pipeline + the arrow-engine contrast were measured at the top of
+    # main (before the pair load)
     if kg_hi:
         queries["kg_pipeline"] = kg_hi["wall_sec"]
         total += kg_hi["wall_sec"]
-    # the mapInPandas engine (what real NN models run as), for contrast
-    kg_arrow = kg_subprocess(
-        CPUS, KG_REPLICATE, n_timed=2, engine="arrow", extra_env=headline_env
-    )
 
     # Scaling-pair statistics (pairs measured at the top of main): MEDIAN of
     # per-pair efficiencies — the two sides of a pair run minutes apart, so a
