@@ -423,6 +423,56 @@ def kg_top_supported_sql() -> str:
     )
 
 
+PAGERANK_ITERS = 6
+PAGERANK_DAMPING = "CAST(0.85 AS DOUBLE)"
+PAGERANK_TELEPORT = "CAST(0.15 AS DOUBLE)"
+
+
+def _pr_qz(e: str) -> str:
+    """Quantize a double to the 1e-12 grid with HALF_UP (FLOOR(x*Q+0.5)/Q —
+    identical in Spark and DuckDB; Python/banker's round() would diverge)."""
+    return f"FLOOR(({e}) * 1e12 + CAST(0.5 AS DOUBLE)) / 1e12"
+
+
+def kg_pagerank_sql() -> str:
+    """PageRank oracle over the constructed triple graph: the Spark side's
+    six iterative join+aggregate rounds unrolled as a CTE chain (pr_r0 …
+    pr_r6). Same simplified-PageRank variant as the Spark plan (no dangling-
+    mass redistribution — scores are a ranking signal, not a distribution),
+    same arithmetic discipline: contributions rank/outdeg are IEEE double
+    divisions (bit-identical across engines), per-node sums go through
+    DECIMAL(28,14) (exact, order-independent), and each iteration's rank is
+    quantized to the 1e-12 grid so the hash compare sees identical doubles.
+    All numeric literals are CAST to DOUBLE — a bare 0.85 is a DECIMAL
+    literal in DuckDB and would route the multiply through decimal rules."""
+    sql = (
+        _kg_ctes()
+        + f""",
+pr_edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples WHERE subj <> obj),
+pr_nodes AS (SELECT subj AS entity FROM triples UNION SELECT obj AS entity FROM triples),
+pr_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM pr_nodes),
+pr_out AS (SELECT src, COUNT(*) AS odeg FROM pr_edges GROUP BY src),
+pr_r0 AS (
+  SELECT entity, {_pr_qz('CAST(1.0 AS DOUBLE) / n_nodes')} AS pr
+  FROM pr_nodes CROSS JOIN pr_n)"""
+    )
+    for t in range(1, PAGERANK_ITERS + 1):
+        sql += f""",
+pr_c{t} AS (
+  SELECT e.dst, SUM(CAST(p.pr / o.odeg AS DECIMAL(28,14))) AS s
+  FROM pr_edges e JOIN pr_out o USING (src) JOIN pr_r{t - 1} p ON p.entity = e.src
+  GROUP BY e.dst),
+pr_r{t} AS (
+  SELECT n.entity,
+         {_pr_qz(f"{PAGERANK_TELEPORT} / pn.n_nodes"
+                 f" + {PAGERANK_DAMPING} * COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE))")} AS pr
+  FROM pr_nodes n CROSS JOIN pr_n pn LEFT JOIN pr_c{t} c ON c.dst = n.entity)"""
+    sql += f"""
+SELECT r.entity, r.pr AS pagerank, CAST(COALESCE(o.odeg, 0) AS BIGINT) AS out_degree
+FROM pr_r{PAGERANK_ITERS} r LEFT JOIN pr_out o ON o.src = r.entity"""
+    return sql
+
+
 def kg_entities_sql() -> str:
     """Entities-dimension oracle (build_entities twin)."""
     ent_rows = ENTITIES

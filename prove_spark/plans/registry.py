@@ -66,6 +66,74 @@ def kg_top_supported(spark, sf_dir):
     )
 
 
+def kg_pagerank(spark, sf_dir):
+    """Entity importance over the constructed KG: PageRank by iterative
+    DataFrame join+aggregate rounds (the GraphFrames-style iterative-join
+    shape the north star names, same family as the connected-components
+    canonicalizer). Simplified variant without dangling-mass redistribution
+    (scores rank entities; they need not sum to 1) — documented and mirrored
+    exactly by the DuckDB oracle (kg_oracle.kg_pagerank_sql).
+
+    Scale shape: `links` (edge ∪ out-degree) is pre-partitioned on src and
+    persisted ONCE — every iteration's contribution join reuses that
+    partitioning, so each round costs one node-scale shuffle (the groupBy
+    dst) like any PageRank; the node count rides along as a 1-row broadcast
+    (no driver-side .collect()). Cross-engine exactness: contributions are
+    IEEE double divisions, per-node sums go through DECIMAL(28,14), each
+    round's rank is quantized to the 1e-12 grid (HALF_UP floor trick).
+    """
+    from .kg_oracle import PAGERANK_ITERS
+
+    triples = _kg_build(spark, sf_dir)
+    edges = (
+        triples.where(F.col("subj") != F.col("obj"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        triples.select(F.col("subj").alias("entity"))
+        .union(triples.select(F.col("obj").alias("entity")))
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+    links = edges.join(outdeg, "src").repartition("src").persist()
+    _KG_CACHES.extend([nodes, links])
+    n_df = nodes.agg(F.count("*").alias("n_nodes"))
+
+    def qz(col):
+        # HALF_UP quantization to the 1e-12 grid — same floor trick both engines
+        return F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "entity", qz(F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = links.join(ranks, links.src == ranks.entity).select(
+            "dst", (F.col("pr") / F.col("odeg")).alias("c")
+        )
+        sums = contrib.groupBy("dst").agg(
+            F.sum(F.col("c").cast("decimal(28,14)")).alias("s")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .join(sums, nodes.entity == sums.dst, "left")
+            .select(
+                "entity",
+                qz(
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.join(outdeg, ranks.entity == outdeg.src, "left").select(
+        "entity",
+        F.col("pr").alias("pagerank"),
+        F.coalesce("odeg", F.lit(0)).cast("long").alias("out_degree"),
+    )
+
+
 def kg_entities(spark, sf_dir):
     """The entities dimension table (canonical id, label, members, stats)."""
     from ..pipeline.run import build_entities
@@ -77,6 +145,7 @@ def _kg_sqls() -> dict[str, str]:
     from .kg_oracle import (
         kg_entities_sql,
         kg_entity_rollup_sql,
+        kg_pagerank_sql,
         kg_top_supported_sql,
         kg_triples_sql,
     )
@@ -85,6 +154,7 @@ def _kg_sqls() -> dict[str, str]:
         "kg_triples": kg_triples_sql(),
         "kg_entity_rollup": kg_entity_rollup_sql(),
         "kg_top_supported": kg_top_supported_sql(),
+        "kg_pagerank": kg_pagerank_sql(),
         "kg_entities": kg_entities_sql(),
     }
 
@@ -95,6 +165,7 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_triples": (kg_triples, _SQLS["kg_triples"]),
     "kg_entity_rollup": (kg_entity_rollup, _SQLS["kg_entity_rollup"]),
     "kg_top_supported": (kg_top_supported, _SQLS["kg_top_supported"]),
+    "kg_pagerank": (kg_pagerank, _SQLS["kg_pagerank"]),
     "kg_entities": (kg_entities, _SQLS["kg_entities"]),
 }
 
@@ -112,11 +183,16 @@ KG_QUERIES: dict[str, tuple] = {
 #     where q10 repeated q3's join/agg/topN shape
 #   stratified_sample — r4 data-mixing primitive; oracle-checked in pytest
 #     (tests/test_entry_queries.py covers unregistered-but-oracled entries)
+#   moving_avg_user_value — second of two frame-spec window queries
+#     (running_user_value keeps the W-frame CORR row); retired in favor of
+#     kg_pagerank (r4), which adds a genuinely new capability (iterative
+#     graph ranking over the constructed KG)
 _UNREGISTERED = {
     "salted_pivot_counts",
     "q18_large_orders",
     "q10_returned_items",
     "stratified_sample",
+    "moving_avg_user_value",
 }
 
 ALL_QUERIES: dict[str, tuple] = {

@@ -40,16 +40,23 @@ def test_entry_contract(spark):
 
 # unregistered-but-implemented queries (sweep-capped at 50 driver rows; see
 # registry._UNREGISTERED) still get the SAME oracle gate here in pytest
+from prove_spark.plans.advanced import ADVANCED_QUERIES  # noqa: E402
 from prove_spark.plans.registry import _UNREGISTERED  # noqa: E402
 from prove_spark.plans.relational import RELATIONAL_QUERIES  # noqa: E402
 from prove_spark.plans.textops import TEXTOPS_QUERIES  # noqa: E402
 
 _UNREG = {
     n: v
-    for d in (RELATIONAL_QUERIES, TEXTOPS_QUERIES)
+    for d in (RELATIONAL_QUERIES, TEXTOPS_QUERIES, ADVANCED_QUERIES)
     for n, v in d.items()
     if n in _UNREGISTERED
 }
+
+
+def test_every_unregistered_name_is_collected():
+    # a retired query whose defining dict isn't scanned above would silently
+    # lose its pytest oracle lane — pin the collection to the full set
+    assert set(_UNREG) == set(_UNREGISTERED)
 
 
 @pytest.mark.parametrize(
