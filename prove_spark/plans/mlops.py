@@ -1,0 +1,243 @@
+"""Training-pipeline ML primitives over the synthetic corpus tables:
+
+- kmeans_centroids: a REAL distributed Lloyd's k-means trainer for the IVF
+  coarse quantizer (ann_ivf_topk's centroids were a documented deterministic
+  stand-in; this trains them). Iterative DataFrame rounds — broadcast the
+  (k x dim)-sized centroid relation, assign each vector by exact squared-L2
+  (DECIMAL-exact partial sums), recompute means, repeat — the same
+  iterative-join shape as connected components / kg_pagerank.
+- pack_sequences: token-budget sequence packing — the step that turns a
+  deduped, sampled corpus into fixed-size training sequences. Deterministic
+  offset-chunked packing (prefix-sum over a stable order), integer-exact.
+
+Cross-engine exactness discipline (same as textops): distances/means go
+through DECIMAL(28,14) partial sums (order-independent), mean divisions are
+IEEE double ops, and every emitted float is quantized to the 1e-12 grid with
+the HALF_UP floor trick so the driver's value hash sees identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textops import N_IVF_CENTROIDS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _qz(col: F.Column) -> F.Column:
+    """HALF_UP quantization to the 1e-12 grid (floor trick — identical in
+    Spark and DuckDB; Python round() is banker's and diverges)."""
+    return F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+
+
+def _qz_sql(e: str) -> str:
+    return f"FLOOR(({e}) * 1e12 + CAST(0.5 AS DOUBLE)) / 1e12"
+
+
+# ------------------------------------------------------------------ k-means
+KMEANS_K = N_IVF_CENTROIDS  # 8 — trains the IVF coarse quantizer
+KMEANS_ITERS = 4
+KMEANS_SEED_BASE = 500 - KMEANS_K  # init = the IVF seed vectors (492..499)
+
+# centroid relations persisted by the previous invocation — released on the
+# next call (same hygiene as textops._DEDUP_CACHES / registry._KG_CACHES)
+_KMEANS_CACHES: list = []
+
+
+def kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, 4 iterations) over the embeddings
+    table, initialized from the fixed IVF seed vectors so the trained
+    centroids are the drop-in replacement for ann_ivf_topk's stand-ins.
+
+    Scale shape: the exploded vector relation is persisted ONCE and reused
+    by all assignment and mean rounds (at 100 TB: a columnar long-form
+    intermediate, bucketed by vec_id). Each round's assignment join
+    BROADCASTS the centroid relation (k x dim rows — tiny at any corpus
+    scale), so assignment is map-side + one (vec_id, cent_id)-keyed
+    aggregation; the mean update is one (cent_id, dim)-keyed aggregation of
+    corpus-long-form size. Per-round centroid relations are persisted (k x
+    dim rows) so the lineage doesn't branch exponentially through the
+    empty-cluster fallback's double reference. Empty clusters keep their
+    previous centroid (LEFT JOIN + COALESCE) on both engines.
+
+    Exactness: squared-L2 partial sums and per-dim mean numerators go
+    through DECIMAL(28,14) (exact, order-independent → ties and argmins are
+    deterministic), the mean division is an IEEE double op, and means are
+    quantized to the 1e-12 grid. Assignment tie-break: lowest cent_id.
+    """
+    for df in _KMEANS_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _KMEANS_CACHES.clear()
+
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).persist()
+    _KMEANS_CACHES.append(ex)
+
+    cent = ex.where(F.col("vec_id") >= KMEANS_SEED_BASE).select(
+        (F.col("vec_id") - KMEANS_SEED_BASE).cast("int").alias("cent_id"),
+        "i",
+        F.col("x").alias("cx"),
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        diff = F.col("x") - F.col("cx")
+        dist = (
+            ex.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "cent_id")
+            .agg(F.sum((diff * diff).cast("decimal(28,14)")).alias("dsq"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("dsq"), F.asc("cent_id")
+        )
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cent_id")
+        )
+        means = (
+            assign.join(ex, "vec_id")
+            .groupBy("cent_id", "i")
+            .agg(
+                _qz(
+                    F.sum(F.col("x").cast("decimal(28,14)")).cast("double")
+                    / F.count("*")
+                ).alias("mx")
+            )
+        )
+        cent = (
+            cent.join(means, ["cent_id", "i"], "left")
+            .select(
+                "cent_id", "i", F.coalesce("mx", F.col("cx")).alias("cx")
+            )
+            .persist()
+        )
+        _KMEANS_CACHES.append(cent)
+    sizes = assign.groupBy("cent_id").agg(F.count("*").alias("n"))
+    return cent.join(F.broadcast(sizes), "cent_id", "left").select(
+        "cent_id",
+        F.col("i").alias("dim"),
+        F.col("cx").alias("centroid"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("cluster_size"),
+    )
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain (c0 → d1/a1/m1/c1 →
+    … → c4), mirroring the Spark rounds expression for expression."""
+    mean = _qz_sql(
+        "CAST(SUM(CAST(e.x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)"
+    )
+    sql = f"""
+WITH ex AS (
+  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+         UNNEST(generate_series(0, len(embedding) - 1)) AS i
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id - {KMEANS_SEED_BASE} AS INT) AS cent_id, i, x AS cx
+  FROM ex WHERE vec_id >= {KMEANS_SEED_BASE}
+)"""
+    for t in range(1, KMEANS_ITERS + 1):
+        sql += f""",
+d{t} AS (
+  SELECT e.vec_id, c.cent_id,
+         SUM(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(28,14))) AS dsq
+  FROM ex e JOIN c{t - 1} c USING (i) GROUP BY e.vec_id, c.cent_id),
+a{t} AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dsq ASC, cent_id ASC) AS rn
+    FROM d{t}) WHERE rn = 1),
+m{t} AS (
+  SELECT a.cent_id, e.i, {mean} AS mx
+  FROM a{t} a JOIN ex e USING (vec_id) GROUP BY a.cent_id, e.i),
+c{t} AS (
+  SELECT p.cent_id, p.i, COALESCE(m.mx, p.cx) AS cx
+  FROM c{t - 1} p LEFT JOIN m{t} m ON m.cent_id = p.cent_id AND m.i = p.i)"""
+    sql += f""",
+sizes AS (SELECT cent_id, COUNT(*) AS n FROM a{KMEANS_ITERS} GROUP BY cent_id)
+SELECT c.cent_id, c.i AS dim, c.cx AS centroid,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS cluster_size
+FROM c{KMEANS_ITERS} c LEFT JOIN sizes s USING (cent_id)"""
+    return sql
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
+# --------------------------------------------------------- sequence packing
+PACK_CAP = 512  # token budget per packed training sequence
+PACK_SHARDS = 4  # deterministic sub-shards per source stream
+
+
+def pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: assign each document a (seq_id,
+    offset) inside fixed 512-token training sequences, by running prefix sum
+    over a stable (doc_id) order — offset-chunked packing (every document
+    lands at its stream offset; sequences are full except the stream tail).
+    Integer-exact on both engines — no float discipline needed.
+
+    Scale shape: packing is inherently sequential WITHIN a stream (each
+    offset depends on every predecessor), so the parallel unit is the
+    stream: (source, shard) where shard = doc_id % 4 splits hot sources into
+    bounded independent streams (padding waste only at shard tails). The
+    window prefix-sum shuffles once on the stream key; no stream ever needs
+    to fit in memory (window with UNBOUNDED PRECEDING over a sorted
+    partition streams in Spark)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        (F.col("doc_id") % PACK_SHARDS).cast("long").alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "source",
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.floor(start / F.lit(PACK_CAP)).cast("long").alias("seq_id"),
+        (start % PACK_CAP).cast("long").alias("offset_in_seq"),
+    )
+
+
+PACK_SQL = f"""
+WITH toks AS (
+  SELECT source, CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+runs AS (
+  SELECT source, shard, doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+  FROM toks
+)
+SELECT source, shard, doc_id, n_tokens,
+  CAST(FLOOR(CAST(start AS DOUBLE) / {PACK_CAP}) AS BIGINT) AS seq_id,
+  CAST(start % {PACK_CAP} AS BIGINT) AS offset_in_seq
+FROM runs
+"""
+
+
+MLOPS_QUERIES: dict[str, tuple] = {
+    "kmeans_centroids": (kmeans_centroids, KMEANS_SQL),
+    "pack_sequences": (pack_sequences, PACK_SQL),
+}

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .advanced import ADVANCED_QUERIES
 from .disambig import DISAMBIG_QUERIES
+from .mlops import MLOPS_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .textops import TEXTOPS_QUERIES
 
@@ -187,12 +188,20 @@ KG_QUERIES: dict[str, tuple] = {
 #     (running_user_value keeps the W-frame CORR row); retired in favor of
 #     kg_pagerank (r4), which adds a genuinely new capability (iterative
 #     graph ranking over the constructed KG)
+#   cube_event_stats / grouping_sets_event_stats — two of three
+#     near-isomorphic grouping-set-family queries (rollup_order_stats keeps
+#     the family's CORR row); retired in favor of kmeans_centroids (a real
+#     distributed Lloyd's trainer for the IVF coarse quantizer) and
+#     pack_sequences (token-budget sequence packing — the corpus → training
+#     sequences step)
 _UNREGISTERED = {
     "salted_pivot_counts",
     "q18_large_orders",
     "q10_returned_items",
     "stratified_sample",
     "moving_avg_user_value",
+    "cube_event_stats",
+    "grouping_sets_event_stats",
 }
 
 ALL_QUERIES: dict[str, tuple] = {
@@ -204,6 +213,7 @@ ALL_QUERIES: dict[str, tuple] = {
             **TEXTOPS_QUERIES,
             **ADVANCED_QUERIES,
             **DISAMBIG_QUERIES,
+            **MLOPS_QUERIES,
         }.items()
         if k not in _UNREGISTERED
     },

@@ -599,8 +599,10 @@ N_IVF_PROBE = 2
 
 def ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN (the scale path ann_topk_cosine is validated against):
-    'trained' centroids = the 8 fixed seed vectors vec_id 492..499
-    (deterministic stand-in for k-means — present at every sf),
+    centroids = the 8 fixed seed vectors vec_id 492..499 (present at every
+    sf; mlops.kmeans_centroids is the distributed Lloyd's trainer that
+    refines exactly these seeds — kept out of this query so its oracle
+    stays a flat CTE),
     every DB vector is assigned to its nearest centroid (inverted
     lists), each query probes only its nprobe=2 nearest lists, exact cosine
     + top-3 within the candidates. All cosines decimal-exact → deterministic
