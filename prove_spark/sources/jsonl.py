@@ -1,0 +1,78 @@
+"""JSONL transcript ingestion: schema-enforced, splittable, with a corrupt-
+record error lane.
+
+Real transcript feeds (agent logs, chat exports) arrive as JSON Lines, so
+the engine needs a first-class JSONL path next to parquet/Iceberg
+(sources/tables.py) and CSV (sources/popularity.py). At 100 TB the
+non-negotiables are:
+
+* **Explicit schema.** Schema inference is a full extra pass over the
+  corpus; the transcript schema is a contract (BASELINE.json input_hint),
+  not something to rediscover per run.
+* **Line-splittable scan.** The file is read with ``spark.read.text`` —
+  newline-delimited, so a single 1 TB file still fans out across executors
+  (a multiline JSON array would be ONE task) — and parsed with the
+  ``from_json`` JVM expression. This also sidesteps Spark's
+  QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction on raw-JSON scans, whose
+  documented workaround (``df.cache()``) is exactly what you cannot do to
+  a 100 TB ingest scan.
+* **Malformed lines must neither poison the pipeline nor vanish.**
+  PERMISSIVE parsing routes unparseable lines AND type-mismatched fields to
+  a corrupt lane (the ingest analogue of the pipeline's F11 error tagging —
+  reference ProVe tags per-row fetch/parse errors rather than dropping them:
+  html_fetching.py, refs_html_to_evidences.py). Both lanes are plain
+  filters over one shared text scan: no double read, no cache.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..datagen import TRANSCRIPT_SCHEMA
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _parsed_schema() -> StructType:
+    base = StructType.fromDDL(TRANSCRIPT_SCHEMA)
+    return StructType(base.fields + [StructField(CORRUPT_COL, StringType())])
+
+
+def read_transcripts_jsonl(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL transcript feed → ``(good, corrupt)`` lanes.
+
+    ``good`` carries the transcript contract columns
+    (conv_id, turn_idx, role, text, tool, ts) for every line that parsed
+    cleanly; ``corrupt`` carries the raw offending line (``raw_line``) for
+    quarantine/replay — both broken JSON and rows whose fields failed the
+    declared types land there. Blank lines are dropped (they are framing,
+    not records). Both lanes are lazy filters over the same single-column
+    text scan.
+    """
+    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    parsed = raw.select(
+        F.from_json(
+            "value",
+            _parsed_schema(),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("r")
+    ).select("r.*")
+    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    corrupt = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, corrupt
+
+
+def write_transcripts_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write transcripts as JSONL (one object per line, ISO-8601 timestamps).
+
+    The output round-trips bit-exactly through ``read_transcripts_jsonl``
+    (per-turn text equality under stable (conv_id, turn_idx) ordering —
+    the input_hint invariant), which the tests pin.
+    """
+    df.write.mode(mode).json(path)

@@ -44,3 +44,57 @@ def test_csv_malformed_rows_are_null(spark):
     df = spark.read.csv(path, header=True, schema="qid string, n_connected_site int")
     rows = {r.qid: r.n_connected_site for r in df.collect()}
     assert rows == {"Q1": 5, "Q2": None}
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    """JSONL write → read preserves every transcript column bit-exactly
+    (per-turn text equality under stable (conv_id, turn_idx) ordering — the
+    input-contract invariant), including sub-second timestamps and NULL
+    tool fields (omitted on write, restored as NULL on read)."""
+    from prove_spark.datagen import transcripts_df
+    from prove_spark.sources.jsonl import read_transcripts_jsonl, write_transcripts_jsonl
+
+    src = transcripts_df(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "feed")
+    write_transcripts_jsonl(src, out)
+    good, corrupt = read_transcripts_jsonl(spark, out)
+
+    assert corrupt.count() == 0
+    key = lambda r: (r.conv_id, r.turn_idx)
+    orig = sorted(src.collect(), key=key)
+    back = sorted(good.collect(), key=key)
+    assert good.columns == src.columns
+    assert len(back) == len(orig) > 0
+    assert back == orig  # full-row equality: role/text/tool/ts all exact
+
+
+def test_jsonl_corrupt_lane(spark, tmp_path):
+    """Broken JSON and type-mismatched fields both land in the corrupt lane
+    with the raw line preserved verbatim; clean rows are unaffected; blank
+    lines are framing, not records."""
+    from prove_spark.sources.jsonl import read_transcripts_jsonl
+
+    p = tmp_path / "feed.jsonl"
+    bad_type = (
+        '{"conv_id":"c2","turn_idx":"notanint","role":"user",'
+        '"text":"x","tool":null,"ts":"2026-01-01T00:01:00.000Z"}'
+    )
+    p.write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi",'
+        '"tool":null,"ts":"2026-01-01T00:00:00.000Z"}\n'
+        '{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"yo",'
+        '"tool":"search","ts":"2026-01-01T00:00:05.000Z"}\n'
+        "{broken json!!\n"
+        "\n"
+        + bad_type
+        + "\n"
+    )
+    good, corrupt = read_transcripts_jsonl(spark, str(p))
+
+    rows = {(r.conv_id, r.turn_idx): r for r in good.collect()}
+    assert set(rows) == {("c1", 0), ("c1", 1)}
+    assert rows[("c1", 1)].tool == "search"
+    assert rows[("c1", 0)].tool is None
+
+    raw = sorted(r.raw_line for r in corrupt.collect())
+    assert raw == sorted(["{broken json!!", bad_type])
