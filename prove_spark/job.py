@@ -28,8 +28,14 @@ import time
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     src = p.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="parquet dir of transcripts (conv_id, turn_idx, role, text, tool, ts)")
+    src.add_argument("--input", help="transcripts dir (conv_id, turn_idx, role, text, tool, ts)")
     src.add_argument("--sf-dir", help="testdata sf dir — synthesize transcripts from its documents table")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "jsonl"],
+        default="parquet",
+        help="format of --input; jsonl quarantines malformed lines to <warehouse>/quarantine",
+    )
     p.add_argument("--warehouse", required=True, help="output table root (triples, entities, manifest)")
     p.add_argument("--bucket-groups", type=int, default=4, help="checkpoint commit units")
     p.add_argument("--engine", choices=["jvm", "arrow"], default="jvm")
@@ -54,7 +60,18 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("prove-spark-job")
 
     config = replace(DEFAULT_CONFIG, engine=args.engine)
-    if args.input:
+    n_quarantined = 0
+    if args.input and args.input_format == "jsonl":
+        from .sources.jsonl import read_transcripts_jsonl
+
+        transcripts, corrupt = read_transcripts_jsonl(spark, args.input)
+        # quarantine before the pipeline consumes the feed: malformed lines
+        # are preserved for replay, never silently dropped (F11 at ingest)
+        corrupt.write.mode("overwrite").text(args.warehouse.rstrip("/") + "/quarantine")
+        n_quarantined = spark.read.text(
+            args.warehouse.rstrip("/") + "/quarantine"
+        ).count()
+    elif args.input:
         transcripts = spark.read.parquet(args.input)
     else:
         from .datagen import transcripts_df
@@ -82,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
                 "n_triples": n_triples,
                 "n_entities": n_entities,
                 "n_manifest_rows": metrics.count(),
+                "n_quarantined": n_quarantined,
                 "wall_sec": round(time.time() - t0, 2),
                 "warehouse": args.warehouse,
                 "engine": args.engine,
