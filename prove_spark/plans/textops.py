@@ -24,6 +24,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _rebalance_scan(spark: SparkSession, df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Fan a scan out to the session's core count BEFORE CPU-heavy per-row
+    work (shingle explode, tf explode) — but only when the source yields
+    fewer splits than cores. Parquet cannot split below row-group
+    granularity, so a small-file / giant-row-group table pins the whole map
+    phase to ONE task no matter how many cores exist. The condition makes
+    this self-limiting at scale: the repartition triggers only when the
+    input is small relative to the cluster (so the introduced shuffle is
+    small by construction, and it carries raw rows — cheaper than shuffling
+    the exploded output); a 100 TB table already fans out to thousands of
+    splits and the plan gains no exchange at all. Hash-partitioned on `key`
+    for a deterministic layout."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def _portable_hash(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
@@ -52,11 +70,13 @@ FROM documents GROUP BY MD5(text)
 def _shingles(spark, sf_dir) -> DataFrame:
     """Distinct word 3-gram shingles per doc — fully MAP-SIDE via array HOFs:
     slice the split array with transform(sequence(...)), dedupe per doc with
-    array_distinct, then explode. Zero shuffles (the old lead-window
+    array_distinct, then explode. No shuffle of its own (the old lead-window
     formulation cost a doc_id window shuffle + a global distinct shuffle;
-    since shingles are per-document, both were unnecessary). The SQL oracle
-    keeps the window formulation — same (doc_id, shingle) set."""
-    d = _t(spark, sf_dir, "documents")
+    since shingles are per-document, both were unnecessary) — the only
+    exchange ever present is the conditional scan rebalance, which carries
+    raw docs and disappears once the source supplies >= cores splits. The
+    SQL oracle keeps the window formulation — same (doc_id, shingle) set."""
+    d = _rebalance_scan(spark, _t(spark, sf_dir, "documents"))
     # Bind split() ONCE in its own projection: inlined, every element_at in
     # the transform lambda re-splits the text — O(words^2) per doc (measured
     # 4x slower). The separate Project keeps one array per row.
@@ -410,7 +430,7 @@ def simhash_fingerprints(spark, sf_dir):
     safety is unconditional: each lane holds c_j ≤ T < 2^32 (a single doc
     would need 4 billion words to overflow), lanes are non-negative so no
     cross-lane carry, and the packed long stays < 2^63."""
-    d = _t(spark, sf_dir, "documents")
+    d = _rebalance_scan(spark, _t(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     h = tf.withColumn(

@@ -85,12 +85,31 @@ def test_jvm_engine_keeps_mapside_topk(spark):
     assert plan.count("WindowGroupLimit") >= 2, "partial top-k not map-side"
 
 
-def test_shingles_are_shuffle_free(spark):
-    """Map-side shingle construction: no Exchange in the _shingles plan."""
+def test_shingles_only_exchange_is_the_scan_rebalance(spark):
+    """Shingle construction adds no shuffle of its own: the only Exchange
+    permitted is the conditional scan rebalance (single-row-group parquet →
+    1 split), which hash-partitions RAW docs on doc_id before the explode."""
     from prove_spark.plans.textops import _shingles
 
+    import re
+
     plan = plan_of(_shingles(spark, SF))
-    assert "Exchange" not in plan
+    # formatted explain prints each node twice (tree + detail section) —
+    # count detail headers "(n) Exchange" for the true node count
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_scan_rebalance_is_noop_on_parallel_input(spark):
+    """An input already fanned out to >= core count must NOT gain an
+    exchange — at real scale the source supplies the splits and the
+    rebalance vanishes from the plan."""
+    from prove_spark.plans.textops import _rebalance_scan
+
+    cores = spark.sparkContext.defaultParallelism
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id").repartition(cores)
+    out = _rebalance_scan(spark, df)
+    assert out is df
 
 
 def test_entity_rollup_is_two_phase(spark):
