@@ -41,7 +41,9 @@ def _qz_sql(e: str) -> str:
 # ------------------------------------------------------------------ k-means
 KMEANS_K = N_IVF_CENTROIDS  # 8 — trains the IVF coarse quantizer
 KMEANS_ITERS = 4
-KMEANS_SEED_BASE = 500 - KMEANS_K  # init = the IVF seed vectors (492..499)
+# init = the IVF seed vectors: the K HIGHEST vec_ids, derived from
+# max(vec_id) at runtime (a hardcoded base would select (max - base + 1)
+# "centroids" on any table larger than the one it was written for)
 
 # centroid relations persisted by the previous invocation — released on the
 # next call (same hygiene as textops._DEDUP_CACHES / registry._KG_CACHES)
@@ -83,10 +85,15 @@ def kmeans_centroids(spark, sf_dir):
     ).persist()
     _KMEANS_CACHES.append(ex)
 
-    cent = ex.where(F.col("vec_id") >= KMEANS_SEED_BASE).select(
-        (F.col("vec_id") - KMEANS_SEED_BASE).cast("int").alias("cent_id"),
-        "i",
-        F.col("x").alias("cx"),
+    seed = e.agg((F.max("vec_id") - F.lit(KMEANS_K - 1)).alias("seed_base"))
+    cent = (
+        ex.crossJoin(F.broadcast(seed))
+        .where(F.col("vec_id") >= F.col("seed_base"))
+        .select(
+            (F.col("vec_id") - F.col("seed_base")).cast("int").alias("cent_id"),
+            "i",
+            F.col("x").alias("cx"),
+        )
     )
     assign = None
     for _ in range(KMEANS_ITERS):
@@ -143,9 +150,10 @@ WITH ex AS (
          UNNEST(generate_series(0, len(embedding) - 1)) AS i
   FROM embeddings
 ),
+seed AS (SELECT MAX(vec_id) - {KMEANS_K - 1} AS sb FROM embeddings),
 c0 AS (
-  SELECT CAST(vec_id - {KMEANS_SEED_BASE} AS INT) AS cent_id, i, x AS cx
-  FROM ex WHERE vec_id >= {KMEANS_SEED_BASE}
+  SELECT CAST(vec_id - sb AS INT) AS cent_id, i, x AS cx
+  FROM ex, seed WHERE vec_id >= sb
 )"""
     for t in range(1, KMEANS_ITERS + 1):
         sql += f""",

@@ -619,10 +619,12 @@ N_IVF_PROBE = 2
 
 def ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN (the scale path ann_topk_cosine is validated against):
-    centroids = the 8 fixed seed vectors vec_id 492..499 (present at every
-    sf; mlops.kmeans_centroids is the distributed Lloyd's trainer that
-    refines exactly these seeds — kept out of this query so its oracle
-    stays a flat CTE),
+    centroids = the 8 seed vectors with the HIGHEST vec_ids (derived from
+    max(vec_id) as a 1-row broadcast — NOT a hardcoded id range, which would
+    silently select (max - 492) "centroids" on any table larger than the one
+    the constant was written for; mlops.kmeans_centroids is the distributed
+    Lloyd's trainer that refines exactly these seeds — kept out of this
+    query so its oracle stays a flat CTE),
     every DB vector is assigned to its nearest centroid (inverted
     lists), each query probes only its nprobe=2 nearest lists, exact cosine
     + top-3 within the candidates. All cosines decimal-exact → deterministic
@@ -630,7 +632,10 @@ def ann_ivf_topk(spark, sf_dir):
     centroid side broadcast, and the candidate search touches ~nprobe/K of
     the corpus instead of all of it."""
     e = _t(spark, sf_dir, "embeddings")
-    first_centroid = 500 - N_IVF_CENTROIDS  # fixed seed-vector id range
+    # seed base = max(vec_id) - (K-1): table-size independent, no collect
+    seed = e.agg(
+        (F.max("vec_id") - F.lit(N_IVF_CENTROIDS - 1)).alias("seed_base")
+    )
     ex = e.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
@@ -638,14 +643,22 @@ def ann_ivf_topk(spark, sf_dir):
     norms = ex.groupBy("vec_id").agg(
         F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
     )
-    cent = ex.where(F.col("vec_id") >= first_centroid).select(
-        (F.col("vec_id") - first_centroid).alias("cent_id"),
-        "i",
-        F.col("x").alias("cx"),
+    cent = (
+        ex.crossJoin(F.broadcast(seed))
+        .where(F.col("vec_id") >= F.col("seed_base"))
+        .select(
+            (F.col("vec_id") - F.col("seed_base")).alias("cent_id"),
+            "i",
+            F.col("x").alias("cx"),
+        )
     )
-    cnorms = norms.where(F.col("vec_id") >= first_centroid).select(
-        (F.col("vec_id") - first_centroid).alias("cent_id"),
-        F.col("nsq").alias("cnsq"),
+    cnorms = (
+        norms.crossJoin(F.broadcast(seed))
+        .where(F.col("vec_id") >= F.col("seed_base"))
+        .select(
+            (F.col("vec_id") - F.col("seed_base")).alias("cent_id"),
+            F.col("nsq").alias("cnsq"),
+        )
     )
     # cosine(vector, centroid) for every vector (queries and DB alike)
     vc = (
@@ -712,14 +725,14 @@ WITH ex AS (
   FROM embeddings
 ),
 norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS nsq FROM ex GROUP BY vec_id),
-n_total AS (SELECT 500 AS n),
+seed AS (SELECT MAX(vec_id) - {N_IVF_CENTROIDS - 1} AS sb FROM embeddings),
 cent AS (
-  SELECT vec_id - (500 - {N_IVF_CENTROIDS}) AS cent_id, i, x AS cx FROM ex
-  WHERE vec_id >= 500 - {N_IVF_CENTROIDS}
+  SELECT vec_id - sb AS cent_id, i, x AS cx FROM ex, seed
+  WHERE vec_id >= sb
 ),
 cnorms AS (
-  SELECT vec_id - (500 - {N_IVF_CENTROIDS}) AS cent_id, nsq AS cnsq FROM norms
-  WHERE vec_id >= 500 - {N_IVF_CENTROIDS}
+  SELECT vec_id - sb AS cent_id, nsq AS cnsq FROM norms, seed
+  WHERE vec_id >= sb
 ),
 vc AS (
   SELECT e.vec_id, c.cent_id,

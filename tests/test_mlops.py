@@ -63,3 +63,26 @@ def test_pack_sequences_invariants(spark):
         assert starts.iloc[0] == 0
         expect = g.n_tokens.cumsum().shift(1, fill_value=0)
         assert (starts == expect).all()
+
+
+def test_kmeans_k_is_table_size_independent(spark, tmp_path):
+    """Regression: the seed base derives from max(vec_id), so a table LARGER
+    than the fixed sf tables still trains exactly K centroids. (A hardcoded
+    base of 492 selected max-491 "centroids" on bigger tables — 1508 at
+    sf0.1 — exploding the assignment join ~190x.)"""
+    import numpy as np
+
+    d = str(tmp_path / "big")
+    n, dim = 700, 8
+    rows = [
+        (int(v), [float((v * 31 + j * 7) % 97) / 97.0 for j in range(dim)])
+        for v in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    pdf = kmeans_centroids(spark, d).toPandas()
+    assert len(pdf) == KMEANS_K * dim
+    assert sorted(pdf.cent_id.unique()) == list(range(KMEANS_K))
+    assert pdf.drop_duplicates("cent_id").cluster_size.sum() == n
