@@ -230,3 +230,25 @@ def test_result_sentence_reference_semantics(spark):
     assert out.loc["c1:6", "result_sentence"] == "alice bob not"
     # MALON stays the priority lane (any REFUTES beats NEI) — independent
     assert out.loc["c1:0", "malon"] == "REFUTES"
+
+
+def test_engine_parity_sf0_01(spark):
+    """JVM and Arrow engines must emit bit-identical triples at sf0.01
+    (10x the golden fixture — catches dialect drift the tiny fixture can
+    miss; the same probe at sf0.1 measured identical 7265-triple sets)."""
+    from dataclasses import replace
+
+    from prove_spark.config import DEFAULT_CONFIG
+    from prove_spark.datagen import transcripts_df
+    from prove_spark.pipeline.run import build_triples
+
+    tr = transcripts_df(spark, "/root/testdata/sf0.01").persist()
+    try:
+        results = {}
+        for eng in ("jvm", "arrow"):
+            df = build_triples(spark, tr, replace(DEFAULT_CONFIG, engine=eng))
+            results[eng] = sorted(tuple(r) for r in df.collect())
+        assert len(results["jvm"]) > 0
+        assert results["jvm"] == results["arrow"]
+    finally:
+        tr.unpersist()
