@@ -114,9 +114,17 @@ def kg_measure(
     split_mb = int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "8"))
     ui_on = os.environ.get("SPARK_GRAFT_BENCH_UI", "1") == "1"
     pair_hint = os.environ.get("SPARK_GRAFT_PAIR_HINT", "merge")
+    # SPARK_GRAFT_OFFHEAP_MB: Tungsten off-heap execution memory (0 = off,
+    # the conf of record). Experiment knob for the scaling residue: in local
+    # mode all N "executors" share one heap, so GC pressure rises with
+    # parallelism; off-heap moves shuffle/agg buffers out of the GC's reach.
+    offheap_mb = int(os.environ.get("SPARK_GRAFT_OFFHEAP_MB", "0"))
     conf = {
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     }
+    if offheap_mb:
+        conf["spark.memory.offHeap.enabled"] = "true"
+        conf["spark.memory.offHeap.size"] = str(offheap_mb * 1024 * 1024)
     if split_mb:
         # small input splits → several task waves per scan on BOTH sides
         # of the scaling pair. The default 128 MB splits gave the 2-core
