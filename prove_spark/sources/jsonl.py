@@ -48,22 +48,30 @@ def read_transcripts_jsonl(
     ``good`` carries the transcript contract columns
     (conv_id, turn_idx, role, text, tool, ts) for every line that parsed
     cleanly; ``corrupt`` carries the raw offending line (``raw_line``) for
-    quarantine/replay — both broken JSON and rows whose fields failed the
-    declared types land there. Blank lines are dropped (they are framing,
-    not records). Both lanes are lazy filters over the same single-column
-    text scan.
+    quarantine/replay. Three failure classes quarantine: broken JSON, rows
+    whose fields failed the declared types, and structurally-valid JSON
+    missing the record's key fields (NULL conv_id or turn_idx — ``{}`` is
+    valid JSON but not a transcript turn). Blank lines are dropped (they
+    are framing, not records). Both lanes are lazy filters over the same
+    single-column text scan.
     """
     raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
     parsed = raw.select(
+        "value",
         F.from_json(
             "value",
             _parsed_schema(),
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ).alias("r")
-    ).select("r.*")
-    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    corrupt = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw_line")
+        ).alias("r"),
+    ).select("value", "r.*")
+    bad = (
+        F.col(CORRUPT_COL).isNotNull()
+        | F.col("conv_id").isNull()
+        | F.col("turn_idx").isNull()
+    )
+    good = parsed.filter(~bad).drop(CORRUPT_COL, "value")
+    corrupt = parsed.filter(bad).select(
+        F.coalesce(F.col(CORRUPT_COL), F.col("value")).alias("raw_line")
     )
     return good, corrupt
 

@@ -86,6 +86,8 @@ def test_jsonl_corrupt_lane(spark, tmp_path):
         '"tool":"search","ts":"2026-01-01T00:00:05.000Z"}\n'
         "{broken json!!\n"
         "\n"
+        "{}\n"
+        "null\n"
         + bad_type
         + "\n"
     )
@@ -96,5 +98,52 @@ def test_jsonl_corrupt_lane(spark, tmp_path):
     assert rows[("c1", 1)].tool == "search"
     assert rows[("c1", 0)].tool is None
 
+    # broken JSON, type-mismatch, valid-but-keyless JSON ({}), and scalar
+    # JSON (null) all quarantine with the raw line preserved
     raw = sorted(r.raw_line for r in corrupt.collect())
-    assert raw == sorted(["{broken json!!", bad_type])
+    assert raw == sorted(["{broken json!!", bad_type, "{}", "null"])
+
+
+def test_jsonl_fuzz_parse_or_quarantine(spark, tmp_path):
+    """Fuzz the JSONL reader: every non-blank line must land in EXACTLY one
+    lane (parse or quarantine) — never crash, never silently drop. Seeded."""
+    import json
+    import random
+
+    from prove_spark.sources.jsonl import read_transcripts_jsonl
+
+    rng = random.Random(20260817)
+    frag = [
+        '{"conv_id":', '"c1"', "}", "{", "[1,2]", "null", '"turn_idx":',
+        '"üñï"', "\\", '"', ",", ":", "123", "-", "tool",
+        '{"a":{"b":[', "日本語", "NaN", "true",
+    ]
+    lines, n_valid = [], 0
+    for i in range(400):
+        kind = rng.random()
+        if kind < 0.35:  # valid row
+            lines.append(
+                json.dumps(
+                    {
+                        "conv_id": f"c{rng.randrange(20)}",
+                        "turn_idx": rng.randrange(50),
+                        "role": rng.choice(["user", "assistant"]),
+                        "text": rng.choice(["hi", "x y z", "ü", ""]),
+                        "tool": rng.choice([None, "search"]),
+                        "ts": "2026-01-01T00:00:00.000Z",
+                    }
+                )
+            )
+            n_valid += 1
+        elif kind < 0.45:
+            lines.append("")  # blank framing line — dropped by contract
+        else:  # garbage of random fragments
+            lines.append("".join(rng.choice(frag) for _ in range(rng.randrange(1, 8))))
+    p = tmp_path / "fuzz.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    good, corrupt = read_transcripts_jsonl(spark, str(p))
+    n_good, n_corrupt = good.count(), corrupt.count()
+    n_nonblank = sum(1 for ln in lines if ln.strip())
+    assert n_good + n_corrupt == n_nonblank  # exactly one lane per line
+    assert n_good >= n_valid  # every valid row parses (garbage may too, e.g. "null")
