@@ -202,6 +202,10 @@ _UNREGISTERED = {
     "moving_avg_user_value",
     "cube_event_stats",
     "grouping_sets_event_stats",
+    # tfidf_top_terms — added after the registry hit the 50-row cap; the
+    # corpus-analytics family already holds CORR rows (lang_id / quality /
+    # token_counts / fingerprints), so it lives in the pytest oracle lane
+    "tfidf_top_terms",
 }
 
 ALL_QUERIES: dict[str, tuple] = {

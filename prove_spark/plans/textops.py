@@ -929,6 +929,65 @@ FROM documents
 """
 
 
+def tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF, top-3 terms per document — the per-doc salient-term
+    extraction step of a training-data pipeline (rational-idf variant:
+    score = tf * (N/df) with exact-rounded IEEE double ops only, because
+    ln() is NOT bit-identical across libms and would break cross-engine
+    hash parity; ranking is monotone-identical to log-idf for df >= 1).
+
+    Scale shape: tf = one (doc_id, term)-keyed agg with map-side combine;
+    df = one term-keyed agg OVER THE tf RELATION (doc×term scale, already
+    deduped — never re-scans the corpus); N rides as a 1-row broadcast; the
+    tf⋈df join is 1:1 per tf row (no fan-out — each (doc, term) row picks up
+    exactly one df), so a hot stopword only skews reducer placement, which
+    AQE skew-join splits; top-3/doc is a WindowGroupLimit partial before the
+    exchange."""
+    d = _rebalance_scan(spark, _t(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w_ = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tf", "df", "tfidf", "rank")
+    )
+
+
+TFIDF_SQL = """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, w AS term, tf, df, tf * (CAST(n_docs AS DOUBLE) / df) AS tfidf, rank
+FROM (
+  SELECT t.doc_id, t.w, t.tf, d.df, n.n_docs,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf * (CAST(n.n_docs AS DOUBLE) / d.df) DESC, t.w ASC
+         ) AS rank
+  FROM tf t JOIN dfreq d USING (w) CROSS JOIN n
+)
+WHERE rank <= 3
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
@@ -946,4 +1005,5 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
 }
