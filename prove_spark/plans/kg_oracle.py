@@ -473,6 +473,45 @@ FROM pr_r{PAGERANK_ITERS} r LEFT JOIN pr_out o ON o.src = r.entity"""
     return sql
 
 
+def kg_triangles_sql() -> str:
+    """Triangle-participation oracle over the KG entity graph: undirected
+    distinct edge set, edges oriented from the (degree, id)-smaller endpoint
+    so each triangle is enumerated exactly once as a wedge at its minimum
+    vertex plus a closure lookup (the Spark plan's orientation trick,
+    mirrored literally). Integer-only arithmetic — no float parity concerns."""
+    return (
+        _kg_ctes()
+        + """,
+tri_und AS (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM triples WHERE subj <> obj),
+tri_deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM tri_und UNION ALL SELECT b AS v FROM tri_und
+  ) GROUP BY v),
+tri_or AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst
+  FROM tri_und e JOIN tri_deg da ON da.v = e.a JOIN tri_deg db ON db.v = e.b),
+tri_tris AS (
+  SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+  FROM tri_or o1
+  JOIN tri_or o2 ON o2.src = o1.src AND o1.dst < o2.dst
+  JOIN tri_und c ON c.a = o1.dst AND c.b = o2.dst),
+tri_counts AS (
+  SELECT v, COUNT(*) AS n FROM (
+    SELECT x AS v FROM tri_tris
+    UNION ALL SELECT y AS v FROM tri_tris
+    UNION ALL SELECT z AS v FROM tri_tris
+  ) GROUP BY v)
+SELECT d.v AS entity, CAST(d.deg AS BIGINT) AS degree,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+FROM tri_deg d LEFT JOIN tri_counts c ON c.v = d.v"""
+    )
+
+
 def kg_entities_sql() -> str:
     """Entities-dimension oracle (build_entities twin)."""
     ent_rows = ENTITIES

@@ -142,6 +142,73 @@ def kg_entities(spark, sf_dir):
     return build_entities(spark, _kg_build(spark, sf_dir))
 
 
+def kg_triangles(spark, sf_dir):
+    """Per-entity triangle participation over the KG entity graph — the
+    graph family's clustering signal next to [[kg_pagerank]] (importance)
+    and connected components (identity). Exact, integer-only.
+
+    Scale shape: edges are oriented from the (degree, id)-smaller endpoint —
+    the classic triangle-enumeration trick: every triangle appears exactly
+    once as a wedge at its minimum-(deg, id) vertex, and the wedge-join
+    fan-out per key is the ORIENTED out-degree: a degree-d hub's edges all
+    orient from its lower-degree neighbors INTO the hub, so the hub centers
+    no wedges over its leaf pairs — the d^2 blow-up a naive self-join takes
+    on hot entities never materializes. The closure probe is an equi-join
+    against the canonical undirected edge set, never a cross join.
+    Degree/orientation/count are all integers — no cross-engine float
+    discipline needed."""
+    triples = _kg_build(spark, sf_dir)
+    und = (
+        triples.where(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    _KG_CACHES.append(und)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    _KG_CACHES.append(deg)
+    e = und.join(
+        deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).persist()
+    _KG_CACHES.append(oriented)
+    o1 = oriented.select("src", F.col("dst").alias("d1"))
+    o2 = oriented.select("src", F.col("dst").alias("d2"))
+    wedges = o1.join(o2, "src").where(F.col("d1") < F.col("d2"))
+    tris = wedges.join(
+        und,
+        (F.col("d1") == F.col("a")) & (F.col("d2") == F.col("b")),
+        "inner",
+    ).select("src", "d1", "d2")
+    counts = (
+        tris.select(
+            F.explode(F.array("src", "d1", "d2")).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count("*").alias("n"))
+    )
+    return deg.join(counts, "v", "left").select(
+        F.col("v").alias("entity"),
+        F.col("deg").cast("long").alias("degree"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
 def _kg_sqls() -> dict[str, str]:
     from .kg_oracle import (
         kg_entities_sql,
@@ -169,6 +236,16 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_pagerank": (kg_pagerank, _SQLS["kg_pagerank"]),
     "kg_entities": (kg_entities, _SQLS["kg_entities"]),
 }
+
+def _kg_extra_queries() -> dict[str, tuple]:
+    from .kg_oracle import kg_triangles_sql
+
+    return {"kg_triangles": (kg_triangles, kg_triangles_sql())}
+
+
+# KG-family queries held out of the sweep cap (still fully oracled via the
+# pytest unregistered lane, same as the non-KG _UNREGISTERED entries)
+KG_EXTRA_QUERIES: dict[str, tuple] = _kg_extra_queries()
 
 # Intentionally unregistered to stay under the driver's 50-row sweep cap
 # (still importable + unit-tested; exposed via __spark_entry__.unregistered()
@@ -206,6 +283,10 @@ _UNREGISTERED = {
     # corpus-analytics family already holds CORR rows (lang_id / quality /
     # token_counts / fingerprints), so it lives in the pytest oracle lane
     "tfidf_top_terms",
+    # kg_triangles — KG graph family already holds CORR rows (kg_pagerank,
+    # CC via the kg lane rekey); triangle participation joins them through
+    # the pytest oracle lane (KG_EXTRA_QUERIES)
+    "kg_triangles",
 }
 
 ALL_QUERIES: dict[str, tuple] = {

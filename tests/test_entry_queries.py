@@ -42,13 +42,19 @@ def test_entry_contract(spark):
 # registry._UNREGISTERED) still get the SAME oracle gate here in pytest
 from prove_spark.plans.advanced import ADVANCED_QUERIES  # noqa: E402
 from prove_spark.plans.mlops import MLOPS_QUERIES  # noqa: E402
-from prove_spark.plans.registry import _UNREGISTERED  # noqa: E402
+from prove_spark.plans.registry import KG_EXTRA_QUERIES, _UNREGISTERED  # noqa: E402
 from prove_spark.plans.relational import RELATIONAL_QUERIES  # noqa: E402
 from prove_spark.plans.textops import TEXTOPS_QUERIES  # noqa: E402
 
 _UNREG = {
     n: v
-    for d in (RELATIONAL_QUERIES, TEXTOPS_QUERIES, ADVANCED_QUERIES, MLOPS_QUERIES)
+    for d in (
+        RELATIONAL_QUERIES,
+        TEXTOPS_QUERIES,
+        ADVANCED_QUERIES,
+        MLOPS_QUERIES,
+        KG_EXTRA_QUERIES,
+    )
     for n, v in d.items()
     if n in _UNREGISTERED
 }
