@@ -64,13 +64,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.input and args.input_format == "jsonl":
         from .sources.jsonl import read_transcripts_jsonl
 
-        transcripts, corrupt = read_transcripts_jsonl(spark, args.input)
+        good, corrupt = read_transcripts_jsonl(spark, args.input)
         # quarantine before the pipeline consumes the feed: malformed lines
         # are preserved for replay, never silently dropped (F11 at ingest)
         corrupt.write.mode("overwrite").text(args.warehouse.rstrip("/") + "/quarantine")
         n_quarantined = spark.read.text(
             args.warehouse.rstrip("/") + "/quarantine"
         ).count()
+        # STAGE the good lane to parquet once: the checkpointed pipeline
+        # re-reads its input per bucket group (plus the lineage fingerprint
+        # pass), which against raw JSONL would re-run from_json over the
+        # whole feed ~bucket_groups+2 times; against the staged parquet each
+        # pass is a pruned columnar read, same as the parquet input path.
+        staging = args.warehouse.rstrip("/") + "/staging_transcripts"
+        good.write.mode("overwrite").parquet(staging)
+        transcripts = spark.read.parquet(staging)
     elif args.input:
         transcripts = spark.read.parquet(args.input)
     else:

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .textops import N_IVF_CENTROIDS
+from .textops import N_IVF_CENTROIDS, SEED_IDS_SQL_TMPL, _seed_centroid_ids
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,9 +41,10 @@ def _qz_sql(e: str) -> str:
 # ------------------------------------------------------------------ k-means
 KMEANS_K = N_IVF_CENTROIDS  # 8 — trains the IVF coarse quantizer
 KMEANS_ITERS = 4
-# init = the IVF seed vectors: the K HIGHEST vec_ids, derived from
-# max(vec_id) at runtime (a hardcoded base would select (max - base + 1)
-# "centroids" on any table larger than the one it was written for)
+# init = the IVF seed vectors: the K HIGHEST vec_ids selected by RANK
+# (textops._seed_centroid_ids — a hardcoded base selects (max - base + 1)
+# "centroids" on a larger table; an id-range predicate off max(vec_id)
+# under-selects when the top ids have gaps)
 
 # centroid relations persisted by the previous invocation — released on the
 # next call (same hygiene as textops._DEDUP_CACHES / registry._KG_CACHES)
@@ -85,15 +86,9 @@ def kmeans_centroids(spark, sf_dir):
     ).persist()
     _KMEANS_CACHES.append(ex)
 
-    seed = e.agg((F.max("vec_id") - F.lit(KMEANS_K - 1)).alias("seed_base"))
-    cent = (
-        ex.crossJoin(F.broadcast(seed))
-        .where(F.col("vec_id") >= F.col("seed_base"))
-        .select(
-            (F.col("vec_id") - F.col("seed_base")).cast("int").alias("cent_id"),
-            "i",
-            F.col("x").alias("cx"),
-        )
+    seeds = _seed_centroid_ids(e, KMEANS_K)
+    cent = ex.join(F.broadcast(seeds), "vec_id").select(
+        "cent_id", "i", F.col("x").alias("cx")
     )
     assign = None
     for _ in range(KMEANS_ITERS):
@@ -150,10 +145,9 @@ WITH ex AS (
          UNNEST(generate_series(0, len(embedding) - 1)) AS i
   FROM embeddings
 ),
-seed AS (SELECT MAX(vec_id) - {KMEANS_K - 1} AS sb FROM embeddings),
+seeds AS ({SEED_IDS_SQL_TMPL.format(k=KMEANS_K)}),
 c0 AS (
-  SELECT CAST(vec_id - sb AS INT) AS cent_id, i, x AS cx
-  FROM ex, seed WHERE vec_id >= sb
+  SELECT s.cent_id, e.i, e.x AS cx FROM ex e JOIN seeds s USING (vec_id)
 )"""
     for t in range(1, KMEANS_ITERS + 1):
         sql += f""",

@@ -8,7 +8,7 @@ the pandas oracle (tests/test_pipeline_golden.py).
 
 Ordering/size: the KG lane leads and the registry is capped at 50 entries —
 the driver sweep records at most 50 rows, and every registered query must
-get a row. Four queries are intentionally unregistered (see _UNREGISTERED
+get a row. Nine queries are intentionally unregistered (see _UNREGISTERED
 below; each still oracle-checked in pytest via
 tests/test_entry_queries.py's unregistered lane, and exposed through
 __spark_entry__.unregistered() so the exclusion is visible at runtime).
@@ -168,6 +168,12 @@ def kg_triangles(spark, sf_dir):
         .persist()
     )
     _KG_CACHES.append(und)
+    # EAGER materialization: und/deg/oriented each feed 2+ sibling branches
+    # of one job, and Spark runs independent stages concurrently — a lazy
+    # persist would be recomputed by every sibling before the cache fills
+    # (the measured 4x-identical-stage race; same mitigation as
+    # build_triples' eager_cache). All three are edge/node scale — cheap.
+    und.count()
     deg = (
         und.select(F.col("a").alias("v"))
         .union(und.select(F.col("b").alias("v")))
@@ -176,6 +182,7 @@ def kg_triangles(spark, sf_dir):
         .persist()
     )
     _KG_CACHES.append(deg)
+    deg.count()
     e = und.join(
         deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a"
     ).join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
@@ -187,6 +194,7 @@ def kg_triangles(spark, sf_dir):
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     ).persist()
     _KG_CACHES.append(oriented)
+    oriented.count()
     o1 = oriented.select("src", F.col("dst").alias("d1"))
     o2 = oriented.select("src", F.col("dst").alias("d2"))
     wedges = o1.join(o2, "src").where(F.col("d1") < F.col("d2"))

@@ -617,14 +617,37 @@ N_IVF_CENTROIDS = 8
 N_IVF_PROBE = 2
 
 
+def _seed_centroid_ids(e: DataFrame, k: int) -> DataFrame:
+    """The k seed-centroid vectors = the k HIGHEST vec_ids, by RANK — not an
+    id-range predicate, which under-selects when the top ids are not
+    contiguous (exactly what an upstream dedup/sample pass produces).
+    orderBy+limit compiles to TakeOrderedAndProject (parallel partial top-k,
+    no global sort); the row_number window then runs over the k-row result
+    only. cent_id numbering (highest id → k-1) matches the previous
+    contiguous-range derivation on gap-free tables."""
+    seeds = e.select("vec_id").orderBy(F.desc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("vec_id"))
+    return seeds.select(
+        "vec_id", (F.lit(k) - F.row_number().over(w)).cast("int").alias("cent_id")
+    )
+
+
+SEED_IDS_SQL_TMPL = """
+  SELECT vec_id, CAST({k} - ROW_NUMBER() OVER (ORDER BY vec_id DESC) AS INT) AS cent_id
+  FROM embeddings ORDER BY vec_id DESC LIMIT {k}
+"""
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN (the scale path ann_topk_cosine is validated against):
-    centroids = the 8 seed vectors with the HIGHEST vec_ids (derived from
-    max(vec_id) as a 1-row broadcast — NOT a hardcoded id range, which would
-    silently select (max - 492) "centroids" on any table larger than the one
-    the constant was written for; mlops.kmeans_centroids is the distributed
-    Lloyd's trainer that refines exactly these seeds — kept out of this
-    query so its oracle stays a flat CTE),
+    centroids = the 8 seed vectors with the HIGHEST vec_ids, selected by
+    RANK via _seed_centroid_ids (NOT a hardcoded id range — that silently
+    selected (max - 492) "centroids" on any table larger than the one the
+    constant was written for — and NOT an id-range predicate off max(vec_id),
+    which under-selects when the top ids have gaps;
+    mlops.kmeans_centroids is the distributed Lloyd's trainer that refines
+    exactly these seeds — kept out of this query so its oracle stays a flat
+    CTE),
     every DB vector is assigned to its nearest centroid (inverted
     lists), each query probes only its nprobe=2 nearest lists, exact cosine
     + top-3 within the candidates. All cosines decimal-exact → deterministic
@@ -632,10 +655,7 @@ def ann_ivf_topk(spark, sf_dir):
     centroid side broadcast, and the candidate search touches ~nprobe/K of
     the corpus instead of all of it."""
     e = _t(spark, sf_dir, "embeddings")
-    # seed base = max(vec_id) - (K-1): table-size independent, no collect
-    seed = e.agg(
-        (F.max("vec_id") - F.lit(N_IVF_CENTROIDS - 1)).alias("seed_base")
-    )
+    seeds = _seed_centroid_ids(e, N_IVF_CENTROIDS)
     ex = e.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
@@ -643,22 +663,11 @@ def ann_ivf_topk(spark, sf_dir):
     norms = ex.groupBy("vec_id").agg(
         F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
     )
-    cent = (
-        ex.crossJoin(F.broadcast(seed))
-        .where(F.col("vec_id") >= F.col("seed_base"))
-        .select(
-            (F.col("vec_id") - F.col("seed_base")).alias("cent_id"),
-            "i",
-            F.col("x").alias("cx"),
-        )
+    cent = ex.join(F.broadcast(seeds), "vec_id").select(
+        "cent_id", "i", F.col("x").alias("cx")
     )
-    cnorms = (
-        norms.crossJoin(F.broadcast(seed))
-        .where(F.col("vec_id") >= F.col("seed_base"))
-        .select(
-            (F.col("vec_id") - F.col("seed_base")).alias("cent_id"),
-            F.col("nsq").alias("cnsq"),
-        )
+    cnorms = norms.join(F.broadcast(seeds), "vec_id").select(
+        "cent_id", F.col("nsq").alias("cnsq")
     )
     # cosine(vector, centroid) for every vector (queries and DB alike)
     vc = (
@@ -725,14 +734,12 @@ WITH ex AS (
   FROM embeddings
 ),
 norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS nsq FROM ex GROUP BY vec_id),
-seed AS (SELECT MAX(vec_id) - {N_IVF_CENTROIDS - 1} AS sb FROM embeddings),
+seeds AS ({SEED_IDS_SQL_TMPL.format(k=N_IVF_CENTROIDS)}),
 cent AS (
-  SELECT vec_id - sb AS cent_id, i, x AS cx FROM ex, seed
-  WHERE vec_id >= sb
+  SELECT s.cent_id, e.i, e.x AS cx FROM ex e JOIN seeds s USING (vec_id)
 ),
 cnorms AS (
-  SELECT vec_id - sb AS cent_id, nsq AS cnsq FROM norms, seed
-  WHERE vec_id >= sb
+  SELECT s.cent_id, n.nsq AS cnsq FROM norms n JOIN seeds s USING (vec_id)
 ),
 vc AS (
   SELECT e.vec_id, c.cent_id,
@@ -934,7 +941,11 @@ def tfidf_top_terms(spark, sf_dir):
     extraction step of a training-data pipeline (rational-idf variant:
     score = tf * (N/df) with exact-rounded IEEE double ops only, because
     ln() is NOT bit-identical across libms and would break cross-engine
-    hash parity; ranking is monotone-identical to log-idf for df >= 1).
+    hash parity). NOTE this is a deliberately different weighting than
+    log-idf, not an equivalent one: per-term idf → ln(idf) is monotone,
+    but multiplying by tf breaks cross-term order (rational idf upweights
+    rare terms relative to the log variant). It is a valid salience score
+    whose virtue here is bit-exact reproducibility on any engine.
 
     Scale shape: tf = one (doc_id, term)-keyed agg with map-side combine;
     df = one term-keyed agg OVER THE tf RELATION (doc×term scale, already

@@ -66,17 +66,18 @@ def test_pack_sequences_invariants(spark):
 
 
 def test_kmeans_k_is_table_size_independent(spark, tmp_path):
-    """Regression: the seed base derives from max(vec_id), so a table LARGER
-    than the fixed sf tables still trains exactly K centroids. (A hardcoded
-    base of 492 selected max-491 "centroids" on bigger tables — 1508 at
-    sf0.1 — exploding the assignment join ~190x.)"""
-    import numpy as np
-
+    """Regression: seeds are the K highest vec_ids BY RANK, so (a) a table
+    LARGER than the fixed sf tables still trains exactly K centroids (a
+    hardcoded base of 492 selected max-491 "centroids" on bigger tables —
+    1508 at sf0.1 — exploding the assignment join ~190x), and (b) gaps in
+    the top id range (what an upstream dedup/sample pass produces) do NOT
+    under-select seeds (an id-range predicate off max(vec_id) would)."""
     d = str(tmp_path / "big")
     n, dim = 700, 8
     rows = [
         (int(v), [float((v * 31 + j * 7) % 97) / 97.0 for j in range(dim)])
         for v in range(n)
+        if v not in (695, 698)  # holes inside the top-K id range
     ]
     spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
@@ -85,4 +86,4 @@ def test_kmeans_k_is_table_size_independent(spark, tmp_path):
     pdf = kmeans_centroids(spark, d).toPandas()
     assert len(pdf) == KMEANS_K * dim
     assert sorted(pdf.cent_id.unique()) == list(range(KMEANS_K))
-    assert pdf.drop_duplicates("cent_id").cluster_size.sum() == n
+    assert pdf.drop_duplicates("cent_id").cluster_size.sum() == len(rows)

@@ -95,9 +95,13 @@ def test_shingles_only_exchange_is_the_scan_rebalance(spark):
 
     plan = plan_of(_shingles(spark, SF))
     # formatted explain prints each node twice (tree + detail section) —
-    # count detail headers "(n) Exchange" for the true node count
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
-    assert "hashpartitioning(doc_id" in plan
+    # count detail headers "(n) Exchange" for the true node count. The
+    # fixture parquet is a single split, so the rebalance fires exactly when
+    # the runner has >1 core — don't hard-code the 32-CPU sandbox.
+    expected = 1 if spark.sparkContext.defaultParallelism > 1 else 0
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == expected
+    if expected:
+        assert "hashpartitioning(doc_id" in plan
 
 
 def test_scan_rebalance_is_noop_on_parallel_input(spark):
