@@ -239,7 +239,151 @@ FROM runs
 """
 
 
+# ----------------------------------------------------------------- SemDeDup
+# τ sits just above the measured p99.9 of within-cluster cosine (0.406 at
+# sf0.001) so the keep flag splits the table non-trivially either way.
+SEMDEDUP_TAU = 0.40
+
+# assignment relation persisted by the previous invocation (feeds BOTH pair
+# sides and the output — an unmaterialized persist would be recomputed by
+# each concurrently-scheduled sibling stage)
+_SEMDEDUP_CACHES: list = []
+
+
+def semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    embeddings, comparing pairs ONLY within a cluster, and dropping any
+    vector that has a lower-id near-duplicate (cosine ≥ τ) in its cluster —
+    the composition of the IVF coarse quantizer (shared
+    textops._centroid_cosine_ranked assignment, k=8 seed centroids) with
+    the exact-cosine machinery.
+
+    Scale shape: this is THE trick that makes embedding dedup tractable —
+    pair cost is Σ_c s_c² over cluster sizes instead of N²; in production K
+    grows with the corpus (K ∝ N / target-cluster-size) so s_c stays
+    bounded and total pair work stays ~N × cluster_size. The centroid side
+    of the assignment join is broadcast (k×dim rows). Output is ints +
+    booleans only — no float discipline needed downstream of the
+    decimal-exact cosines the threshold reads."""
+    for df in _SEMDEDUP_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SEMDEDUP_CACHES.clear()
+
+    from .textops import _centroid_cosine_ranked, _seed_centroid_ids
+
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).persist()
+    _SEMDEDUP_CACHES.append(ex)
+    norms = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
+    )
+    seeds = _seed_centroid_ids(e, KMEANS_K)
+    assign = (
+        _centroid_cosine_ranked(ex, norms, seeds)
+        .where(F.col("crank") == 1)
+        .select("vec_id", "cent_id")
+        .persist()
+    )
+    _SEMDEDUP_CACHES.append(assign)
+    assign.count()  # eager: feeds both pair sides + the output join
+
+    a = assign.select(F.col("vec_id").alias("va"), "cent_id")
+    b = assign.select(F.col("vec_id").alias("vb"), "cent_id")
+    pairs = a.join(b, "cent_id").where(F.col("va") < F.col("vb"))
+    exa = ex.select(F.col("vec_id").alias("va"), "i", F.col("x").alias("xa"))
+    exb = ex.select(F.col("vec_id").alias("vb"), "i", F.col("x").alias("xb"))
+    dots = (
+        pairs.join(exa, "va")
+        .join(exb, ["vb", "i"])
+        .groupBy("va", "vb")
+        .agg(F.sum((F.col("xa") * F.col("xb")).cast("decimal(28,14)")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nsq").alias("nsq_b"))
+    cos = (
+        dots.join(na, "va")
+        .join(nb, "vb")
+        .withColumn(
+            "c",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("nsq_a").cast("double") * F.col("nsq_b").cast("double")),
+        )
+    )
+    dups = (
+        cos.where(F.col("c") >= SEMDEDUP_TAU)
+        .groupBy("vb")
+        .agg(F.count("*").cast("long").alias("n_near"))
+    )
+    return assign.join(dups, assign.vec_id == dups.vb, "left").select(
+        "vec_id",
+        "cent_id",
+        F.coalesce("n_near", F.lit(0)).cast("long").alias("n_smaller_neardups"),
+        (F.coalesce("n_near", F.lit(0)) == 0).alias("keep"),
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+         UNNEST(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS nsq FROM ex GROUP BY vec_id),
+seeds AS ({SEED_IDS_SQL_TMPL.format(k=KMEANS_K)}),
+cent AS (SELECT s.cent_id, e.i, e.x AS cx FROM ex e JOIN seeds s USING (vec_id)),
+cnorms AS (SELECT s.cent_id, n.nsq AS cnsq FROM norms n JOIN seeds s USING (vec_id)),
+vc AS (
+  SELECT e.vec_id, c.cent_id,
+         CAST(SUM(CAST(e.x * c.cx AS DECIMAL(28,14))) AS DOUBLE)
+           / SQRT(CAST(n.nsq AS DOUBLE) * CAST(cn.cnsq AS DOUBLE)) AS ccos
+  FROM ex e JOIN cent c ON e.i = c.i
+  JOIN norms n ON n.vec_id = e.vec_id
+  JOIN cnorms cn ON cn.cent_id = c.cent_id
+  GROUP BY e.vec_id, c.cent_id, n.nsq, cn.cnsq
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crank
+    FROM vc) WHERE crank = 1
+),
+pairs AS (
+  SELECT a1.vec_id AS va, a2.vec_id AS vb
+  FROM assign a1 JOIN assign a2
+    ON a1.cent_id = a2.cent_id AND a1.vec_id < a2.vec_id
+),
+dots AS (
+  SELECT p.va, p.vb, SUM(CAST(ea.x * eb.x AS DECIMAL(28,14))) AS dot
+  FROM pairs p
+  JOIN ex ea ON ea.vec_id = p.va
+  JOIN ex eb ON eb.vec_id = p.vb AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT vb, CAST(COUNT(*) AS BIGINT) AS n_near
+  FROM dots
+  JOIN norms na ON na.vec_id = va
+  JOIN norms nb ON nb.vec_id = vb
+  WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE))
+        >= {SEMDEDUP_TAU}
+  GROUP BY vb
+)
+SELECT a.vec_id, a.cent_id,
+  COALESCE(d.n_near, 0) AS n_smaller_neardups,
+  (COALESCE(d.n_near, 0) = 0) AS keep
+FROM assign a LEFT JOIN dups d ON d.vb = a.vec_id
+"""
+
+
 MLOPS_QUERIES: dict[str, tuple] = {
     "kmeans_centroids": (kmeans_centroids, KMEANS_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
+    # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
+    "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
 }

@@ -295,6 +295,16 @@ _UNREGISTERED = {
     # CC via the kg lane rekey); triangle participation joins them through
     # the pytest oracle lane (KG_EXTRA_QUERIES)
     "kg_triangles",
+    # repetition_flags / decontaminate_overlap — Gopher-style repetition
+    # filters and benchmark n-gram decontamination; the quality family
+    # already holds CORR rows (quality_scores, lang_id), so these join the
+    # pytest oracle lane
+    "repetition_flags",
+    "decontaminate_overlap",
+    # semdedup_keep — semantic dedup composing the IVF assignment with
+    # within-cluster exact cosine; the embedding family already holds CORR
+    # rows (embedding_cosine_pairs, ann_ivf_topk, kmeans_centroids)
+    "semdedup_keep",
 }
 
 ALL_QUERIES: dict[str, tuple] = {

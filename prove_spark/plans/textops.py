@@ -638,6 +638,35 @@ SEED_IDS_SQL_TMPL = """
 """
 
 
+def _centroid_cosine_ranked(
+    ex: DataFrame, norms: DataFrame, seeds: DataFrame
+) -> DataFrame:
+    """cosine(vector, centroid) for every vector against every seed
+    centroid, ranked per vector (crank=1 ⇒ nearest). Shared by the IVF
+    index (ann_ivf_topk) and the SemDeDup clusterer (mlops.semdedup_keep).
+    The centroid side is k×dim — broadcast at any corpus scale."""
+    cent = ex.join(F.broadcast(seeds), "vec_id").select(
+        "cent_id", "i", F.col("x").alias("cx")
+    )
+    cnorms = norms.join(F.broadcast(seeds), "vec_id").select(
+        "cent_id", F.col("nsq").alias("cnsq")
+    )
+    vc = (
+        ex.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum((F.col("x") * F.col("cx")).cast("decimal(28,14)")).alias("dot"))
+        .join(norms, "vec_id")
+        .join(F.broadcast(cnorms), "cent_id")
+        .withColumn(
+            "ccos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("nsq").cast("double") * F.col("cnsq").cast("double")),
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    return vc.withColumn("crank", F.row_number().over(wv))
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN (the scale path ann_topk_cosine is validated against):
     centroids = the 8 seed vectors with the HIGHEST vec_ids, selected by
@@ -663,27 +692,8 @@ def ann_ivf_topk(spark, sf_dir):
     norms = ex.groupBy("vec_id").agg(
         F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
     )
-    cent = ex.join(F.broadcast(seeds), "vec_id").select(
-        "cent_id", "i", F.col("x").alias("cx")
-    )
-    cnorms = norms.join(F.broadcast(seeds), "vec_id").select(
-        "cent_id", F.col("nsq").alias("cnsq")
-    )
     # cosine(vector, centroid) for every vector (queries and DB alike)
-    vc = (
-        ex.join(F.broadcast(cent), "i")
-        .groupBy("vec_id", "cent_id")
-        .agg(F.sum((F.col("x") * F.col("cx")).cast("decimal(28,14)")).alias("dot"))
-        .join(norms, "vec_id")
-        .join(F.broadcast(cnorms), "cent_id")
-        .withColumn(
-            "ccos",
-            F.col("dot").cast("double")
-            / F.sqrt(F.col("nsq").cast("double") * F.col("cnsq").cast("double")),
-        )
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    ranked = vc.withColumn("crank", F.row_number().over(wv))
+    ranked = _centroid_cosine_ranked(ex, norms, seeds)
     assign = ranked.where(
         (F.col("crank") == 1) & (F.col("vec_id") >= 5)
     ).select("vec_id", "cent_id")
@@ -999,6 +1009,177 @@ WHERE rank <= 3
 """
 
 
+def _word_ngram_rows(base: DataFrame, n: int) -> DataFrame:
+    """Exploded word n-grams (doc_id, g) from a relation carrying a bound
+    `ws` array column and its size `nw`. The array MUST be bound in its own
+    projection upstream (an inlined split() re-evaluates per element inside
+    transform — O(words²) per row). sequence() is guarded with when():
+    sequence(1, 0) DESCENDS in Spark instead of returning empty."""
+    grams = F.when(
+        F.col("nw") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("nw") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.get("ws", i + j - 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select("doc_id", F.explode(grams).alias("g"))
+
+
+def _split_base(spark, sf_dir) -> DataFrame:
+    d = _rebalance_scan(spark, _t(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    return d.select("doc_id", ws.alias("ws"), F.size(ws).alias("nw"))
+
+
+# Thresholds sit at measured corpus quantiles (top-bigram p95, dup-trigram
+# p99 at sf0.001) so the flag splits the corpus non-trivially.
+REP_TOP_BIGRAM = 0.08
+REP_DUP_TRIGRAM = 0.02
+
+
+def repetition_flags(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.2, adapted to
+    the corpus's single-line documents): per-doc fraction of bigram mass in
+    the single most frequent bigram, and fraction of trigram occurrences
+    that are repeats — the two signals that catch boilerplate/looping text
+    which length/alpha quality scores miss.
+
+    Scale shape: each n-gram lane is one explode (corpus × ~len rows) into a
+    (doc_id, gram)-keyed agg with map-side combine, then a doc_id-keyed
+    rollup — the tf-idf shape, nothing all-pairs. Fractions are single IEEE
+    divisions of exact ints (bit-identical cross-engine, no quantization
+    needed). Docs too short to have n-grams keep row + zero fractions via
+    the left join."""
+    base = _split_base(spark, sf_dir)
+    btf = _word_ngram_rows(base, 2).groupBy("doc_id", "g").agg(
+        F.count("*").alias("c")
+    )
+    bs = btf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_cnt"),
+    )
+    ttf = _word_ngram_rows(base, 3).groupBy("doc_id", "g").agg(
+        F.count("*").alias("c")
+    )
+    ts = ttf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_trigrams"),
+        F.count("*").cast("long").alias("nd_trigrams"),
+    )
+    top_frac = F.coalesce(
+        F.col("top_cnt").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+    )
+    dup_frac = F.coalesce(
+        (F.col("n_trigrams") - F.col("nd_trigrams")).cast("double")
+        / F.col("n_trigrams"),
+        F.lit(0.0),
+    )
+    return (
+        base.select("doc_id")
+        .join(bs, "doc_id", "left")
+        .join(ts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            top_frac.alias("top_bigram_frac"),
+            F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+            dup_frac.alias("dup_trigram_frac"),
+            (
+                (top_frac >= REP_TOP_BIGRAM) | (dup_frac >= REP_DUP_TRIGRAM)
+            ).alias("repetitive"),
+        )
+    )
+
+
+REPETITION_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bidx AS (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 1)) AS i FROM w),
+btf AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, COUNT(*) AS c FROM bidx GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+              CAST(MAX(c) AS BIGINT) AS top_cnt FROM btf GROUP BY 1),
+tidx AS (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i FROM w),
+ttf AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g, COUNT(*) AS c
+        FROM tidx GROUP BY 1, 2),
+ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+              CAST(COUNT(*) AS BIGINT) AS nd_trigrams FROM ttf GROUP BY 1)
+SELECT w.doc_id,
+  COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+  COALESCE(CAST(bs.top_cnt AS DOUBLE) / bs.n_bigrams, 0.0) AS top_bigram_frac,
+  COALESCE(ts.n_trigrams, 0) AS n_trigrams,
+  COALESCE(CAST(ts.n_trigrams - ts.nd_trigrams AS DOUBLE) / ts.n_trigrams, 0.0)
+    AS dup_trigram_frac,
+  (COALESCE(CAST(bs.top_cnt AS DOUBLE) / bs.n_bigrams, 0.0) >= {REP_TOP_BIGRAM}
+   OR COALESCE(CAST(ts.n_trigrams - ts.nd_trigrams AS DOUBLE) / ts.n_trigrams, 0.0)
+      >= {REP_DUP_TRIGRAM}) AS repetitive
+FROM w LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)
+"""
+
+
+# Eval membership is a deterministic id rule standing in for a benchmark
+# table; 3-gram shingles (not the usual 8-13) because the synthetic corpus
+# has a ~30-word vocabulary — at real vocabulary sizes the shingle width
+# rises, the mechanics don't change.
+DECON_EVAL_MOD = 41
+DECON_FRAC = 0.10
+
+
+def decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 §C / Gopher-style n-gram collision):
+    flag training documents whose word-shingle overlap with the held-out
+    eval set exceeds a fraction threshold, so they can be dropped before
+    training. Eval docs themselves are excluded from the scored corpus.
+
+    Scale shape: the eval side of the join is DISTINCT shingles of a
+    benchmark suite — tiny at any corpus scale — and is explicitly
+    broadcast, so scoring is one map-side hash semi-join over the corpus
+    shingle relation plus a doc_id-keyed count; never corpus×corpus. Docs
+    shorter than the shingle width have nothing to match and drop out (they
+    cannot be contaminated)."""
+    base = _split_base(spark, sf_dir)
+    sh = _word_ngram_rows(base, 3).distinct()
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    ev = sh.where(is_eval).select("g").distinct()
+    corpus = sh.where(~is_eval)
+    per_doc = corpus.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    matched = (
+        corpus.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    frac = F.coalesce(
+        F.col("n_matched").cast("double") / F.col("n_shingles"), F.lit(0.0)
+    )
+    return per_doc.join(matched, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+        frac.alias("contamination_frac"),
+        (frac >= DECON_FRAC).alias("contaminated"),
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tidx AS (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i FROM w),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM tidx),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+            FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0 GROUP BY 1),
+m AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM sh s JOIN ev USING (g)
+      WHERE s.doc_id % {DECON_EVAL_MOD} <> 0 GROUP BY 1)
+SELECT p.doc_id, p.n_shingles,
+  COALESCE(m.n_matched, 0) AS n_matched,
+  COALESCE(CAST(m.n_matched AS DOUBLE) / p.n_shingles, 0.0) AS contamination_frac,
+  (COALESCE(CAST(m.n_matched AS DOUBLE) / p.n_shingles, 0.0) >= {DECON_FRAC})
+    AS contaminated
+FROM per_doc p LEFT JOIN m USING (doc_id)
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
@@ -1017,4 +1198,6 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "repetition_flags": (repetition_flags, REPETITION_SQL),
+    "decontaminate_overlap": (decontaminate_overlap, DECONTAMINATE_SQL),
 }
