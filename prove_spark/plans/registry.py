@@ -305,6 +305,9 @@ _UNREGISTERED = {
     # within-cluster exact cosine; the embedding family already holds CORR
     # rows (embedding_cosine_pairs, ann_ivf_topk, kmeans_centroids)
     "semdedup_keep",
+    # corpus_filter_pipeline — the end-to-end hygiene chain composing the
+    # individually-CORR'd stages into one per-doc verdict relation
+    "corpus_filter_pipeline",
 }
 
 ALL_QUERIES: dict[str, tuple] = {

@@ -1180,6 +1180,112 @@ FROM per_doc p LEFT JOIN m USING (doc_id)
 """
 
 
+# quality gates sit at measured corpus quantiles (alpha p1≈0.806, words
+# p5≈14 at sf0.001) so each lane drops a real, small slice
+PIPE_MIN_ALPHA = 0.81
+PIPE_MIN_WORDS = 15
+
+
+def corpus_filter_pipeline(spark, sf_dir):
+    """End-to-end training-corpus hygiene pipeline — the corpus-side analog
+    of the KG lane's build_triples: documents in, per-document verdict out.
+    Every doc gets exactly one row with the FIRST filter stage that claims
+    it ('eval' → 'low_quality' → 'repetitive' → 'near_duplicate' →
+    'contaminated' → sampling) or 'kept' — cheap map-only gates attribute
+    before join-heavy ones, the order production pipelines run them in
+    (and short docs read 'low_quality', not 'repetitive', even though a
+    7-word doc's top-bigram fraction trivially clears the repetition
+    threshold). Composes the individually-oracled
+    stages (dedup_ngram_jaccard pairs, repetition_flags, quality_scores,
+    decontaminate_overlap, stratified membership) so the whole chain is one
+    declarative plan Catalyst can prune/pushdown through — not a sequence
+    of materialized passes.
+
+    Scale shape: each stage contributes a doc_id-keyed relation left-joined
+    onto the corpus spine — co-partitioned one-to-one joins, no fan-out; the
+    near-dup lane keeps the lower doc_id of each Jaccard pair (drop side =
+    distinct doc_b, doc-scale). At 100 TB the verdict column is exactly what
+    gets written back as a partition-pruned lineage table. Exact-duplicate
+    removal is subsumed by the Jaccard lane (identical texts have Jaccard
+    1.0 and this corpus has no md5-exact copies at any sf)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    nd = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_neardup", F.lit(True))
+    )
+    rep = repetition_flags(spark, sf_dir).select("doc_id", "repetitive")
+    qual = quality_scores(spark, sf_dir).select(
+        "doc_id", "alpha_ratio", "n_words"
+    )
+    dec = decontaminate_overlap(spark, sf_dir).select("doc_id", "contaminated")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).try_cast("int")
+    rate = (F.lit(25) + F.lit(5) * F.pmod(src_num, F.lit(10))).cast("int")
+    h100 = F.pmod(
+        _portable_hash(
+            F.concat(F.lit("samp|"), F.col("doc_id").cast("string"))
+        ),
+        F.lit(100),
+    )
+    reason = (
+        F.when(F.col("doc_id") % DECON_EVAL_MOD == 0, "eval")
+        .when(
+            (F.col("alpha_ratio") < PIPE_MIN_ALPHA)
+            | (F.col("n_words") < PIPE_MIN_WORDS),
+            "low_quality",
+        )
+        .when(F.coalesce("repetitive", F.lit(False)), "repetitive")
+        .when(F.coalesce("is_neardup", F.lit(False)), "near_duplicate")
+        .when(F.coalesce("contaminated", F.lit(False)), "contaminated")
+        # NULL-rate sources (digit-less) fall to the otherwise branch on
+        # both engines: h100 < NULL is NULL, never true
+        .when(h100 < rate, "kept")
+        .otherwise("not_sampled")
+    )
+    return (
+        d.join(nd, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            reason.alias("drop_reason"),
+            (reason == "kept").alias("kept"),
+        )
+    )
+
+
+_PIPE_REASON_SQL = f"""CASE
+    WHEN d.doc_id % {DECON_EVAL_MOD} = 0 THEN 'eval'
+    WHEN qual.alpha_ratio < {PIPE_MIN_ALPHA} OR qual.n_words < {PIPE_MIN_WORDS}
+      THEN 'low_quality'
+    WHEN COALESCE(rep.repetitive, FALSE) THEN 'repetitive'
+    WHEN nd.doc_id IS NOT NULL THEN 'near_duplicate'
+    WHEN COALESCE(dec.contaminated, FALSE) THEN 'contaminated'
+    WHEN {_SAMP_HASH.replace('doc_id', 'd.doc_id')} % 100
+         < 25 + 5 * (TRY_CAST(regexp_extract(d.source, '(\\d+)', 1) AS INT) % 10)
+      THEN 'kept'
+    ELSE 'not_sampled' END"""
+
+CORPUS_FILTER_SQL = f"""
+WITH nd AS (SELECT DISTINCT doc_b AS doc_id FROM ({{jaccard}})),
+rep AS ({{repetition}}),
+qual AS ({{quality}}),
+dec AS ({{decontaminate}})
+SELECT d.doc_id, d.source, d.lang,
+  {_PIPE_REASON_SQL} AS drop_reason,
+  ({_PIPE_REASON_SQL} = 'kept') AS kept
+FROM documents d
+LEFT JOIN nd USING (doc_id)
+LEFT JOIN rep USING (doc_id)
+LEFT JOIN qual USING (doc_id)
+LEFT JOIN dec USING (doc_id)
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
@@ -1200,4 +1306,13 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "repetition_flags": (repetition_flags, REPETITION_SQL),
     "decontaminate_overlap": (decontaminate_overlap, DECONTAMINATE_SQL),
+    "corpus_filter_pipeline": (
+        corpus_filter_pipeline,
+        CORPUS_FILTER_SQL.format(
+            jaccard=DEDUP_JACCARD_SQL,
+            repetition=REPETITION_SQL,
+            quality=QUALITY_SQL,
+            decontaminate=DECONTAMINATE_SQL,
+        ),
+    ),
 }

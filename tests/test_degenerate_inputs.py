@@ -49,23 +49,61 @@ DOC_QUERIES = [
     "token_counts",
     "doc_fingerprints",
     "multimodal_bytes",
+    # r4 hygiene lane (TEXTOPS_QUERIES covers sweep-capped entries too):
+    "repetition_flags",
+    "decontaminate_overlap",
+    "corpus_filter_pipeline",
 ]
 
 
 @pytest.mark.parametrize("name", DOC_QUERIES)
 def test_doc_queries_survive_empty_corpus(spark, empty_dir, name):
-    from prove_spark.plans.registry import ALL_QUERIES
+    from prove_spark.plans.textops import TEXTOPS_QUERIES
 
-    fn, _ = ALL_QUERIES[name]
+    fn, _ = TEXTOPS_QUERIES[name]
     assert fn(spark, empty_dir).count() == 0
 
 
 @pytest.mark.parametrize("name", DOC_QUERIES)
 def test_doc_queries_survive_single_doc(spark, single_dir, name):
-    from prove_spark.plans.registry import ALL_QUERIES
+    from prove_spark.plans.textops import TEXTOPS_QUERIES
 
-    fn, _ = ALL_QUERIES[name]
+    fn, _ = TEXTOPS_QUERIES[name]
     fn(spark, single_dir).count()  # no pairs/clusters required, just no crash
+
+
+def test_single_doc_pipeline_verdict_is_low_quality(spark, single_dir):
+    # 7 words < PIPE_MIN_WORDS and not eval/near-dup/repetitive → the
+    # when-chain must claim it at the quality gate, not fall through
+    from prove_spark.plans.textops import corpus_filter_pipeline
+
+    rows = corpus_filter_pipeline(spark, single_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].drop_reason == "low_quality"
+    assert rows[0].kept is False
+
+
+def test_semdedup_survives_degenerate_embeddings(spark, tmp_path):
+    from prove_spark.plans.mlops import semdedup_keep
+
+    empty = f"{tmp_path}/e"
+    spark.createDataFrame(
+        [], schema="vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{empty}/embeddings.parquet")
+    assert semdedup_keep(spark, empty).count() == 0
+
+    single = f"{tmp_path}/s"
+    spark.createDataFrame(
+        [(3, [0.5, 0.25], 1)],
+        schema="vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{single}/embeddings.parquet")
+    rows = semdedup_keep(spark, single).collect()
+    assert len(rows) == 1
+    assert (rows[0].vec_id, rows[0].n_smaller_neardups, rows[0].keep) == (
+        3,
+        0,
+        True,
+    )
 
 
 def test_dedup_clusters_single_doc_is_its_own_rep(spark, single_dir):
