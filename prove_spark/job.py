@@ -1,12 +1,19 @@
 """spark-submit entrypoint: transcripts table → triples + entities tables.
 
-Run on a cluster (the north-rule deployment shape):
+Run on a cluster (the north-rule deployment shape; launch.py is a two-line
+shim `from prove_spark.job import main; sys.exit(main(sys.argv[1:]))` —
+job.py itself uses package-relative imports, so it ships inside the zip and
+is entered through the shim, never passed to spark-submit directly):
 
-    spark-submit --py-files prove_spark.zip -m ... prove_spark/job.py \
+    spark-submit --master <cluster> --py-files prove_spark.zip launch.py \
         --input  s3://lake/transcripts          # or a local parquet dir \
         --warehouse s3://lake/kg                 \
         --bucket-groups 8                        \
         --engine jvm
+
+(tests/test_job.py runs exactly this shape end-to-end: zip + shim + a
+neutral cwd with no repo on PYTHONPATH, asserting the submitted --master is
+respected rather than overridden by the local builder.)
 
 or locally:
 
@@ -21,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -55,9 +63,23 @@ def main(argv: list[str] | None = None) -> int:
     # fallback uses our tuned builder
     spark = SparkSession.getActiveSession()
     if spark is None:
-        from .session import get_spark
+        if "PYSPARK_GATEWAY_PORT" in os.environ:
+            # launched by spark-submit: the gateway JVM already carries the
+            # submitter's conf (--master, memory, shuffle partitions) — a
+            # builder.master() here would silently OVERRIDE the cluster
+            # master and run the whole job on the driver. Only session-level
+            # SQL confs that correctness depends on are set.
+            spark = (
+                SparkSession.builder.config(
+                    "spark.sql.session.timeZone", "UTC"
+                )
+                .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+                .getOrCreate()
+            )
+        else:
+            from .session import get_spark
 
-        spark = get_spark("prove-spark-job")
+            spark = get_spark("prove-spark-job")
 
     config = replace(DEFAULT_CONFIG, engine=args.engine)
     n_quarantined = 0
@@ -111,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
                 "wall_sec": round(time.time() - t0, 2),
                 "warehouse": args.warehouse,
                 "engine": args.engine,
+                "master": spark.sparkContext.master,
             }
         )
     )

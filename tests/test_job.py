@@ -5,7 +5,10 @@ must quarantine malformed lines instead of dropping or crashing on them."""
 from __future__ import annotations
 
 import glob
+import json
 import os
+import shutil
+import subprocess
 
 from prove_spark.datagen import transcripts_df
 from prove_spark.job import main
@@ -62,3 +65,60 @@ def test_job_parquet_and_jsonl_inputs_agree(spark, tmp_path):
         with open(path) as f:
             quarantined += [ln for ln in f.read().splitlines() if ln]
     assert quarantined == ["{not json at all"]
+
+
+def test_job_via_spark_submit_py_files(spark, tmp_path):
+    """The north rule's literal deployment shape: `spark-submit --master N
+    --py-files prove_spark.zip launch.py ...` from a NEUTRAL cwd with no
+    repo on PYTHONPATH — the package must arrive via the zip, and the
+    submitted --master must be respected (the local builder used to
+    override it with local[32], which on a real cluster would silently run
+    the whole job on the driver)."""
+    import pyspark
+
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    zip_path = shutil.make_archive(
+        str(tmp_path / "prove_spark_pkg"),
+        "zip",
+        root_dir="/root/repo",
+        base_dir="prove_spark",
+    )
+    launcher = tmp_path / "launch.py"
+    launcher.write_text(
+        "import sys\nfrom prove_spark.job import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    wh = str(tmp_path / "wh_submit")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            str(launcher),
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--warehouse", wh,
+            "--bucket-groups", "2",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    stats_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    stats = json.loads(stats_lines[-1])
+    assert stats["master"] == "local[4]"  # submitter conf, not the builder's
+    assert stats["n_entities"] > 0
+    # the cluster-shaped run must emit the exact triple set the in-process
+    # pipeline derives from the same input
+    from prove_spark.pipeline.run import build_triples
+
+    src = transcripts_df(spark, "/root/testdata/sf0.001")
+    assert stats["n_triples"] == build_triples(spark, src).count()
+    assert len(_triples(spark, wh)) == stats["n_triples"]
