@@ -304,6 +304,29 @@ FROM documents GROUP BY 1
 """
 
 
+def hll_user_counts(spark, sf_dir):
+    """Approximate distinct users per event type via the native HLL sketch
+    (Apache DataSketches binding, Spark 3.5+; lgConfigK=14 → ~0.5% relative
+    std error). Sketches — not exact distinct — are THE 100 TB cardinality
+    path: partial sketches are mergeable, so per-partition/per-day sketches
+    combine associatively (hll_union_agg) without ever re-shuffling raw
+    keys, and the shuffle payload is one 16 KB sketch per group instead of
+    every distinct key. No DuckDB oracle (sketch internals are
+    engine-specific); pinned in pytest against exact counts within ±2%
+    plus an exact lower-bound/cheap upper-bound sandwich."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(14))
+            ).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select("event_type", "approx_users", "n_events")
+    )
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -314,4 +337,7 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "percentile_event_values": (percentile_event_values, PERCENTILE_SQL),
     "moving_avg_user_value": (moving_avg_user_value, MOVING_AVG_SQL),
     "url_host_extract": (url_host_extract, URL_HOST_SQL),
+    # sweep-capped (registry._UNREGISTERED); no SQL oracle by design —
+    # sketch internals are engine-specific; accuracy pinned in pytest
+    "hll_user_counts": (hll_user_counts, None),
 }

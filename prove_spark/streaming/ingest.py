@@ -132,6 +132,26 @@ def assemble_conversations_stateful(
     )
 
 
+def session_turn_stats(stream: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Event-time SESSION windows per conv_id — the streaming twin of the
+    batch sessionize_events query: rows whose event times fall within `gap`
+    of each other merge into one variable-length window. State is bounded:
+    a session is final (and its state evicted) once the watermark passes its
+    close, which is also why the sink must be append-mode — sessions only
+    emit on finalization, never partially."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),

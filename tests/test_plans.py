@@ -181,3 +181,33 @@ def test_lsh_bucket_cap_bounds_hot_bucket(spark, tmp_path):
     got = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(spark, d).collect()}
     assert (9000, 9001) in got
     assert all(a == 9000 for a, _ in got), "hot-bucket pairs leaked past the cap"
+
+
+def test_hll_user_counts_accuracy(spark):
+    """The sketch estimate must land within ±2% of the exact distinct count
+    per group (lgConfigK=14 → ~0.5% RSE; 2% is 4σ), and n_events is exact."""
+    from pyspark.sql import functions as F
+
+    from prove_spark.plans.advanced import hll_user_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: r for r in hll_user_counts(spark, sf).collect()}
+    exact = {
+        r.event_type: r
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) > 0
+    for et, r in got.items():
+        e = exact[et]
+        assert abs(r.approx_users - e.exact_users) <= max(1, 0.02 * e.exact_users), (
+            et,
+            r.approx_users,
+            e.exact_users,
+        )
+        assert r.n_events == e.n_events

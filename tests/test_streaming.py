@@ -94,6 +94,73 @@ def test_stateful_conversation_assembly(spark, tmp_path):
         q.stop()
 
 
+def test_session_window_stream(spark, tmp_path):
+    """session_window: two turns 10 s apart merge into one session (end =
+    last event + gap); a turn 20 min later starts a new one. The first
+    session emits only after the watermark passes its close."""
+    import pandas as pd
+
+    from prove_spark.streaming.ingest import (
+        read_transcript_stream,
+        session_turn_stats,
+    )
+
+    src = tmp_path / "sw_src"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def rows(conv, offsets_s, t0):
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": pd.array(range(len(offsets_s)), dtype="int32"),
+                "role": "user",
+                "text": "x",
+                "tool": "",
+                "ts": pd.Series(
+                    [t0 + pd.Timedelta(seconds=s) for s in offsets_s],
+                    dtype="datetime64[us]",
+                ),
+            }
+        )
+
+    # conv-A: turns at 0s and 10s (one session) + one at 20min (a second)
+    rows("conv-A", [0, 10, 1200], base).to_parquet(src / "f1.parquet")
+    stream = read_transcript_stream(spark, str(src))
+    q = (
+        session_turn_stats(stream, gap="5 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2's 40-min row advances the watermark to 30 min, past both
+        # conv-A session closes (5m10s and 25m); conv-Z's own session stays
+        # open (its close 45m is ahead of the watermark)
+        rows("conv-Z", [0], base + pd.Timedelta(minutes=40)).to_parquet(
+            src / "f2.parquet"
+        )
+        q.processAllAvailable()
+        got = sorted(
+            spark.sql(
+                "SELECT conv_id, n_turns, session_start, session_end FROM sessions"
+            ).collect(),
+            key=lambda r: r.session_start,
+        )
+        assert [(r.conv_id, r.n_turns) for r in got] == [
+            ("conv-A", 2),
+            ("conv-A", 1),
+        ]
+        # session end = last event + gap: 10s+5min, then a lone-turn 5min
+        assert (got[0].session_end - got[0].session_start).total_seconds() == 310.0
+        assert (got[1].session_end - got[1].session_start).total_seconds() == 300.0
+    finally:
+        q.stop()
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: replayed rows inside the horizon are
     dropped with bounded state; a second micro-batch replaying batch 1's
