@@ -327,6 +327,33 @@ def hll_user_counts(spark, sf_dir):
     )
 
 
+def approx_value_quantiles(spark, sf_dir, accuracy: int = 10_000):
+    """Approximate p50/p90/p99 of event value per type via percentile_approx
+    (Greenwald-Khanna sketch). The 100 TB quantile path for the same reason
+    as [hll_user_counts]: GK summaries are mergeable, so the shuffle moves
+    one bounded summary per (partition, group) instead of sorting the raw
+    values — exact percentile_cont (see `percentile_event_values`) needs a
+    full per-group sort that a hot group turns into a single-task straggler.
+    Guarantee is on RANK, not value: the returned value's rank is within
+    n/accuracy of the target rank. No DuckDB oracle (sketch internals are
+    engine-specific); the rank guarantee is pinned in pytest."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.percentile_approx(
+        F.col("value"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), accuracy
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("p"), F.count("value").alias("n_values"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+            "n_values",
+        )
+    )
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -340,4 +367,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED); no SQL oracle by design —
     # sketch internals are engine-specific; accuracy pinned in pytest
     "hll_user_counts": (hll_user_counts, None),
+    "approx_value_quantiles": (approx_value_quantiles, None),
 }

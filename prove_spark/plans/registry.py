@@ -308,10 +308,12 @@ _UNREGISTERED = {
     # corpus_filter_pipeline — the end-to-end hygiene chain composing the
     # individually-CORR'd stages into one per-doc verdict relation
     "corpus_filter_pipeline",
-    # hll_user_counts — mergeable-sketch cardinality (no SQL oracle by
-    # design: sketch internals are engine-specific; ±2% accuracy pinned in
-    # pytest against exact counts)
+    # hll_user_counts / approx_value_quantiles — mergeable-sketch
+    # cardinality and quantiles (no SQL oracle by design: sketch internals
+    # are engine-specific; accuracy/rank guarantees pinned in pytest
+    # against exact answers)
     "hll_user_counts",
+    "approx_value_quantiles",
 }
 
 ALL_QUERIES: dict[str, tuple] = {

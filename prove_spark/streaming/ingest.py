@@ -152,6 +152,33 @@ def session_turn_stats(stream: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
+def enrich_turns_with_conv_meta(
+    stream: DataFrame, conv_dim: DataFrame
+) -> DataFrame:
+    """Stream-static broadcast enrichment — join each streamed turn against a
+    static conversation-metadata dimension (source/channel/tenant) on conv_id.
+
+    Stream-static equi-joins are STATELESS in Spark: no watermark, no state
+    store — each micro-batch executes a fresh batch join. The static side is
+    explicitly broadcast: the stream never shuffles, each executor probes a
+    local hash map — the only stream-static shape that holds at 100 TB/day
+    ingest (a shuffled join would re-exchange every micro-batch). Left join:
+    a turn whose conversation is not yet registered in the dim flows through
+    with NULL metadata rather than being silently dropped.
+
+    Dim-refresh contract: for a plain parquet-backed dimension the file
+    listing is PINNED when the DataFrame is created — an out-of-band
+    overwrite makes running batches fail with FILE_NOT_EXIST, it does not
+    refresh them. Pick up dim updates by restarting the query from its
+    checkpoint with a re-read dim (offsets resume; already-emitted rows are
+    immutable) or by backing the dim with a catalog table format that
+    re-snapshots per batch (Delta/Iceberg)."""
+    dupes = set(conv_dim.columns) & set(stream.columns) - {"conv_id"}
+    if dupes:
+        raise ValueError(f"conv_dim columns collide with stream: {sorted(dupes)}")
+    return stream.join(F.broadcast(conv_dim), "conv_id", "left")
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),

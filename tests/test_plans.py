@@ -211,3 +211,35 @@ def test_hll_user_counts_accuracy(spark):
             e.exact_users,
         )
         assert r.n_events == e.n_events
+
+
+def test_approx_value_quantiles_rank_guarantee(spark):
+    """percentile_approx returns an ACTUAL element of each group whose rank
+    is within n/accuracy of the target rank (GK sketch contract); n_values
+    is exact. At accuracy=10k and test-scale n the bound is ±1 rank."""
+    from prove_spark.plans.advanced import approx_value_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: r for r in approx_value_quantiles(spark, sf).collect()}
+    by_type: dict[str, list[float]] = {}
+    for r in (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_type", "value")
+        .where("value IS NOT NULL")
+        .collect()
+    ):
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert set(got) == set(by_type) and len(got) > 0
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        r = got[et]
+        assert r.n_values == n
+        for q, v in [(0.5, r.p50), (0.9, r.p90), (0.99, r.p99)]:
+            assert v in vals, (et, q, v)
+            # rank of the returned element (1-based, any tie position)
+            lo = sum(1 for x in vals if x < v) + 1
+            hi = sum(1 for x in vals if x <= v)
+            target = q * n
+            slack = max(1.0, n / 10_000)
+            assert lo - slack <= target <= hi + slack, (et, q, v, lo, hi, target)

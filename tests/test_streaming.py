@@ -211,3 +211,96 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert got == [("c1", 0), ("c1", 1), ("c2", 0)]
     finally:
         q.stop()
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static left join: matched conv gets dim columns, unregistered
+    conv flows through with NULLs; a dim update is picked up by restarting
+    the query from its checkpoint with a re-read dim (the documented refresh
+    contract — a parquet dim's file listing is pinned at DataFrame creation);
+    the plan broadcasts the dim. Colliding dim columns are rejected eagerly."""
+    import pandas as pd
+    import pytest
+
+    from prove_spark.streaming.ingest import (
+        enrich_turns_with_conv_meta,
+        read_transcript_stream,
+    )
+
+    src = tmp_path / "enrich_src"
+    dim_dir = tmp_path / "conv_dim"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def turns(convs_idxs):
+        return pd.DataFrame(
+            {
+                "conv_id": [c for c, _ in convs_idxs],
+                "turn_idx": pd.array([i for _, i in convs_idxs], dtype="int32"),
+                "role": "user",
+                "text": "x",
+                "tool": "",
+                "ts": pd.Series([base] * len(convs_idxs), dtype="datetime64[us]"),
+            }
+        )
+
+    turns([("conv-A", 0), ("conv-B", 0)]).to_parquet(src / "b1.parquet")
+    dim_pdf = pd.DataFrame({"conv_id": ["conv-A"], "source": ["web"]})
+    spark.createDataFrame(dim_pdf).write.mode("overwrite").parquet(str(dim_dir))
+
+    ckpt = str(tmp_path / "enrich_ckpt")
+    sink = str(tmp_path / "enrich_sink")
+
+    def start_query():
+        conv_dim = spark.read.parquet(str(dim_dir))
+        enriched = enrich_turns_with_conv_meta(
+            read_transcript_stream(spark, str(src)), conv_dim
+        )
+        return (
+            enriched.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def sink_rows():
+        return {
+            (r.conv_id, r.turn_idx, r.source)
+            for r in spark.read.parquet(sink)
+            .select("conv_id", "turn_idx", "source")
+            .collect()
+        }
+
+    q = start_query()
+    try:
+        q.processAllAvailable()
+        assert sink_rows() == {("conv-A", 0, "web"), ("conv-B", 0, None)}
+        # the executed micro-batch plan must broadcast the static side
+        plan = q._jsq.explainInternal(False)
+        assert "broadcasthashjoin" in plan.lower().replace(" ", "")
+    finally:
+        q.stop()
+
+    # dim refresh = restart from the checkpoint with a re-read dim: offsets
+    # resume (batch 1's files are NOT reprocessed — no duplicate rows), the
+    # new batch sees the updated dim, already-emitted rows stay immutable
+    spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["conv-A", "conv-B"], "source": ["web", "api"]})
+    ).write.mode("overwrite").parquet(str(dim_dir))
+    turns([("conv-B", 1)]).to_parquet(src / "b2.parquet")
+    q = start_query()
+    try:
+        q.processAllAvailable()
+        assert sink_rows() == {
+            ("conv-A", 0, "web"),
+            ("conv-B", 0, None),  # immutable — NOT retro-enriched or replayed
+            ("conv-B", 1, "api"),  # post-restart batch sees the updated dim
+        }
+    finally:
+        q.stop()
+
+    # colliding non-key columns are rejected before the query starts
+    bad_dim = spark.read.parquet(str(dim_dir)).withColumnRenamed("source", "text")
+    with pytest.raises(ValueError, match="collide"):
+        enrich_turns_with_conv_meta(read_transcript_stream(spark, str(src)), bad_dim)
