@@ -354,6 +354,61 @@ def approx_value_quantiles(spark, sf_dir, accuracy: int = 10_000):
     )
 
 
+def zorder_events(spark, sf_dir):
+    """Morton z-values over (user_id, coarse event time) — the clustering
+    key `operators/zorder.write_zordered` lays files out on so min/max file
+    skipping works for range predicates on EITHER dimension (a linear sort
+    answers only its leading key). Pure shift/mask integer arithmetic, all
+    whole-stage codegen; the DuckDB oracle runs the identical bit algebra.
+    y uses epoch_us >> 24 (~16.8 s buckets): the low bits of a timestamp are
+    noise that would shred z-locality. Layout benefit is pinned separately
+    in tests/test_zorder.py (per-file bounding boxes prune BOTH dims)."""
+    from ..operators.zorder import ZBITS, z_value
+
+    e = _t(spark, sf_dir, "events")
+    mask = (1 << ZBITS) - 1
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    x = F.col("user_id").bitwiseAND(F.lit(mask))
+    y = F.shiftright(epoch_us, 24).bitwiseAND(F.lit(mask))
+    return e.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        z_value(F.col("user_id"), F.shiftright(epoch_us, 24)).alias("zval"),
+    )
+
+
+ZORDER_SQL = """
+WITH base AS (
+  SELECT event_id,
+         user_id & 65535 AS x,
+         (epoch_us(ts) >> 24) & 65535 AS y
+  FROM events
+), s1 AS (
+  SELECT event_id, x, y,
+         (x | (x << 8)) & 16711935 AS sx,
+         (y | (y << 8)) & 16711935 AS sy
+  FROM base
+), s2 AS (
+  SELECT event_id, x, y,
+         (sx | (sx << 4)) & 252645135 AS sx,
+         (sy | (sy << 4)) & 252645135 AS sy
+  FROM s1
+), s3 AS (
+  SELECT event_id, x, y,
+         (sx | (sx << 2)) & 858993459 AS sx,
+         (sy | (sy << 2)) & 858993459 AS sy
+  FROM s2
+), s4 AS (
+  SELECT event_id, x, y,
+         (sx | (sx << 1)) & 1431655765 AS sx,
+         (sy | (sy << 1)) & 1431655765 AS sy
+  FROM s3
+)
+SELECT event_id, x, y, (sx | (sy << 1)) AS zval FROM s4
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -368,4 +423,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     # sketch internals are engine-specific; accuracy pinned in pytest
     "hll_user_counts": (hll_user_counts, None),
     "approx_value_quantiles": (approx_value_quantiles, None),
+    "zorder_events": (zorder_events, ZORDER_SQL),
 }

@@ -314,6 +314,11 @@ _UNREGISTERED = {
     # against exact answers)
     "hll_user_counts",
     "approx_value_quantiles",
+    # zorder_events — Morton z-value clustering key for multi-dimension
+    # file skipping (operators/zorder.py); the layout/pruning benefit is
+    # pinned in tests/test_zorder.py, the bit algebra oracled in the
+    # pytest lane
+    "zorder_events",
 }
 
 ALL_QUERIES: dict[str, tuple] = {
