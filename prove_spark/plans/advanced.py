@@ -378,6 +378,125 @@ def zorder_events(spark, sf_dir):
     )
 
 
+def fuzzy_part_matches(spark, sf_dir):
+    """Fuzzy entity resolution — the approximate-string-match step a KG /
+    catalog builder runs before canonicalization (the exact-key analog is
+    the connected-components canonicalizer, pipeline/canonicalize.py): for
+    each part, its best near-duplicate name (min Levenshtein, then smallest
+    key) among candidates sharing a blocking key.
+
+    Scale shape: NEVER all-pairs — candidates are generated inside
+    first-token blocks (standard ER blocking; at 100 TB the blocking key is
+    whatever bounds block size: token + length bucket, soundex, minhash
+    band), with the |len(a)-len(b)| <= threshold prefilter applied IN the
+    join condition — a true Levenshtein lower bound, so it is lossless for
+    the lev <= 3 predicate while pruning before the O(n*m) edit-distance
+    kernel runs. Best-match selection is one row_number window on the same
+    p_partkey the pair join already hashes on. Levenshtein itself is the
+    JVM built-in (whole-stage codegen), identical algebra in DuckDB."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.substring_index("p_name", " ", 1).alias("blk"),
+        F.length("p_name").alias("ln"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") != F.col("b.p_partkey"))
+        & (F.abs(F.col("a.ln") - F.col("b.ln")) <= F.lit(3)),
+    ).select(
+        F.col("a.p_partkey").alias("p_partkey"),
+        F.col("a.p_name").alias("p_name"),
+        F.col("b.p_partkey").alias("match_key"),
+        F.col("b.p_name").alias("match_name"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        .cast("long")
+        .alias("lev"),
+    )
+    w = Window.partitionBy("p_partkey").orderBy("lev", "match_key")
+    return (
+        cand.where(F.col("lev") <= 3)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+FUZZY_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name,
+         split_part(p_name, ' ', 1) AS blk,
+         length(p_name) AS ln
+  FROM part
+), cand AS (
+  SELECT a.p_partkey, a.p_name,
+         b.p_partkey AS match_key, b.p_name AS match_name,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+  FROM p a JOIN p b
+    ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+   AND abs(a.ln - b.ln) <= 3
+)
+SELECT p_partkey, p_name, match_key, match_name, lev
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY lev, match_key) AS rn
+  FROM cand WHERE lev <= 3
+) WHERE rn = 1
+"""
+
+
+def scd2_user_state(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    user's event stream into state-validity intervals — a row per state
+    CHANGE carrying [valid_from, valid_to) and an is_current flag. This is
+    the warehouse dimension-history shape (MERGE-fed SCD2 in the Iceberg
+    sink's world) and the KG temporal-fact analog (statement validity).
+
+    Scale shape: one shuffle on user_id; the change-detection lag, the
+    interval lead, and row ordering all share the (user_id × ts, event_id)
+    sort, so Catalyst evaluates them in a single Window over one exchange —
+    no per-change joins, no driver loop. Deterministic: ties broken on
+    event_id."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "ts", "event_id", F.col("event_type").alias("state"))
+        .withColumn("prev_state", F.lag("state").over(w))
+        .where(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_state
+  FROM events
+), changes AS (
+  SELECT user_id, state, ts, event_id FROM ordered
+  WHERE prev_state IS NULL OR state <> prev_state
+)
+SELECT user_id, state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM changes
+"""
+
+
 ZORDER_SQL = """
 WITH base AS (
   SELECT event_id,
@@ -424,4 +543,6 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "hll_user_counts": (hll_user_counts, None),
     "approx_value_quantiles": (approx_value_quantiles, None),
     "zorder_events": (zorder_events, ZORDER_SQL),
+    "fuzzy_part_matches": (fuzzy_part_matches, FUZZY_SQL),
+    "scd2_user_state": (scd2_user_state, SCD2_SQL),
 }

@@ -319,6 +319,13 @@ _UNREGISTERED = {
     # pinned in tests/test_zorder.py, the bit algebra oracled in the
     # pytest lane
     "zorder_events",
+    # fuzzy_part_matches — blocked-Levenshtein entity resolution (best
+    # near-duplicate per record); the approximate-match step ahead of the
+    # exact-key canonicalizer whose CORR row the kg lane holds
+    "fuzzy_part_matches",
+    # scd2_user_state — SCD2 validity-interval history build (single-window
+    # change detection); the frame-window family already holds CORR rows
+    "scd2_user_state",
 }
 
 ALL_QUERIES: dict[str, tuple] = {

@@ -243,3 +243,76 @@ def test_approx_value_quantiles_rank_guarantee(spark):
             target = q * n
             slack = max(1.0, n / 10_000)
             assert lo - slack <= target <= hi + slack, (et, q, v, lo, hi, target)
+
+
+def test_scd2_intervals_are_contiguous_and_single_exchange(spark):
+    """SCD2 invariants: per user the intervals chain (valid_to of row i ==
+    valid_from of row i+1), exactly one row is current, consecutive states
+    differ — and the physical plan pays exactly one exchange (both windows
+    ride the same (user_id, ts, event_id) sort)."""
+    from prove_spark.plans.advanced import scd2_user_state
+
+    df = scd2_user_state(spark, SF)
+    # executedPlan string lists each node once (the formatted variant
+    # repeats nodes in the detail section and would double-count)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    rows = df.collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in rs if r.is_current) == 1, uid
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, uid
+            assert a.state != b.state, uid
+
+
+def test_fuzzy_match_is_best_in_block_and_not_allpairs(spark):
+    """Fuzzy ER invariants: every match shares the blocking token and sits
+    within the lev threshold; the reported match is the true argmin over
+    the full block (checked against a driver-side brute force inside one
+    block); the join is a hash join, never cartesian."""
+    from prove_spark.plans.advanced import fuzzy_part_matches
+
+    df = fuzzy_part_matches(spark, SF)
+    plan = plan_of(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    parts = {
+        r.p_partkey: r.p_name
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    got = df.collect()
+    assert got
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    for r in got:
+        assert r.p_name.split(" ")[0] == r.match_name.split(" ")[0]
+        assert r.lev == lev(r.p_name, r.match_name) <= 3
+        # true argmin over the block (lev, then key) — length-band prefilter
+        # must not have pruned a better candidate
+        blk = r.p_name.split(" ")[0]
+        best = min(
+            (
+                (lev(r.p_name, n), k)
+                for k, n in parts.items()
+                if k != r.p_partkey and n.split(" ")[0] == blk
+            ),
+        )
+        assert best[0] > 3 or (best[0], best[1]) == (r.lev, r.match_key), (
+            r,
+            best,
+        )
