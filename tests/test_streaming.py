@@ -304,3 +304,64 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     bad_dim = spark.read.parquet(str(dim_dir)).withColumnRenamed("source", "text")
     with pytest.raises(ValueError, match="collide"):
         enrich_turns_with_conv_meta(read_transcript_stream(spark, str(src)), bad_dim)
+
+
+def test_stream_triples_foreach_batch_matches_batch_and_replays_idempotent(
+    spark, spark_transcripts, tmp_path, golden_triples
+):
+    """End-to-end incremental KG construction: the foreachBatch bridge over
+    a 2-micro-batch file stream must produce EXACTLY the batch pipeline's
+    triples (contract: conversations arrive batch-complete — each source
+    file holds whole conversations; cross-batch assembly is the stateful
+    operator's job), and a full replay against the same output path (fresh
+    checkpoint, same batch ids) must overwrite its own partitions instead
+    of duplicating — the at-least-once → exactly-once idempotency claim."""
+    from pyspark.sql import functions as F
+
+    from prove_spark.pipeline.run import build_triples
+    from prove_spark.streaming.ingest import stream_triples_foreach_batch
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "triples_out")
+    # two source files, each holding only COMPLETE conversations
+    for bucket in (0, 1):
+        (
+            spark_transcripts.where(F.abs(F.hash("conv_id")) % 2 == bucket)
+            .repartition(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def run(checkpoint: str):
+        stream = (
+            spark.readStream.schema(spark_transcripts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_triples_foreach_batch(spark, stream, out)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "cp1"))
+    got = spark.read.parquet(out)
+    assert {r.batch_id for r in got.select("batch_id").distinct().collect()} == {0, 1}
+
+    batch = build_triples(spark, spark_transcripts)
+    key = ["claim_id", "subj", "pred", "obj", "verdict"]
+    stream_rows = sorted(map(tuple, got.select(*key).collect()))
+    batch_rows = sorted(map(tuple, batch.select(*key).collect()))
+    assert stream_rows == batch_rows and len(batch_rows) == len(golden_triples)
+
+    # replay: fresh checkpoint re-delivers batches 0 and 1 against the same
+    # sink — dynamic partition overwrite must land on identical state
+    run(str(tmp_path / "cp2"))
+    again = sorted(
+        map(tuple, spark.read.parquet(out).select(*key).collect())
+    )
+    assert again == stream_rows
