@@ -180,6 +180,110 @@ def run_checkpointed(
     return io.read("triples")
 
 
+def incremental_update(
+    spark: SparkSession,
+    transcripts_now: DataFrame,
+    changed_conv_ids: DataFrame,
+    warehouse: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Targeted refresh of an existing triples table: recompute ONLY the
+    buckets containing changed conversations, leaving every other bucket's
+    files untouched. The incremental-maintenance counterpart to
+    [run_checkpointed]'s full build (whose fingerprint check treats ANY
+    input change as a fresh run) — when a day's delta lands in a 100 TB
+    corpus, cost is proportional to the delta's bucket footprint, not the
+    corpus.
+
+    `changed_conv_ids` (one `conv_id` column) must list ADDED, UPDATED and
+    DELETED conversations — a deletion is only reflected by recomputing its
+    bucket from `transcripts_now` (which no longer contains it). The bucket
+    id is the same stable pmod(xxhash64(conv_id)) the full build lays files
+    out by, so at scale the `transcripts_now` read prunes to the touched
+    partitions when the transcript lake shares that layout.
+
+    Correctness details: a touched bucket whose recompute yields zero rows
+    is explicitly deleted (dynamic partition overwrite only replaces
+    partitions present in the NEW output — stale files would survive
+    otherwise); manifest rows are appended for every touched bucket with
+    the new input fingerprint, so per-bucket lineage records when each
+    bucket was last written. After an incremental update the manifest
+    intentionally carries mixed fingerprints — a subsequent
+    run_checkpointed sees that as changed input and does a full rebuild,
+    never mixing snapshots silently."""
+    from .run import build_triples
+
+    io = TableIO(spark, warehouse)
+    if not io.exists("triples") or not io.exists("manifest"):
+        raise ValueError(
+            "incremental_update needs an existing triples+manifest table; "
+            "run run_checkpointed first"
+        )
+    # touched bucket ids: manifest-scale (<= n_buckets ints) — safe collect
+    touched = sorted(
+        r.bucket
+        for r in with_bucket(changed_conv_ids, "conv_id", config.n_buckets)
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return io.read("triples")
+    fp = input_fingerprint(transcripts_now)
+    t0 = time.time()
+    bucketed = with_bucket(transcripts_now, "conv_id", config.n_buckets)
+    caches: list = []
+    triples = build_triples(
+        spark,
+        bucketed.where(F.col("bucket").isin(touched)).drop("bucket"),
+        config,
+        cache_registry=caches,
+    )
+    out = with_bucket(triples, "conv_id", config.n_buckets).persist()
+    io.overwrite_buckets(out, "triples", "bucket")
+    # buckets the NEW output produced rows for (bucket-scale collect) — this
+    # must come from `out`, NOT a read-back of the table: a touched bucket
+    # that went empty still has its stale partition on disk at this point
+    # (dynamic overwrite never saw it) and a read-back would count it as
+    # written, which is exactly the stale state the delete exists to fix
+    written = {
+        int(r.bucket) for r in out.select("bucket").distinct().collect()
+    }
+    out.unpersist()
+    io.delete_buckets("triples", [b for b in touched if b not in written])
+    stats = {
+        int(s.bucket): s
+        for s in io.read("triples")
+        .where(F.col("bucket").isin(touched))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .collect()
+    }
+    for df in caches:
+        df.unpersist()
+    wall = time.time() - t0
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    manifest = spark.createDataFrame(
+        [
+            (
+                b,
+                int(stats[b].n_rows) if b in stats else 0,
+                int(stats[b].n_convs) if b in stats else 0,
+                wall,
+                fp,
+                now,
+            )
+            for b in touched
+        ],
+        schema=MANIFEST_SCHEMA,
+    )
+    io.append(manifest, "manifest")
+    return io.read("triples")
+
+
 def stage_metrics(io: TableIO) -> DataFrame:
     """Lineage/metrics read path (A7-shaped parser-stats analog)."""
     return io.read("manifest").orderBy("bucket", "completed_ts")

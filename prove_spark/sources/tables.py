@@ -148,6 +148,33 @@ class TableIO:
             .parquet(self.path(table))
         )
 
+    def delete_buckets(
+        self, table: str, buckets: list[int], bucket_col: str = "bucket"
+    ) -> None:
+        """Drop specific bucket partitions. Needed by incremental update:
+        dynamic partition overwrite only replaces partitions PRESENT in the
+        new output, so a recomputed bucket that now yields zero rows would
+        otherwise keep its stale files. Iceberg: a partition-predicate
+        DELETE (metadata-level drop on a bucket-partitioned table). Parquet:
+        remove the `bucket=<b>` directories."""
+        if not buckets:
+            return
+        if self.use_iceberg:
+            in_list = ",".join(str(int(b)) for b in buckets)
+            self.spark.sql(
+                f"DELETE FROM {self.ident(table)} "
+                f"WHERE {bucket_col} IN ({in_list})"
+            )
+            return
+        fs, _ = self._fs(self.path(table))
+        jvm = self.spark._jvm
+        for b in buckets:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{self.path(table)}/{bucket_col}={int(b)}"
+            )
+            if fs.exists(p):
+                fs.delete(p, True)
+
 
 def save_bucketed(
     df: DataFrame,

@@ -159,3 +159,18 @@ def test_parquet_mode_unaffected_by_flag(tmp_path):
     io = TableIO(spark, str(tmp_path), use_iceberg=False)
     assert io.path("triples") == f"{tmp_path}/triples"
     assert spark.sql_log == []  # no namespace DDL in parquet mode
+
+
+def test_delete_buckets_issues_partition_predicate_delete(io_and_logs):
+    io, spark, _df, _w = io_and_logs
+    io.delete_buckets("triples", [3, 17])
+    assert (
+        "DELETE FROM prove.triples WHERE bucket IN (3,17)" in spark.sql_log
+    )
+
+
+def test_delete_buckets_empty_list_is_noop(io_and_logs):
+    io, spark, _df, _w = io_and_logs
+    n = len(spark.sql_log)
+    io.delete_buckets("triples", [])
+    assert len(spark.sql_log) == n

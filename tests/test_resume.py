@@ -93,3 +93,118 @@ def test_changed_input_wipes_stale_buckets(spark, spark_transcripts, tmp_path):
     assert fps == {input_fingerprint(one_conv)}
     # and the triples are exactly the single conversation's
     assert set(out.conv_id.unique()) == {one_conv.first().conv_id}
+
+
+def test_incremental_update_matches_full_rebuild(
+    spark, spark_transcripts, tmp_path
+):
+    """Delta maintenance: after an add + update + delete, incremental_update
+    on the old warehouse must produce EXACTLY the triples of a full rebuild
+    on the new input — while rewriting only the touched buckets (untouched
+    bucket directories keep their files byte-for-byte)."""
+    import glob
+    import os
+
+    from prove_spark.pipeline.checkpoint import incremental_update
+    from prove_spark.sources.tables import with_bucket
+
+    convs = [
+        r.conv_id
+        for r in spark_transcripts.select("conv_id").distinct().limit(3).collect()
+    ]
+    upd, dele, src = convs
+
+    t0 = spark_transcripts
+    # T1: update `upd` (text change -> different triples), delete `dele`,
+    # add a brand-new conversation cloned from `src`
+    t1 = (
+        t0.where(F.col("conv_id") != dele)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("conv_id") == upd,
+                F.concat(F.col("text"), F.lit(" indeed ada lovelace field mathematics.")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            t0.where(F.col("conv_id") == src).withColumn(
+                "conv_id", F.lit("conv-incr-new")
+            )
+        )
+    )
+
+    wh = str(tmp_path / "incr")
+    run_checkpointed(spark, t0, wh)
+    # snapshot per-file state of every bucket dir before the update
+    def file_state(root):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{root}/triples/bucket=*/*.parquet")
+        }
+
+    before = file_state(wh)
+    changed = spark.createDataFrame(
+        [(upd,), (dele,), ("conv-incr-new",)], "conv_id string"
+    )
+    got = incremental_update(spark, t1, changed, wh).toPandas()
+
+    expected_wh = str(tmp_path / "full_t1")
+    expected = run_checkpointed(spark, t1, expected_wh).toPandas()
+    assert _canon(got).equals(_canon(expected))
+
+    # only the touched buckets' files changed
+    touched = {
+        r.bucket
+        for r in with_bucket(changed, "conv_id", 32)
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    after = file_state(wh)
+    for p, mtime in before.items():
+        bucket = int(p.split("bucket=")[1].split("/")[0])
+        if bucket not in touched:
+            assert after.get(p) == mtime, f"untouched bucket rewritten: {p}"
+
+    # manifest now carries mixed fingerprints -> a later full run rebuilds
+    io = TableIO(spark, wh)
+    fps = {r.input_fingerprint for r in io.read("manifest").collect()}
+    assert len(fps) == 2
+
+
+def test_incremental_update_deletes_emptied_bucket(spark, spark_transcripts, tmp_path):
+    """A recomputed bucket that now yields zero rows must lose its stale
+    partition (dynamic overwrite alone would leave it behind)."""
+    from prove_spark.pipeline.checkpoint import incremental_update
+    from prove_spark.sources.tables import with_bucket
+
+    # a handful of convs so most sit alone in their bucket; then delete one
+    # that (a) produced triples and (b) shares its bucket with no other conv
+    some = spark_transcripts.select("conv_id").distinct().limit(12)
+    t0 = spark_transcripts.join(some, "conv_id")
+    wh = str(tmp_path / "incr_del")
+    full = run_checkpointed(spark, t0, wh)
+    bucket_convs = (
+        with_bucket(t0.select("conv_id").distinct(), "conv_id", 32)
+        .groupBy("bucket")
+        .agg(F.collect_set("conv_id").alias("cs"))
+        .collect()
+    )
+    triple_buckets = {r.bucket for r in full.select("bucket").distinct().collect()}
+    lone = next(
+        (r for r in bucket_convs if len(r.cs) == 1 and r.bucket in triple_buckets),
+        None,
+    )
+    if lone is None:
+        pytest.skip("no lone-conversation bucket with triples in this draw")
+    victim, vbucket = lone.cs[0], lone.bucket
+
+    t1 = t0.where(F.col("conv_id") != victim)
+    changed = spark.createDataFrame([(victim,)], "conv_id string")
+    got = incremental_update(spark, t1, changed, wh)
+    assert vbucket not in {
+        r.bucket for r in got.select("bucket").distinct().collect()
+    }
+    import os
+
+    assert not os.path.exists(f"{wh}/triples/bucket={vbucket}")
