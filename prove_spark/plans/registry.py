@@ -326,6 +326,14 @@ _UNREGISTERED = {
     # scd2_user_state — SCD2 validity-interval history build (single-window
     # change detection); the frame-window family already holds CORR rows
     "scd2_user_state",
+    # mixture_resample — target-proportion training-mix downsampling
+    # (integer-exact quotas, portable-hash rank); joins stratified_sample
+    # in the data-mixing family's pytest oracle lane
+    "mixture_resample",
+    # heavy_hitter_tokens — two-pass Misra-Gries: sketch-bounded shuffle,
+    # exact HAVING-count output; completes the sketch family (HLL, GK)
+    # with a fully SQL-oracled member
+    "heavy_hitter_tokens",
 }
 
 ALL_QUERIES: dict[str, tuple] = {

@@ -1286,6 +1286,158 @@ LEFT JOIN dec USING (doc_id)
 """
 
 
+def mixture_resample(spark, sf_dir):
+    """Target-proportion data mixing — the step after dedup/filtering that
+    turns a cleaned corpus into a TRAINING MIXTURE: given per-source target
+    weights, emit the maximum-volume downsample whose source proportions
+    hit the targets exactly, never upsampling. Weights here are a
+    deterministic function of the source id (1 + src_num % 4) standing in
+    for a mixing-config table.
+
+    The feasible total is T = min_s floor(n_s·W / w_s) (the binding source
+    is the one that runs out first); each source contributes
+    take_s = floor(w_s·T / W). All-integer arithmetic (BIGINT DIV) so both
+    engines agree bit-exactly. Selection inside a source is the first
+    take_s rows by portable content hash — deterministic on any cluster
+    size/retry, unlike rand()/TABLESAMPLE.
+
+    Scale shape: counts/weights/T are source-cardinality relations riding
+    as broadcasts; the per-source rank is one shuffle partitioned on
+    source. A pathologically hot source makes that window a straggler — at
+    100 TB swap the exact rank for the hash-threshold variant
+    ([stratified_sample]'s shape, map-only) and accept ±o(1) counts."""
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).try_cast("int")
+    docs = d.select(
+        "doc_id",
+        "source",
+        (F.lit(1) + F.pmod(src_num, F.lit(4))).cast("bigint").alias("w"),
+    )
+    counts = docs.groupBy("source").agg(
+        F.min("w").alias("w"), F.count("*").alias("n")
+    )
+    tot = counts.agg(F.sum("w").alias("big_w"))
+    t_row = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(F.expr("n * big_w DIV w").alias("t_s"))
+        .agg(F.min("t_s").alias("t"))
+    )
+    quota = (
+        counts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(t_row))
+        .select("source", F.expr("w * t DIV big_w").alias("take_s"))
+    )
+    h = _portable_hash(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+    ranked = docs.withColumn("h", h).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("h", "doc_id")
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rn") <= F.col("take_s"))
+        .select("doc_id", "source", F.col("take_s").cast("bigint").alias("take_s"))
+    )
+
+
+_MIX_HASH = PORTABLE_HASH_SQL.format(
+    x="CONCAT('mix|', CAST(doc_id AS VARCHAR))"
+)
+MIXTURE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(1 + (TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4)
+              AS BIGINT) AS w
+  FROM documents
+), c AS (
+  SELECT source, MIN(w) AS w, COUNT(*) AS n FROM d GROUP BY source
+), tot AS (SELECT SUM(w) AS big_w FROM c),
+t AS (SELECT MIN(n * big_w // w) AS t FROM c, tot),
+quota AS (SELECT source, w * t // big_w AS take_s FROM c, tot, t),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_MIX_HASH}, doc_id) AS rn
+  FROM d
+)
+SELECT r.doc_id, r.source, CAST(q.take_s AS BIGINT) AS take_s
+FROM ranked r JOIN quota q USING (source)
+WHERE r.rn <= q.take_s
+"""
+
+
+HH_K = 40  # heavy-hitter threshold: tokens with count*K > total tokens
+
+
+def heavy_hitter_tokens(spark, sf_dir):
+    """Heavy-hitter tokens by two-pass Misra-Gries — EXACT output with a
+    sketch-bounded shuffle. Pass 1 runs an MG summary (HH_K counters) per
+    partition inside one mapInPandas generator (state carried across Arrow
+    batches, O(K) memory): by pigeonhole, any token with global count
+    > N/K exceeds N_p/K in some partition p, and MG with K counters keeps
+    every token above N_p/(K+1) — so the union of per-partition candidates
+    is a SUPERSET of the true heavy hitters regardless of partitioning.
+    Pass 2 broadcast-joins the tiny candidate set (≤ K·partitions rows)
+    against the token stream and recounts exactly, keeping count·K > N.
+    Net: the groupBy shuffles only candidate-matching tokens, never the
+    full token vocabulary — THE reason to sketch at 100 TB — while the
+    result equals plain `GROUP BY token HAVING count·K > N` bit-exactly
+    (that is the DuckDB oracle), independent of partition layout."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for tok in (text or "").split(" "):
+                    if not tok:
+                        continue
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < HH_K:
+                        counters[tok] = 1
+                    else:
+                        dead = []
+                        for t in counters:
+                            counters[t] -= 1
+                            if counters[t] == 0:
+                                dead.append(t)
+                        for t in dead:
+                            del counters[t]
+        yield pd.DataFrame({"token": list(counters)})
+
+    candidates = (
+        d.select("text").mapInPandas(mg_partition, "token string").distinct()
+    )
+    toks = d.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    n_tot = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(n_tot))
+        .where(F.col("n_occurrences") * HH_K > F.col("n"))
+        .select("token", "n_occurrences")
+    )
+
+
+HEAVY_HITTER_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), nz AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT COUNT(*) AS n FROM nz)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM nz, tot
+GROUP BY token, tot.n
+HAVING COUNT(*) * {HH_K} > tot.n
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
@@ -1303,6 +1455,8 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "mixture_resample": (mixture_resample, MIXTURE_SQL),
+    "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "repetition_flags": (repetition_flags, REPETITION_SQL),
     "decontaminate_overlap": (decontaminate_overlap, DECONTAMINATE_SQL),

@@ -316,3 +316,43 @@ def test_fuzzy_match_is_best_in_block_and_not_allpairs(spark):
             r,
             best,
         )
+
+
+def test_heavy_hitters_exact_under_skew_and_partitioning(spark, tmp_path):
+    """The two-pass Misra-Gries output must equal the exact HAVING-count
+    answer regardless of partition layout (the candidate union is a
+    superset of true heavy hitters by pigeonhole — pass 2 makes it exact),
+    including on an adversarial corpus where one token dominates and the
+    long tail would evict naive counters."""
+    import duckdb
+    import pandas as pd
+
+    from prove_spark.plans.compare import compare
+    from prove_spark.plans.textops import (
+        HEAVY_HITTER_SQL,
+        HH_K,
+        heavy_hitter_tokens,
+    )
+
+    rows = [{"doc_id": 0, "text": "hot " * 500 + "hot"}]
+    rows += [
+        {"doc_id": i, "text": f"uniq{i}a uniq{i}b warm"} for i in range(1, 60)
+    ]
+    d = str(tmp_path / "hh")
+    pdf = pd.DataFrame(rows)
+    # many small partitions: every MG instance sees only a slice
+    spark.createDataFrame(pdf).repartition(13).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = heavy_hitter_tokens(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    exact = con.execute(HEAVY_HITTER_SQL).df()
+    assert not compare(got, exact)
+    # sanity on the scenario itself: 'hot' dominates, tail tokens do not
+    n_total = 501 + 59 * 3
+    assert "hot" in set(got.token) and 501 * HH_K > n_total
+    assert not any(t.startswith("uniq") for t in got.token)
