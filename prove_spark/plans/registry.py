@@ -8,8 +8,8 @@ the pandas oracle (tests/test_pipeline_golden.py).
 
 Ordering/size: the KG lane leads and the registry is capped at 50 entries —
 the driver sweep records at most 50 rows, and every registered query must
-get a row. Nine queries are intentionally unregistered (see _UNREGISTERED
-below; each still oracle-checked in pytest via
+get a row. Queries beyond the cap are intentionally unregistered (see
+_UNREGISTERED below; each still oracle-checked in pytest via
 tests/test_entry_queries.py's unregistered lane, and exposed through
 __spark_entry__.unregistered() so the exclusion is visible at runtime).
 """

@@ -39,6 +39,8 @@ ALLOWED = {
     "tfidf_top_terms": "BroadcastNestedLoopJoin",  # 1-row corpus-size bcast
     "alias_resolve_popularity": "BroadcastNestedLoopJoin",  # dim-sized alias
     # dictionary crossJoin (scale note: Aho-Corasick, plans/disambig.py)
+    "heavy_hitter_tokens": "BroadcastNestedLoopJoin",  # 1-row token total
+    "mixture_resample": "BroadcastNestedLoopJoin",  # 1-row weight-sum / T
 }
 
 
