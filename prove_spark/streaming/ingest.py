@@ -199,6 +199,39 @@ def dedup_stream(
     )
 
 
+def join_turn_tool_streams(
+    turns: DataFrame, tools: DataFrame, within: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: pair each assistant/user turn with the tool
+    output that lands in the same conversation within `within` of it — the
+    continuous analog of the batch turn-assembly correlation.
+
+    Scale/state story: BOTH sides carry watermarks and the join condition
+    bounds event time on both ends, which is exactly what lets Spark evict
+    state — each side's state store holds at most `within` worth of rows
+    per conv_id partition, no matter how long the streams run. Without the
+    time bound the state grows forever (Spark would reject the unbounded
+    stream-stream join in append mode for that reason)."""
+    t = turns.withWatermark("ts", within).alias("t")
+    o = tools.withWatermark("ts", within).alias("o")
+    return t.join(
+        o,
+        (F.col("t.conv_id") == F.col("o.conv_id"))
+        & (F.col("o.ts") >= F.col("t.ts"))
+        & (F.col("o.ts") <= F.col("t.ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        F.col("t.conv_id").alias("conv_id"),
+        F.col("t.turn_idx").alias("turn_idx"),
+        F.col("t.ts").alias("turn_ts"),
+        F.col("o.tool").alias("tool"),
+        F.col("o.ts").alias("tool_ts"),
+        (F.unix_micros(F.col("o.ts")) - F.unix_micros(F.col("t.ts"))).alias(
+            "lag_us"
+        ),
+    )
+
+
 def stream_triples_foreach_batch(
     spark: SparkSession, stream: DataFrame, out_path: str
 ):

@@ -365,3 +365,68 @@ def test_stream_triples_foreach_batch_matches_batch_and_replays_idempotent(
         map(tuple, spark.read.parquet(out).select(*key).collect())
     )
     assert again == stream_rows
+
+
+def test_stream_stream_join_matches_batch(spark, spark_transcripts, tmp_path):
+    """Watermarked stream-stream join: turns x tool outputs within 10 min in
+    the same conversation must yield exactly the static join's pairs (no
+    row is late beyond the watermark when the source replays files)."""
+    from pyspark.sql import functions as F
+
+    from prove_spark.streaming.ingest import (
+        TRANSCRIPT_STRUCT,
+        join_turn_tool_streams,
+    )
+
+    src = str(tmp_path / "src")
+    spark_transcripts.write.mode("overwrite").parquet(src)
+
+    def reader():
+        return (
+            spark.readStream.schema(TRANSCRIPT_STRUCT)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+
+    turns_s = reader().where(F.col("role") != "tool")
+    tools_s = reader().where(F.col("role") == "tool")
+    q = (
+        join_turn_tool_streams(turns_s, tools_s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("turn_tool_pairs")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql(
+                "SELECT conv_id, turn_idx, tool, lag_us FROM turn_tool_pairs"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    static = spark.read.parquet(src)
+    t = static.where(F.col("role") != "tool").alias("t")
+    o = static.where(F.col("role") == "tool").alias("o")
+    expected = {
+        tuple(r)
+        for r in t.join(
+            o,
+            (F.col("t.conv_id") == F.col("o.conv_id"))
+            & (F.col("o.ts") >= F.col("t.ts"))
+            & (F.col("o.ts") <= F.col("t.ts") + F.expr("INTERVAL 10 minutes")),
+        )
+        .select(
+            F.col("t.conv_id"),
+            F.col("t.turn_idx"),
+            F.col("o.tool"),
+            (F.unix_micros(F.col("o.ts")) - F.unix_micros(F.col("t.ts"))).alias(
+                "lag_us"
+            ),
+        )
+        .collect()
+    }
+    assert got == expected and len(expected) > 0
