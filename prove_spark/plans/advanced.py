@@ -528,6 +528,48 @@ SELECT event_id, x, y, (sx | (sy << 1)) AS zval FROM s4
 """
 
 
+def kll_sketch_rollup(spark, sf_dir):
+    """Two-level mergeable-sketch rollup (KLL quantile sketches): build one
+    sketch per (event_type, day), then MERGE the per-day sketches into
+    per-type quantiles via `kll_sketch_merge_double` — without ever
+    re-touching the raw values. This is the piece [approx_value_quantiles]
+    (one-shot GK) doesn't show: at 100 TB the daily sketch table IS the
+    materialized aggregate — a few-KB binary column per group-day that
+    answers any later quantile question over any date range by merging, so
+    backfills and rolling windows never rescan history. KLL is a RANDOMIZED
+    algorithm (compaction sampling), so no cross-run bit-determinism is
+    claimed; the rank guarantee (default k=200 → ~1.65% normalized rank
+    error) is what pytest pins, like the HLL/GK rows."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count("value").alias("n"),
+    )
+    # kll_sketch_merge_double is a BINARY scalar merge (no aggregate form is
+    # exposed), so the per-group merge is an array-HOF fold over the
+    # collected day sketches: first sketch seeds the accumulator, the rest
+    # fold in. collect_list here is day-cardinality per group (a year of
+    # dailies ≈ 365 × few KB — dimension-sized by construction; a deeper
+    # hierarchy would merge week→month→year the same way).
+    merged = daily.groupBy("event_type").agg(
+        F.collect_list("sk").alias("sks"),
+        F.sum("n").alias("n_values"),
+        F.count("*").alias("n_days"),
+    )
+    sk = F.aggregate(
+        F.slice(F.col("sks"), 2, F.size("sks") - 1),
+        F.element_at(F.col("sks"), 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    return merged.select(
+        "event_type",
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.9)).alias("p90"),
+        "n_values",
+        "n_days",
+    )
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -543,6 +585,7 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "hll_user_counts": (hll_user_counts, None),
     "approx_value_quantiles": (approx_value_quantiles, None),
     "zorder_events": (zorder_events, ZORDER_SQL),
+    "kll_sketch_rollup": (kll_sketch_rollup, None),
     "fuzzy_part_matches": (fuzzy_part_matches, FUZZY_SQL),
     "scd2_user_state": (scd2_user_state, SCD2_SQL),
 }

@@ -314,6 +314,10 @@ _UNREGISTERED = {
     # against exact answers)
     "hll_user_counts",
     "approx_value_quantiles",
+    # kll_sketch_rollup — two-level mergeable KLL quantile rollup (per-day
+    # sketch table merged later); randomized sketch → no SQL oracle by
+    # design, rank guarantee pinned in pytest beside the HLL/GK rows
+    "kll_sketch_rollup",
     # zorder_events — Morton z-value clustering key for multi-dimension
     # file skipping (operators/zorder.py); the layout/pruning benefit is
     # pinned in tests/test_zorder.py, the bit algebra oracled in the

@@ -356,3 +356,31 @@ def test_heavy_hitters_exact_under_skew_and_partitioning(spark, tmp_path):
     n_total = 501 + 59 * 3
     assert "hot" in set(got.token) and 501 * HH_K > n_total
     assert not any(t.startswith("uniq") for t in got.token)
+
+
+def test_kll_sketch_rollup_rank_guarantee(spark):
+    """Merged per-day KLL sketches must answer per-type quantiles within the
+    sketch's rank guarantee: the returned value's TRUE rank lies within 5%
+    of the target rank (k=200 -> ~1.65% normalized rank error at 99%
+    confidence; 5% is a wide safety factor since KLL is randomized)."""
+    from pyspark.sql import functions as F
+
+    from prove_spark.plans.advanced import kll_sketch_rollup
+
+    got = {r.event_type: r for r in kll_sketch_rollup(spark, SF).collect()}
+    vals = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in vals:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert set(got) == set(by_type) and got
+    for et, r in got.items():
+        xs = sorted(by_type[et])
+        n = len(xs)
+        assert r.n_values == n
+        for q, v in ((0.5, r.p50), (0.9, r.p90)):
+            true_rank = sum(1 for x in xs if x <= v) / n
+            assert abs(true_rank - q) <= 0.05, (et, q, v, true_rank)
