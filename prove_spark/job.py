@@ -117,17 +117,38 @@ def main(argv: list[str] | None = None) -> int:
         bucket_groups=args.bucket_groups,
     )
     io = TableIO(spark, args.warehouse)
-    entities = build_entities(spark, triples)
+    # data-quality counters ride the WRITE action itself (DataFrame.observe:
+    # an accumulator-backed aggregate evaluated while the rows stream to the
+    # sink) — the entity count and null-label check cost zero extra passes,
+    # where a .count() after the write would re-run the whole entity
+    # aggregation or re-scan the table
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("entities_quality")
+    entities = build_entities(spark, triples).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(F.when(F.col("label").isNull(), 1).otherwise(0)).alias(
+            "null_labels"
+        ),
+        F.sum("n_subj_claims").alias("n_subj_claims"),
+    )
     io.overwrite(entities, "entities")
+    quality = obs.get
 
     n_triples = triples.count()
-    n_entities = entities.count()
+    n_entities = quality["n_entities"]
     metrics = stage_metrics(io)
     print(
         json.dumps(
             {
                 "n_triples": n_triples,
                 "n_entities": n_entities,
+                "quality": {
+                    "null_labels": int(quality["null_labels"] or 0),
+                    "n_subj_claims": int(quality["n_subj_claims"] or 0),
+                },
                 "n_manifest_rows": metrics.count(),
                 "n_quarantined": n_quarantined,
                 "wall_sec": round(time.time() - t0, 2),

@@ -318,6 +318,10 @@ _UNREGISTERED = {
     # sketch table merged later); randomized sketch → no SQL oracle by
     # design, rank guarantee pinned in pytest beside the HLL/GK rows
     "kll_sketch_rollup",
+    # variant_extract_props — Spark 4 VARIANT semi-structured path (parse
+    # once, typed binary path extraction); json_extract_props keeps the
+    # F9 CORR row
+    "variant_extract_props",
     # zorder_events — Morton z-value clustering key for multi-dimension
     # file skipping (operators/zorder.py); the layout/pruning benefit is
     # pinned in tests/test_zorder.py, the bit algebra oracled in the

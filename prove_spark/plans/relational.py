@@ -484,6 +484,34 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
 """
 
 
+def variant_extract_props(spark, sf_dir):
+    """Semi-structured payloads via Spark 4's VARIANT type: parse_json once
+    into a binary variant column, then typed `variant_get` path extraction —
+    the modern counterpart to [json_extract_props]'s per-field string
+    re-parse. The 100 TB case for VARIANT: parse cost is paid ONCE per row
+    (and at ingest the parsed binary is what you'd store — shredded
+    columnar layout), after which every field access is a cheap binary path
+    walk instead of re-tokenizing the JSON text per extracted field;
+    `try_variant_get` gives NULL (not a crash) on a missing path, the F11
+    error-lane discipline at the type level. Oracle: the same values via
+    DuckDB's JSON extraction."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get(F.col("v"), "$.k", "int").alias("k"),
+        F.try_variant_get(F.col("v"), "$.missing", "int").alias("missing_k"),
+    ).where(F.col("k") > 50)
+
+
+VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(json_extract_string(props, '$.missing') AS INT) AS missing_k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+"""
+
+
 # ------------------------------------------------------------------ C10/C13
 def timestamp_functions(spark, sf_dir):
     """Timestamp parse/format + hour extraction (C10/C13)."""
@@ -747,6 +775,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "running_user_value": (running_user_value, RUNNING_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "json_extract_props": (json_extract_props, JSON_SQL),
+    "variant_extract_props": (variant_extract_props, VARIANT_SQL),
     "timestamp_functions": (timestamp_functions, TS_SQL),
     "coalesce_preference_chain": (coalesce_preference_chain, COALESCE_SQL),
     "rollup_order_stats": (rollup_order_stats, ROLLUP_SQL),

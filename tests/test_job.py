@@ -115,6 +115,9 @@ def test_job_via_spark_submit_py_files(spark, tmp_path):
     stats = json.loads(stats_lines[-1])
     assert stats["master"] == "local[4]"  # submitter conf, not the builder's
     assert stats["n_entities"] > 0
+    # observe()-backed quality counters ride the entities write action
+    assert stats["quality"]["null_labels"] == 0
+    assert stats["quality"]["n_subj_claims"] > 0
     # the cluster-shaped run must emit the exact triple set the in-process
     # pipeline derives from the same input
     from prove_spark.pipeline.run import build_triples
