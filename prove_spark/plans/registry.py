@@ -322,6 +322,9 @@ _UNREGISTERED = {
     # once, typed binary path extraction); json_extract_props keeps the
     # F9 CORR row
     "variant_extract_props",
+    # profile_events — single-pass DESCRIBE-style column profiling (typed
+    # min/max lanes to keep cross-engine hash parity off double rendering)
+    "profile_events",
     # zorder_events — Morton z-value clustering key for multi-dimension
     # file skipping (operators/zorder.py); the layout/pruning benefit is
     # pinned in tests/test_zorder.py, the bit algebra oracled in the

@@ -512,6 +512,98 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
 """
 
 
+def profile_events(spark, sf_dir):
+    """Single-pass column profiling — the DESCRIBE/data-quality sweep a
+    warehouse runs after every load: per-column null count, exact distinct
+    count, and min/max, all computed in ONE scan (one wide agg, then
+    `stack` to the long row-per-column shape; the multiple exact distincts
+    become one Expand-based aggregate, still a single pass over the data —
+    at 100 TB swap countDistinct for approx_count_distinct/HLL per the
+    [hll_user_counts] row). Min/max stay in TYPED lanes (numeric vs string
+    vs formatted timestamp) — rendering a raw double to text differs
+    between engines and would break hash parity for no semantic gain."""
+    e = _t(spark, sf_dir, "events")
+    num_cols = ["event_id", "user_id", "value"]
+    str_cols = ["event_type"]
+    aggs = [F.count("*").alias("_n")]
+    for c in num_cols + str_cols + ["ts"]:
+        aggs += [
+            # COUNT(*) - COUNT(c) is the null count and stays BIGINT in
+            # both engines (a SUM(CASE..) rides DuckDB's HUGEINT into
+            # pandas float64 and breaks dtype parity)
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(c).cast("double").alias(f"{c}__min_num"),
+            F.max(c).cast("double").alias(f"{c}__max_num"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}__min_str"), F.max(c).alias(f"{c}__max_str")]
+    aggs += [
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts__min_str"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts__max_str"),
+    ]
+    wide = e.agg(*aggs)
+
+    def lane(c: str) -> str:
+        mn = f"{c}__min_num" if c in num_cols else "CAST(NULL AS DOUBLE)"
+        mx = f"{c}__max_num" if c in num_cols else "CAST(NULL AS DOUBLE)"
+        ms = f"{c}__min_str" if c not in num_cols else "CAST(NULL AS STRING)"
+        xs = f"{c}__max_str" if c not in num_cols else "CAST(NULL AS STRING)"
+        return (
+            f"'{c}', {c}__nulls, {c}__distinct, {mn}, {mx}, {ms}, {xs}"
+        )
+
+    all_cols = num_cols + str_cols + ["ts"]
+    stack = ", ".join(lane(c) for c in all_cols)
+    return wide.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(all_cols)}, {stack}) AS "
+        "(col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)",
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+PROFILE_SQL = """
+WITH w AS (
+  SELECT COUNT(*) AS n_rows,
+    COUNT(*) - COUNT(event_id) AS id_nulls,
+    COUNT(DISTINCT event_id) AS id_distinct,
+    CAST(MIN(event_id) AS DOUBLE) AS id_min, CAST(MAX(event_id) AS DOUBLE) AS id_max,
+    COUNT(*) - COUNT(user_id) AS u_nulls,
+    COUNT(DISTINCT user_id) AS u_distinct,
+    CAST(MIN(user_id) AS DOUBLE) AS u_min, CAST(MAX(user_id) AS DOUBLE) AS u_max,
+    COUNT(*) - COUNT(value) AS v_nulls,
+    COUNT(DISTINCT value) AS v_distinct,
+    CAST(MIN(value) AS DOUBLE) AS v_min, CAST(MAX(value) AS DOUBLE) AS v_max,
+    COUNT(*) - COUNT(event_type) AS t_nulls,
+    COUNT(DISTINCT event_type) AS t_distinct,
+    MIN(event_type) AS t_min, MAX(event_type) AS t_max,
+    COUNT(*) - COUNT(ts) AS s_nulls,
+    COUNT(DISTINCT ts) AS s_distinct,
+    STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_min,
+    STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS s_max
+  FROM events
+)
+SELECT u.* FROM w, LATERAL (VALUES
+  ('event_id',  n_rows, id_nulls, id_distinct, id_min, id_max,
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('user_id',   n_rows, u_nulls, u_distinct, u_min, u_max,
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('value',     n_rows, v_nulls, v_distinct, v_min, v_max,
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('event_type', n_rows, t_nulls, t_distinct, CAST(NULL AS DOUBLE),
+   CAST(NULL AS DOUBLE), t_min, t_max),
+  ('ts',        n_rows, s_nulls, s_distinct, CAST(NULL AS DOUBLE),
+   CAST(NULL AS DOUBLE), s_min, s_max)
+) AS u(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)
+"""
+
+
 # ------------------------------------------------------------------ C10/C13
 def timestamp_functions(spark, sf_dir):
     """Timestamp parse/format + hour extraction (C10/C13)."""
@@ -776,6 +868,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "json_extract_props": (json_extract_props, JSON_SQL),
     "variant_extract_props": (variant_extract_props, VARIANT_SQL),
+    "profile_events": (profile_events, PROFILE_SQL),
     "timestamp_functions": (timestamp_functions, TS_SQL),
     "coalesce_preference_chain": (coalesce_preference_chain, COALESCE_SQL),
     "rollup_order_stats": (rollup_order_stats, ROLLUP_SQL),
