@@ -354,6 +354,41 @@ def approx_value_quantiles(spark, sf_dir, accuracy: int = 10_000):
     )
 
 
+def lateral_top_orders(spark, sf_dir):
+    """Correlated lateral join (Spark 4 `DataFrame.lateralJoin`): for each
+    customer, the top-2 orders by price from a correlated subquery — the
+    SQL `LATERAL` / `CROSS APPLY` operator family, expressed directly
+    instead of via the window-function rewrite. Catalyst decorrelates the
+    per-row subquery (limit → window under the hood), so the physical plan
+    is a shuffle-joined ranked window, NOT a per-customer re-execution —
+    which is exactly why declaring lateral intent and letting the optimizer
+    rewrite beats hand-running the subquery per key. Oracle: DuckDB's
+    native LATERAL."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders")
+    top2 = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(top2).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, u.o_orderkey, u.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) u
+"""
+
+
 def zorder_events(spark, sf_dir):
     """Morton z-values over (user_id, coarse event time) — the clustering
     key `operators/zorder.write_zordered` lays files out on so min/max file
@@ -586,6 +621,7 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "approx_value_quantiles": (approx_value_quantiles, None),
     "zorder_events": (zorder_events, ZORDER_SQL),
     "kll_sketch_rollup": (kll_sketch_rollup, None),
+    "lateral_top_orders": (lateral_top_orders, LATERAL_SQL),
     "fuzzy_part_matches": (fuzzy_part_matches, FUZZY_SQL),
     "scd2_user_state": (scd2_user_state, SCD2_SQL),
 }

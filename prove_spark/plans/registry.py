@@ -325,6 +325,10 @@ _UNREGISTERED = {
     # profile_events — single-pass DESCRIBE-style column profiling (typed
     # min/max lanes to keep cross-engine hash parity off double rendering)
     "profile_events",
+    # lateral_top_orders — Spark 4 correlated lateralJoin family (Catalyst
+    # decorrelates to the ranked-window shape; topk_per_group keeps the W1
+    # CORR row)
+    "lateral_top_orders",
     # zorder_events — Morton z-value clustering key for multi-dimension
     # file skipping (operators/zorder.py); the layout/pruning benefit is
     # pinned in tests/test_zorder.py, the bit algebra oracled in the
