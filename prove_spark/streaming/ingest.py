@@ -199,6 +199,72 @@ def dedup_stream(
     )
 
 
+PROGRESS_SCHEMA = (
+    "conv_id string, n_turns_total long, max_turn_idx int, n_batches int"
+)
+
+
+def conversation_progress_tws(stream: DataFrame) -> DataFrame:
+    """Per-conversation running progress via `transformWithStateInPandas` —
+    the Spark 4 arbitrary-state API that supersedes applyInPandasWithState
+    (which `assemble_conversations_stateful` keeps for the
+    emit-on-completion shape): a typed ValueState per conv_id accumulates
+    turn count / max turn index across micro-batches and emits an updated
+    progress row per batch the conversation appears in.
+
+    Why this API at scale: state lives in the per-partition state store
+    keyed by conv_id (RocksDB-backed in prod — state size is bounded by
+    live conversations, not stream history), the processor declares its
+    state SCHEMA so the store is typed and evolvable, and TTL support
+    (`getValueState(ttlDurationMs=...)`) gives declarative state expiry
+    where the old API needed manual timeout bookkeeping.
+
+    Sandbox note: the TWS runtime speaks protobuf to the state server and
+    this container ships no `google.protobuf`, so the execution test skips
+    in-sandbox (tests/test_streaming.py gates on the import and still
+    builds the streaming plan + output schema) — the same real-code /
+    absent-runtime posture as the Iceberg writer branch."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProgressProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "progress", "n_turns long, max_idx int, n_batches int"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, mx = 0, -1
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, int(pdf["turn_idx"].max()))
+            prev = self._state.get() if self._state.exists() else (0, -1, 0)
+            cur = (prev[0] + n, max(prev[1], mx), prev[2] + 1)
+            self._state.update(cur)
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns_total": [cur[0]],
+                    "max_turn_idx": [cur[1]],
+                    "n_batches": [cur[2]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("conv_id").transformWithStateInPandas(
+        statefulProcessor=ProgressProcessor(),
+        outputStructType=PROGRESS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def join_turn_tool_streams(
     turns: DataFrame, tools: DataFrame, within: str = "10 minutes"
 ) -> DataFrame:
