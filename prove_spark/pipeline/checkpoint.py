@@ -122,62 +122,72 @@ def run_checkpointed(
         )
         out = with_bucket(triples, "conv_id", config.n_buckets)
         io.overwrite_buckets(out, "triples", "bucket")
-        # lineage stats read back from the files just WRITTEN — recomputing
-        # `out` here would re-run the whole pipeline for this group. A group
-        # whose buckets all produced zero rows writes no files (the table may
-        # not even exist yet after a changed-input wipe) — stats are empty.
-        stats = (
-            (
-                io.read("triples")
-                .where(F.col("bucket").isin(todo))
-                .groupBy("bucket")
-                .agg(
-                    F.count("*").alias("n_rows"),
-                    F.countDistinct("conv_id").alias("n_convs"),
-                )
-                .collect()
-            )
-            if io.exists("triples")
-            else []
-        )
         for df in caches:  # drop this group's cached intermediates
             df.unpersist()
-        wall = time.time() - t0
-        now = datetime.now(timezone.utc).replace(tzinfo=None)
-        by_bucket = {int(s.bucket): s for s in stats}
-        manifest = spark.createDataFrame(
-            [
-                (
-                    b,
-                    int(by_bucket[b].n_rows) if b in by_bucket else 0,
-                    int(by_bucket[b].n_convs) if b in by_bucket else 0,
-                    wall,
-                    fp,
-                    now,
-                )
-                for b in todo  # empty buckets still get lineage rows
-            ],
-            schema=MANIFEST_SCHEMA,
-        )
-        io.append(manifest, "manifest")
+        _append_bucket_manifest(spark, io, todo, time.time() - t0, fp)
         committed += 1
         if fail_after_groups is not None and committed >= fail_after_groups:
             raise RuntimeError(f"simulated failure after {committed} commits")
+    return _read_triples_or_empty(spark, io)
+
+
+# empty-but-typed triples frame: a run (or delta) whose output is zero rows
+# writes no parquet files at all, and a raw read would die on schema inference
+EMPTY_TRIPLES_SCHEMA = (
+    "subj string, pred string, obj string, conv_id string, "
+    "turn_idx int, claim_id string, verdict string, "
+    "malon string, score double, result_sentence string, "
+    "w_supports double, w_refutes double, w_nei double, bucket int"
+)
+
+
+def _read_triples_or_empty(spark: SparkSession, io: TableIO) -> DataFrame:
     if not io.exists("triples"):
-        # a run whose input yields zero triples writes no files at all —
-        # return an empty, correctly-typed frame instead of failing the read
         from .run import TRIPLE_COLUMNS  # noqa: F401 (schema doc)
 
-        return spark.createDataFrame(
-            [],
-            schema=(
-                "subj string, pred string, obj string, conv_id string, "
-                "turn_idx int, claim_id string, verdict string, "
-                "malon string, score double, result_sentence string, "
-                "w_supports double, w_refutes double, w_nei double, bucket int"
-            ),
-        )
+        return spark.createDataFrame([], schema=EMPTY_TRIPLES_SCHEMA)
     return io.read("triples")
+
+
+def _append_bucket_manifest(
+    spark: SparkSession, io: TableIO, buckets: list[int], wall: float, fp: str
+) -> None:
+    """Append one lineage row per bucket, with stats read back from the
+    files just WRITTEN (recomputing the output frame would re-run the whole
+    pipeline for the group). Buckets whose write produced zero rows — or a
+    table whose every file was just deleted — still get rows, with zero
+    stats."""
+    stats = (
+        (
+            io.read("triples")
+            .where(F.col("bucket").isin(buckets))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("conv_id").alias("n_convs"),
+            )
+            .collect()
+        )
+        if io.exists("triples")
+        else []
+    )
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    by_bucket = {int(s.bucket): s for s in stats}
+    manifest = spark.createDataFrame(
+        [
+            (
+                b,
+                int(by_bucket[b].n_rows) if b in by_bucket else 0,
+                int(by_bucket[b].n_convs) if b in by_bucket else 0,
+                wall,
+                fp,
+                now,
+            )
+            for b in buckets  # empty buckets still get lineage rows
+        ],
+        schema=MANIFEST_SCHEMA,
+    )
+    io.append(manifest, "manifest")
 
 
 def incremental_update(
@@ -251,37 +261,14 @@ def incremental_update(
     }
     out.unpersist()
     io.delete_buckets("triples", [b for b in touched if b not in written])
-    stats = {
-        int(s.bucket): s
-        for s in io.read("triples")
-        .where(F.col("bucket").isin(touched))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.countDistinct("conv_id").alias("n_convs"),
-        )
-        .collect()
-    }
     for df in caches:
         df.unpersist()
-    wall = time.time() - t0
-    now = datetime.now(timezone.utc).replace(tzinfo=None)
-    manifest = spark.createDataFrame(
-        [
-            (
-                b,
-                int(stats[b].n_rows) if b in stats else 0,
-                int(stats[b].n_convs) if b in stats else 0,
-                wall,
-                fp,
-                now,
-            )
-            for b in touched
-        ],
-        schema=MANIFEST_SCHEMA,
-    )
-    io.append(manifest, "manifest")
-    return io.read("triples")
+    # the stats read-back and the final read both guard on io.exists: a
+    # delta that empties EVERY remaining bucket leaves a triples dir with
+    # no parquet files (only _SUCCESS), which a raw read cannot infer a
+    # schema from — same fallback run_checkpointed uses
+    _append_bucket_manifest(spark, io, touched, time.time() - t0, fp)
+    return _read_triples_or_empty(spark, io)
 
 
 def stage_metrics(io: TableIO) -> DataFrame:

@@ -351,6 +351,25 @@ _UNREGISTERED = {
     "heavy_hitter_tokens",
 }
 
+# Single source for the sweep-capped queries: name → (spark_fn, sql | None),
+# collected across every family dict. The pytest oracle lane
+# (tests/test_entry_queries.py) and scripts/plan_audit.py both consume THIS
+# mapping, so a new family dict added above cannot silently fall out of
+# either gate (test_every_unregistered_name_is_collected pins completeness).
+UNREGISTERED_QUERIES: dict[str, tuple] = {
+    n: v
+    for d in (
+        RELATIONAL_QUERIES,
+        TEXTOPS_QUERIES,
+        ADVANCED_QUERIES,
+        MLOPS_QUERIES,
+        DISAMBIG_QUERIES,
+        KG_EXTRA_QUERIES,
+    )
+    for n, v in d.items()
+    if n in _UNREGISTERED
+}
+
 ALL_QUERIES: dict[str, tuple] = {
     **KG_QUERIES,
     **{

@@ -39,30 +39,19 @@ def test_entry_contract(spark):
 
 
 # unregistered-but-implemented queries (sweep-capped at 50 driver rows; see
-# registry._UNREGISTERED) still get the SAME oracle gate here in pytest
-from prove_spark.plans.advanced import ADVANCED_QUERIES  # noqa: E402
-from prove_spark.plans.mlops import MLOPS_QUERIES  # noqa: E402
-from prove_spark.plans.registry import KG_EXTRA_QUERIES, _UNREGISTERED  # noqa: E402
-from prove_spark.plans.relational import RELATIONAL_QUERIES  # noqa: E402
-from prove_spark.plans.textops import TEXTOPS_QUERIES  # noqa: E402
-
-_UNREG = {
-    n: v
-    for d in (
-        RELATIONAL_QUERIES,
-        TEXTOPS_QUERIES,
-        ADVANCED_QUERIES,
-        MLOPS_QUERIES,
-        KG_EXTRA_QUERIES,
-    )
-    for n, v in d.items()
-    if n in _UNREGISTERED
-}
+# registry._UNREGISTERED) still get the SAME oracle gate here in pytest —
+# consumed from the registry's shared mapping (scripts/plan_audit.py uses the
+# same one, so neither gate can drift from the other)
+from prove_spark.plans.registry import (  # noqa: E402
+    UNREGISTERED_QUERIES as _UNREG,
+    _UNREGISTERED,
+)
 
 
 def test_every_unregistered_name_is_collected():
-    # a retired query whose defining dict isn't scanned above would silently
-    # lose its pytest oracle lane — pin the collection to the full set
+    # a retired query whose defining dict isn't scanned by the registry's
+    # shared collection would silently lose BOTH its pytest oracle lane and
+    # its plan-audit row — pin the collection to the full set
     assert set(_UNREG) == set(_UNREGISTERED)
 
 

@@ -208,3 +208,26 @@ def test_incremental_update_deletes_emptied_bucket(spark, spark_transcripts, tmp
     import os
 
     assert not os.path.exists(f"{wh}/triples/bucket={vbucket}")
+
+
+def test_incremental_update_that_empties_every_bucket(spark, spark_transcripts, tmp_path):
+    """A delta that deletes EVERY remaining conversation leaves a triples
+    dir with no parquet files at all — the read-back must fall back to the
+    typed empty frame (the run_checkpointed guard), not die on schema
+    inference; manifest rows still record the zeroed buckets."""
+    from prove_spark.pipeline.checkpoint import incremental_update
+
+    two = spark_transcripts.select("conv_id").distinct().limit(2)
+    t0 = spark_transcripts.join(two, "conv_id")
+    wh = str(tmp_path / "wipeout")
+    run_checkpointed(spark, t0, wh)
+
+    t1 = t0.where(F.lit(False))  # everything deleted
+    got = incremental_update(spark, t1, two, wh)
+    assert got.count() == 0
+    assert "claim_id" in got.columns  # typed empty frame, not inference
+    io = TableIO(spark, wh)
+    m = io.read("manifest").toPandas()
+    latest = m.sort_values("completed_ts").groupby("bucket").tail(1)
+    touched = set(latest[latest.n_rows == 0].bucket)
+    assert len(touched) >= 1  # the emptied buckets got zeroed lineage rows

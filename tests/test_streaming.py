@@ -471,7 +471,16 @@ def test_transform_with_state_progress(spark, spark_transcripts, tmp_path):
     )
     progress = conversation_progress_tws(stream)  # plan builds without protobuf
     assert progress.schema["n_turns_total"].dataType.typeName() == "long"
-    if importlib.util.find_spec("google") is None:
+    try:
+        # probe the real dependency, not the bare 'google' namespace (any
+        # other google-* package would make that probe pass and the query
+        # then crash inside the streaming worker instead of skipping);
+        # find_spec raises rather than returning None when even the parent
+        # namespace is missing
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
         pytest.skip("google.protobuf absent in sandbox (TWS runtime needs it)")
     q = (
         progress
