@@ -84,23 +84,22 @@ def main(argv: list[str] | None = None) -> int:
     config = replace(DEFAULT_CONFIG, engine=args.engine)
     n_quarantined = 0
     if args.input and args.input_format == "jsonl":
-        from .sources.jsonl import read_transcripts_jsonl
+        from .sources.jsonl import stage_transcripts_jsonl
 
-        good, corrupt = read_transcripts_jsonl(spark, args.input)
+        # ONE pass over the raw feed: a lane-partitioned staging write
+        # (good/corrupt) — the checkpointed pipeline re-reads its input per
+        # bucket group (plus the lineage fingerprint pass), which against
+        # raw JSONL would re-run from_json ~bucket_groups+2 times; against
+        # the staged parquet each pass is a pruned columnar read.
+        staging = args.warehouse.rstrip("/") + "/staging_transcripts"
+        transcripts, corrupt = stage_transcripts_jsonl(spark, args.input, staging)
         # quarantine before the pipeline consumes the feed: malformed lines
-        # are preserved for replay, never silently dropped (F11 at ingest)
+        # are preserved for replay, never silently dropped (F11 at ingest).
+        # This reads the pruned lane=corrupt partition, not the raw feed.
         corrupt.write.mode("overwrite").text(args.warehouse.rstrip("/") + "/quarantine")
         n_quarantined = spark.read.text(
             args.warehouse.rstrip("/") + "/quarantine"
         ).count()
-        # STAGE the good lane to parquet once: the checkpointed pipeline
-        # re-reads its input per bucket group (plus the lineage fingerprint
-        # pass), which against raw JSONL would re-run from_json over the
-        # whole feed ~bucket_groups+2 times; against the staged parquet each
-        # pass is a pruned columnar read, same as the parquet input path.
-        staging = args.warehouse.rstrip("/") + "/staging_transcripts"
-        good.write.mode("overwrite").parquet(staging)
-        transcripts = spark.read.parquet(staging)
     elif args.input:
         transcripts = spark.read.parquet(args.input)
     else:

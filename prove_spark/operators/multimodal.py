@@ -244,11 +244,16 @@ def _read_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         (compression,) = struct.unpack_from("<I", payload, 30)
         if bpp != 24 or compression != 0:
             raise NotImplementedError("only uncompressed 24-bit BMP")
+        # negative biHeight means top-down row order (BMP spec); positive is
+        # the usual bottom-up layout. Branch on the sign so a top-down image
+        # resizes right-side-up instead of silently flipped.
+        top_down = height < 0
         height = abs(height)
         stride = (width * 3 + 3) & ~3
         px = []
         for r in range(height):
-            start = pix_off + (height - 1 - r) * stride  # bottom-up rows
+            src_row = r if top_down else (height - 1 - r)
+            start = pix_off + src_row * stride
             row = payload[start : start + width * 3]
             px.extend(
                 (row[3 * c + 2], row[3 * c + 1], row[3 * c])

@@ -131,21 +131,20 @@ def run_checkpointed(
     return _read_triples_or_empty(spark, io)
 
 
-# empty-but-typed triples frame: a run (or delta) whose output is zero rows
-# writes no parquet files at all, and a raw read would die on schema inference
-EMPTY_TRIPLES_SCHEMA = (
-    "subj string, pred string, obj string, conv_id string, "
-    "turn_idx int, claim_id string, verdict string, "
-    "malon string, score double, result_sentence string, "
-    "w_supports double, w_refutes double, w_nei double, bucket int"
-)
+def _empty_triples_schema() -> str:
+    """Empty-but-typed triples frame schema: a run (or delta) whose output
+    is zero rows writes no parquet files at all, and a raw read would die on
+    schema inference. Derived from the pipeline's own TRIPLES_DDL (plus the
+    bucket partition column this module appends) so the fallback cannot
+    drift from the real output contract."""
+    from .run import TRIPLES_DDL
+
+    return TRIPLES_DDL + ", bucket int"
 
 
 def _read_triples_or_empty(spark: SparkSession, io: TableIO) -> DataFrame:
     if not io.exists("triples"):
-        from .run import TRIPLE_COLUMNS  # noqa: F401 (schema doc)
-
-        return spark.createDataFrame([], schema=EMPTY_TRIPLES_SCHEMA)
+        return spark.createDataFrame([], schema=_empty_triples_schema())
     return io.read("triples")
 
 

@@ -15,21 +15,27 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 from . import stages
 from .canonicalize import canonical_map_df, rekey_triples
 
-TRIPLE_COLUMNS = [
-    "subj",
-    "pred",
-    "obj",
-    "conv_id",
-    "turn_idx",
-    "claim_id",
-    "verdict",
-    "malon",
-    "score",
-    "result_sentence",
-    "w_supports",
-    "w_refutes",
-    "w_nei",
+# single source of truth for the triples output contract: name order is the
+# projection build_triples ends with, and the DDL is what the empty-table
+# fallback (pipeline/checkpoint.py) synthesizes when a run writes zero rows —
+# deriving both from one list means they cannot drift apart.
+TRIPLE_FIELDS = [
+    ("subj", "string"),
+    ("pred", "string"),
+    ("obj", "string"),
+    ("conv_id", "string"),
+    ("turn_idx", "int"),
+    ("claim_id", "string"),
+    ("verdict", "string"),
+    ("malon", "string"),
+    ("score", "double"),
+    ("result_sentence", "string"),
+    ("w_supports", "double"),
+    ("w_refutes", "double"),
+    ("w_nei", "double"),
 ]
+TRIPLE_COLUMNS = [name for name, _ in TRIPLE_FIELDS]
+TRIPLES_DDL = ", ".join(f"{name} {typ}" for name, typ in TRIPLE_FIELDS)
 
 
 def build_triples(

@@ -100,6 +100,12 @@ def kg_pagerank(spark, sf_dir):
     outdeg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
     links = edges.join(outdeg, "src").repartition("src").persist()
     _KG_CACHES.extend([nodes, links])
+    # eager-materialize: both relations feed many concurrently-scheduled
+    # sibling stages of the single final action, and a lazy persist gets
+    # recomputed by each sibling until the cache fills (measured race —
+    # see kg_triangles / semdedup). Node/edge scale, so the counts are cheap.
+    nodes.count()
+    links.count()
     n_df = nodes.agg(F.count("*").alias("n_nodes"))
 
     def qz(col):

@@ -147,6 +147,48 @@ def test_decode_media_real_path_unsupported_format_raises(spark):
         decode_media(media, fake=False).collect()
 
 
+def _make_bmp_topdown(width: int, height: int, px) -> bytes:
+    """Same contract as _make_bmp but stores rows TOP-DOWN with the
+    negative biHeight the BMP spec uses to flag that order."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    raster = bytearray()
+    for r in range(height):  # natural (top-down) storage
+        row = bytearray()
+        for c in range(width):
+            rr, g, b = px(r, c)
+            row += bytes((b, g, rr))
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    pix_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pix_off + len(raster), 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(raster)
+
+
+def test_topdown_bmp_not_flipped():
+    """A negative-biHeight (top-down) BMP must decode AND resize to the
+    same image as its bottom-up twin — previously _read_pixels assumed
+    bottom-up order and silently emitted a vertically flipped resize."""
+    from prove_spark.operators.multimodal import (
+        decode_bmp,
+        resize_image,
+    )
+    from prove_spark.operators.multimodal import _read_pixels
+
+    def px(r, c):  # top row red, bottom row blue — orientation-sensitive
+        return (255, 0, 0) if r == 0 else (0, 0, 255)
+
+    up = _make_bmp(3, 2, px)
+    down = _make_bmp_topdown(3, 2, px)
+    assert decode_bmp(up) == decode_bmp(down)  # luma is order-insensitive
+    assert _read_pixels(up) == _read_pixels(down)  # pixels must match too
+    assert resize_image(up, 3, 2) == resize_image(down, 3, 2)
+
+
 def test_resize_image_real_nearest_neighbor():
     from prove_spark.operators.multimodal import decode_ppm, resize_image
 

@@ -252,3 +252,19 @@ def test_engine_parity_sf0_01(spark):
         assert results["jvm"] == results["arrow"]
     finally:
         tr.unpersist()
+
+
+def test_triples_ddl_matches_pipeline_output(spark, spark_transcripts):
+    """TRIPLES_DDL (the single-source contract the empty-table fallback in
+    pipeline/checkpoint.py synthesizes from) must equal the REAL
+    build_triples output schema — names, order, and types."""
+    from pyspark.sql.types import StructType
+
+    from prove_spark.pipeline.run import TRIPLE_COLUMNS, TRIPLES_DDL
+
+    declared = StructType.fromDDL(TRIPLES_DDL)
+    actual = build_triples(spark, spark_transcripts).schema
+    assert [f.name for f in declared.fields] == TRIPLE_COLUMNS
+    assert [(f.name, f.dataType) for f in actual.fields] == [
+        (f.name, f.dataType) for f in declared.fields
+    ]

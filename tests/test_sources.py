@@ -147,3 +147,68 @@ def test_jsonl_fuzz_parse_or_quarantine(spark, tmp_path):
     n_nonblank = sum(1 for ln in lines if ln.strip())
     assert n_good + n_corrupt == n_nonblank  # exactly one lane per line
     assert n_good >= n_valid  # every valid row parses (garbage may too, e.g. "null")
+
+
+def test_jsonl_staged_single_pass_parity(spark, tmp_path):
+    """stage_transcripts_jsonl (ONE lane-partitioned staging write, one
+    from_json pass) returns the same lanes as the lazy two-filter reader,
+    and both lanes read back from pruned parquet partitions."""
+    from prove_spark.sources.jsonl import (
+        read_transcripts_jsonl,
+        stage_transcripts_jsonl,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi",'
+        '"tool":null,"ts":"2026-01-01T00:00:00.000Z"}\n'
+        "{broken json!!\n"
+        '{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"yo",'
+        '"tool":"search","ts":"2026-01-01T00:00:05.000Z"}\n'
+        "{}\n"
+    )
+    lazy_good, lazy_corrupt = read_transcripts_jsonl(spark, str(p))
+    good, corrupt = stage_transcripts_jsonl(
+        spark, str(p), str(tmp_path / "staging")
+    )
+    assert good.columns == lazy_good.columns
+    key = lambda r: (r.conv_id, r.turn_idx)
+    assert sorted(good.collect(), key=key) == sorted(
+        lazy_good.collect(), key=key
+    )
+    assert sorted(r.raw_line for r in corrupt.collect()) == sorted(
+        r.raw_line for r in lazy_corrupt.collect()
+    )
+    # the staged reads are partition-pruned scans of the staging table, not
+    # re-reads of the raw feed
+    files = good.inputFiles()
+    assert files and all("/staging/" in f for f in files)
+    assert all("feed.jsonl" not in f for f in files)
+
+
+def test_jsonl_staged_one_lane_empty(spark, tmp_path):
+    """A feed with no corrupt lines writes no lane=corrupt partition; the
+    explicit read schema still yields a typed empty frame (and vice versa
+    for an all-corrupt feed)."""
+    from prove_spark.sources.jsonl import stage_transcripts_jsonl
+
+    clean = tmp_path / "clean.jsonl"
+    clean.write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi",'
+        '"tool":null,"ts":"2026-01-01T00:00:00.000Z"}\n'
+    )
+    good, corrupt = stage_transcripts_jsonl(
+        spark, str(clean), str(tmp_path / "s1")
+    )
+    assert good.count() == 1 and corrupt.count() == 0
+    assert corrupt.columns == ["raw_line"]
+
+    dirty = tmp_path / "dirty.jsonl"
+    dirty.write_text("{nope\n{}\n")
+    good, corrupt = stage_transcripts_jsonl(
+        spark, str(dirty), str(tmp_path / "s2")
+    )
+    assert good.count() == 0 and corrupt.count() == 2
+    assert good.columns == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
