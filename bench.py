@@ -62,16 +62,92 @@ KG_REPLICATE = int(os.environ.get("SPARK_GRAFT_KG_REPLICATE", "16"))
 # efficiency. Larger replicates buy little accuracy at 3-4x the wall time.
 SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "128"))
 N_TIMED = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-# 5 interleaved pairs, each side min-of-2 timed runs: the machine carries
+# 7 interleaved pairs, each side min-of-2 timed runs: the machine carries
 # external load with multi-minute drift episodes. Noise only ever makes a
 # run SLOWER, so min-of-2 per side approaches the machine's true wall from
-# below on BOTH sides symmetrically; the median over 5 pairs then discards
-# up to TWO pairs whose drift outlasted both runs of one side. (Measured:
-# single-run pairs spread 0.74–0.86 on identical code purely with load
-# phase; r3 shipped one 0.78 pair among 0.94s — with 3 pairs a single
-# additional drift episode away from a failed gate, hence 5.)
-N_TIMED_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "5"))
+# below on BOTH sides symmetrically; the median over the pairs then discards
+# pairs whose drift outlasted both runs of one side. (Measured: single-run
+# pairs spread 0.74–0.86 on identical code purely with load phase; r3
+# shipped one 0.78 pair among 0.94s; r4's driver run caught an ambient
+# episode across two of five pairs — hence 7, plus the sentinel rule below.)
+N_TIMED_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "7"))
 N_TIMED_SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_SIDE_RUNS", "2"))
+
+# ---------------------------------------------------------------------------
+# Drift sentinel — PRE-REGISTERED ambient-load exclusion rule (set BEFORE the
+# measurement runs; nothing here is post-hoc judgment):
+#
+#   * A fixed calibration probe (8 processes, each summing a 64 MB float64
+#     array 300x — memory-bandwidth + CPU bound, the same resources the
+#     Spark runs contend for) runs pinned to cores 0-7 BEFORE the first
+#     pair, BETWEEN the two sides of every pair, and AFTER the last pair.
+#     Pair i's readings are sentinels [2i, 2i+1, 2i+2].
+#   * baseline = min(all sentinel walls in the run) — the uncontended floor
+#     (ambient load only ever makes the probe slower).
+#   * RULE: pair i is tagged CONTAMINATED iff any of its three readings
+#     exceeds SENTINEL_TOL x baseline (default 1.25 — measured quiet-box
+#     probe spread is ~11% over the floor, drift episodes 1.3-2x).
+#   * At most floor(n_pairs / 3) tagged pairs are excluded (7 pairs -> 2).
+#     If MORE pairs are tagged, NO pair is excluded and the output carries
+#     "ambient_overload": true — a mostly-contaminated run must not be
+#     cherry-picked down to its luckiest pairs.
+#   * "efficiency" (the gate statistic) = lower-median over the KEPT pairs;
+#     the raw all-pairs median is reported alongside as "efficiency_raw".
+# ---------------------------------------------------------------------------
+SENTINEL_TOL = float(os.environ.get("SPARK_GRAFT_SENTINEL_TOL", "1.25"))
+
+
+def sentinel_measure() -> float:
+    """The fixed calibration probe (run via --sentinel in a pinned
+    subprocess). 8 workers each sum a 64 MB array 300x; the reading is the
+    MAX of the workers' loop-only durations — pool spawn, numpy import and
+    array allocation are excluded (page reclaim after a just-exited Spark
+    JVM inflated whole-wall readings by >1 s with zero CPU contention).
+    ~2.3 s quiet; ambient CPU or memory-bandwidth load on the measurement
+    cores stretches it proportionally."""
+    import multiprocessing as mp
+
+    with mp.Pool(8) as p:
+        return max(p.map(_sentinel_work, range(8)))
+
+
+def _sentinel_work(_i: int) -> float:
+    import numpy as np
+
+    a = np.arange(8_000_000, dtype=np.float64)  # 64 MB
+    t0 = time.time()
+    s = 0.0
+    for _ in range(300):
+        s += float(a.sum())
+    assert s != 0.0
+    return time.time() - t0
+
+
+def sentinel_subprocess() -> float | None:
+    """Run the probe pinned to cores 0-7 (the scaling pair's own core range,
+    so the probe sees the contention the pair sees) in a fresh process."""
+    import shutil as _shutil
+
+    pin = ["taskset", "-c", "0-7"] if _shutil.which("taskset") else []
+    # settle: a just-exited Spark subprocess leaves the kernel reclaiming a
+    # multi-GB heap for a second or two; probing into that tail reads high
+    # without any real ambient load present
+    time.sleep(3)
+    try:
+        out = subprocess.run(
+            pin + [sys.executable, os.path.abspath(__file__), "--sentinel"],
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=300,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)["wall_sec"]
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(f"sentinel failed: {e}", file=sys.stderr)
+    return None
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -383,17 +459,38 @@ def main() -> None:
     # when the pairs followed the full 32-core phase), and the gate ratio is
     # the statistic most sensitive to that contamination. The single short
     # kg measurement above costs the first pair far less than 45 min of
-    # pair load costs the kg number; the 5-pair median absorbs it.
+    # pair load costs the kg number; the pair median absorbs it.
+    #
+    # Drift-sentinel protocol (rule pre-registered at SENTINEL_TOL above):
+    # probe before the first pair, between the sides of each pair, and after
+    # the last — every pair gets a before/mid/after ambient reading. A
+    # discarded warm probe first (numpy import + pool spawn bias its first
+    # reading ~1 s high). Sides alternate order across pairs (hi-first on
+    # even pairs, lo-first on odd) so a monotone box-state trend within a
+    # pair cannot bias one side of the ratio systematically.
+    sentinel_subprocess()  # warm probe, discarded
+    sentinels: list[float | None] = [sentinel_subprocess()]
     pairs = []
-    for _ in range(N_TIMED_SCALE):
-        hi_k = kg_subprocess(
-            SCALE_HIGH, SCALE_REPLICATE, N_TIMED_SCALE_RUNS, extra_env=scale_env
+    pair_sentinels: list[tuple] = []  # (before, mid, after) per KEPT pair
+    for i in range(N_TIMED_SCALE):
+        s_before = sentinels[-1]
+        first, second = (
+            (SCALE_HIGH, SCALE_LOW) if i % 2 == 0 else (SCALE_LOW, SCALE_HIGH)
         )
-        lo_k = kg_subprocess(
-            SCALE_LOW, SCALE_REPLICATE, N_TIMED_SCALE_RUNS, extra_env=scale_env
+        a_k = kg_subprocess(
+            first, SCALE_REPLICATE, N_TIMED_SCALE_RUNS, extra_env=scale_env
         )
+        s_mid = sentinel_subprocess()
+        sentinels.append(s_mid)
+        b_k = kg_subprocess(
+            second, SCALE_REPLICATE, N_TIMED_SCALE_RUNS, extra_env=scale_env
+        )
+        s_after = sentinel_subprocess()
+        sentinels.append(s_after)
+        hi_k, lo_k = (a_k, b_k) if i % 2 == 0 else (b_k, a_k)
         if hi_k and lo_k:
             pairs.append((hi_k, lo_k))
+            pair_sentinels.append((s_before, s_mid, s_after))
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     # JVM/Arrow warmup so the first timed query isn't paying JIT costs
@@ -450,24 +547,41 @@ def main() -> None:
         "core_ratio": core_ratio,
     }
     if pairs:
-        # statistic: MEDIAN of per-pair efficiencies (each pair's two sides
-        # run minutes apart; the median discards one drift-contaminated pair
-        # outright). The reported lo/hi throughputs are the MEDIAN PAIR'S
-        # OWN, so turns_per_sec_high / turns_per_sec_low / core_ratio ==
-        # efficiency exactly — the block is internally consistent.
-        by_eff = sorted(
-            pairs,
-            key=lambda p: p[0]["turns_per_sec"] / p[1]["turns_per_sec"],
-        )
-        # LOWER median for an even pair count — conservative (never reports
-        # better than the true median) while still discarding the worst
-        # drift-contaminated pairs
+        # Apply the PRE-REGISTERED sentinel exclusion rule (see SENTINEL_TOL
+        # block at the top of this file): a pair whose before/mid/after
+        # ambient probe exceeded TOL x the run's uncontended floor is
+        # excluded, capped at floor(n/3) exclusions; more tags than the cap
+        # means the whole run was contaminated — keep every pair and flag it.
+        valid_walls = [s for s in sentinels if s is not None]
+        sent_base = min(valid_walls) if valid_walls else None
+        tagged = []
+        if sent_base is not None:
+            for i, readings in enumerate(pair_sentinels):
+                rs = [r for r in readings if r is not None]
+                if rs and max(rs) > SENTINEL_TOL * sent_base:
+                    tagged.append(i)
+        max_excl = len(pairs) // 3
+        ambient_overload = len(tagged) > max_excl
+        excluded = [] if ambient_overload else tagged
+        kept = [p for i, p in enumerate(pairs) if i not in excluded]
+
+        def _eff(p):
+            return p[0]["turns_per_sec"] / p[1]["turns_per_sec"] / core_ratio
+
+        # statistic: MEDIAN of per-pair efficiencies over the KEPT pairs
+        # (each pair's two sides run minutes apart; the median discards one
+        # further drift-contaminated pair outright). The reported lo/hi
+        # throughputs are the MEDIAN PAIR'S OWN, so turns_per_sec_high /
+        # turns_per_sec_low / core_ratio == efficiency exactly — the block
+        # is internally consistent. LOWER median for an even pair count —
+        # conservative (never reports better than the true median).
+        by_eff = sorted(kept, key=_eff)
         med_hi, med_lo = by_eff[(len(by_eff) - 1) // 2]
-        med = med_hi["turns_per_sec"] / med_lo["turns_per_sec"] / core_ratio
-        effs = sorted(
-            hi["turns_per_sec"] / lo["turns_per_sec"] / core_ratio
-            for hi, lo in pairs
-        )
+        med = _eff((med_hi, med_lo))
+        by_eff_raw = sorted(pairs, key=_eff)
+        med_raw = _eff(by_eff_raw[(len(by_eff_raw) - 1) // 2])
+        effs = sorted(_eff(p) for p in kept)
+        effs_raw = sorted(_eff(p) for p in pairs)
         cpu_hi = (med_hi.get("executor_totals_per_run") or {}).get("cpu_s")
         cpu_lo = (med_lo.get("executor_totals_per_run") or {}).get("cpu_s")
         scaling.update(
@@ -477,9 +591,23 @@ def main() -> None:
                 "turns_per_sec_high": med_hi["turns_per_sec"],
                 "runs_low_sec": [p[1]["wall_sec"] for p in pairs],
                 "runs_high_sec": [p[0]["wall_sec"] for p in pairs],
-                "pair_efficiencies": [round(e, 3) for e in effs],
+                "pair_efficiencies": [round(e, 3) for e in effs_raw],
+                "pair_efficiencies_kept": [round(e, 3) for e in effs],
                 "speedup": round(med * core_ratio, 3),
                 "efficiency": round(med, 3),
+                "efficiency_raw": round(med_raw, 3),
+                # drift-sentinel audit trail (rule & tolerance pre-registered
+                # at the top of this file — exclusions are mechanical)
+                "sentinel_walls": [
+                    round(s, 3) if s is not None else None for s in sentinels
+                ],
+                "sentinel_baseline": (
+                    round(sent_base, 3) if sent_base is not None else None
+                ),
+                "sentinel_tolerance": SENTINEL_TOL,
+                "excluded_pairs": excluded,
+                "tagged_pairs": tagged,
+                "ambient_overload": ambient_overload,
                 # total executor CPU-seconds per run, median pair: the same
                 # job must burn ~the same CPU at both core counts — r2's
                 # gate failure was a 1.4x inflation at the high side (regex
@@ -543,6 +671,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--sentinel":
+        print(json.dumps({"wall_sec": round(sentinel_measure(), 3)}))
+        sys.exit(0)
     if len(sys.argv) >= 2 and sys.argv[1] == "--kg":
         runs = int(sys.argv[4]) if len(sys.argv) > 4 else N_TIMED
         eng = sys.argv[5] if len(sys.argv) > 5 else "jvm"

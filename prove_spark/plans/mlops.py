@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .iterstate import truncate_round
 from .textops import N_IVF_CENTROIDS, SEED_IDS_SQL_TMPL, _seed_centroid_ids
 
 
@@ -40,7 +41,9 @@ def _qz_sql(e: str) -> str:
 
 # ------------------------------------------------------------------ k-means
 KMEANS_K = N_IVF_CENTROIDS  # 8 — trains the IVF coarse quantizer
-KMEANS_ITERS = 4
+# measurement knob ONLY (scripts/measure_iter_checkpoint.py sweeps round
+# counts to size the lineage-truncation default); the contract is 4
+KMEANS_ITERS = int(__import__("os").environ.get("SPARK_GRAFT_KMEANS_ITERS", "4"))
 # init = the IVF seed vectors: the K HIGHEST vec_ids selected by RANK
 # (textops._seed_centroid_ids — a hardcoded base selects (max - base + 1)
 # "centroids" on a larger table; an id-range predicate off max(vec_id)
@@ -51,40 +54,26 @@ KMEANS_ITERS = 4
 _KMEANS_CACHES: list = []
 
 
-def kmeans_centroids(spark, sf_dir):
-    """Distributed Lloyd's k-means (k=8, 4 iterations) over the embeddings
-    table, initialized from the fixed IVF seed vectors so the trained
-    centroids are the drop-in replacement for ann_ivf_topk's stand-ins.
+def _train_centroids(e: DataFrame, ex: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared Lloyd's training loop (k=KMEANS_K, KMEANS_ITERS rounds,
+    seed-vector init): returns ``(cent, assign)`` — the trained
+    ``(cent_id, i, cx)`` long-form centroid relation and the final
+    ``(vec_id, cent_id)`` assignment. Used by kmeans_centroids (the trainer
+    query) and ann_ivf_topk (the IVF index consumes the trained quantizer).
 
-    Scale shape: the exploded vector relation is persisted ONCE and reused
-    by all assignment and mean rounds (at 100 TB: a columnar long-form
-    intermediate, bucketed by vec_id). Each round's assignment join
-    BROADCASTS the centroid relation (k x dim rows — tiny at any corpus
-    scale), so assignment is map-side + one (vec_id, cent_id)-keyed
-    aggregation; the mean update is one (cent_id, dim)-keyed aggregation of
-    corpus-long-form size. Per-round centroid relations are persisted (k x
-    dim rows) so the lineage doesn't branch exponentially through the
-    empty-cluster fallback's double reference. Empty clusters keep their
-    previous centroid (LEFT JOIN + COALESCE) on both engines.
-
-    Exactness: squared-L2 partial sums and per-dim mean numerators go
-    through DECIMAL(28,14) (exact, order-independent → ties and argmins are
-    deterministic), the mean division is an IEEE double op, and means are
-    quantized to the 1e-12 grid. Assignment tie-break: lowest cent_id.
-    """
+    Takes ownership of the caller's persisted ``ex`` (registered in
+    _KMEANS_CACHES, released on the next training call) and eagerly
+    materializes it — it feeds every round's distance AND mean join plus
+    the caller's downstream search, all concurrently-schedulable stages of
+    one final action (the measured lazy-persist sibling race)."""
     for df in _KMEANS_CACHES:
         try:
             df.unpersist()
         except Exception:
             pass
     _KMEANS_CACHES.clear()
-
-    e = _t(spark, sf_dir, "embeddings")
-    ex = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
-    ).persist()
     _KMEANS_CACHES.append(ex)
+    ex.count()
 
     seeds = _seed_centroid_ids(e, KMEANS_K)
     cent = ex.join(F.broadcast(seeds), "vec_id").select(
@@ -116,14 +105,46 @@ def kmeans_centroids(spark, sf_dir):
                 ).alias("mx")
             )
         )
-        cent = (
-            cent.join(means, ["cent_id", "i"], "left")
-            .select(
+        # round-state cut: k x dim rows materialized, lineage truncated —
+        # without it the plan doubles per round and DRIVER-side analysis
+        # dominates wall (see plans/iterstate.py + BASELINE.md table)
+        cent = truncate_round(
+            cent.join(means, ["cent_id", "i"], "left").select(
                 "cent_id", "i", F.coalesce("mx", F.col("cx")).alias("cx")
-            )
-            .persist()
+            ),
+            _KMEANS_CACHES,
         )
-        _KMEANS_CACHES.append(cent)
+    return cent, assign
+
+
+def kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, 4 iterations) over the embeddings
+    table, initialized from the fixed IVF seed vectors so the trained
+    centroids are the drop-in replacement for ann_ivf_topk's stand-ins
+    (ann_ivf_topk below consumes exactly this trained relation).
+
+    Scale shape: the exploded vector relation is persisted ONCE and reused
+    by all assignment and mean rounds (at 100 TB: a columnar long-form
+    intermediate, bucketed by vec_id). Each round's assignment join
+    BROADCASTS the centroid relation (k x dim rows — tiny at any corpus
+    scale), so assignment is map-side + one (vec_id, cent_id)-keyed
+    aggregation; the mean update is one (cent_id, dim)-keyed aggregation of
+    corpus-long-form size. Per-round centroid relations are persisted (k x
+    dim rows) so the lineage doesn't branch exponentially through the
+    empty-cluster fallback's double reference. Empty clusters keep their
+    previous centroid (LEFT JOIN + COALESCE) on both engines.
+
+    Exactness: squared-L2 partial sums and per-dim mean numerators go
+    through DECIMAL(28,14) (exact, order-independent → ties and argmins are
+    deterministic), the mean division is an IEEE double op, and means are
+    quantized to the 1e-12 grid. Assignment tie-break: lowest cent_id.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).persist()
+    cent, assign = _train_centroids(e, ex)
     sizes = assign.groupBy("cent_id").agg(F.count("*").alias("n"))
     return cent.join(F.broadcast(sizes), "cent_id", "left").select(
         "cent_id",
@@ -133,14 +154,15 @@ def kmeans_centroids(spark, sf_dir):
     )
 
 
-def _kmeans_sql() -> str:
-    """Unrolled Lloyd iterations as a DuckDB CTE chain (c0 → d1/a1/m1/c1 →
-    … → c4), mirroring the Spark rounds expression for expression."""
+def _kmeans_cte_chain() -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain fragment (ex/seeds →
+    c0 → d1/a1/m1/c1 → … → c4), mirroring the Spark _train_centroids rounds
+    expression for expression. Shared by KMEANS_SQL (trainer output) and
+    ANN_IVF_SQL (the IVF search composed on top of the trained c4)."""
     mean = _qz_sql(
         "CAST(SUM(CAST(e.x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)"
     )
-    sql = f"""
-WITH ex AS (
+    sql = f"""ex AS (
   SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
          UNNEST(generate_series(0, len(embedding) - 1)) AS i
   FROM embeddings
@@ -148,7 +170,7 @@ WITH ex AS (
 seeds AS ({SEED_IDS_SQL_TMPL.format(k=KMEANS_K)}),
 c0 AS (
   SELECT s.cent_id, e.i, e.x AS cx FROM ex e JOIN seeds s USING (vec_id)
-)"""
+)"""  # noqa: the chain fragment opens no WITH — composers prepend it
     for t in range(1, KMEANS_ITERS + 1):
         sql += f""",
 d{t} AS (
@@ -167,15 +189,140 @@ m{t} AS (
 c{t} AS (
   SELECT p.cent_id, p.i, COALESCE(m.mx, p.cx) AS cx
   FROM c{t - 1} p LEFT JOIN m{t} m ON m.cent_id = p.cent_id AND m.i = p.i)"""
-    sql += f""",
+    return sql
+
+
+KMEANS_CTE_CHAIN = _kmeans_cte_chain()
+
+KMEANS_SQL = f"""
+WITH {KMEANS_CTE_CHAIN},
 sizes AS (SELECT cent_id, COUNT(*) AS n FROM a{KMEANS_ITERS} GROUP BY cent_id)
 SELECT c.cent_id, c.i AS dim, c.cx AS centroid,
        CAST(COALESCE(s.n, 0) AS BIGINT) AS cluster_size
 FROM c{KMEANS_ITERS} c LEFT JOIN sizes s USING (cent_id)"""
-    return sql
 
 
-KMEANS_SQL = _kmeans_sql()
+# ------------------------------------------------------- IVF ANN (trained)
+N_IVF_PROBE = 2
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (the scale path ann_topk_cosine is validated against),
+    with the coarse quantizer TRAINED IN-PLAN: the k=8 centroids are the
+    kmeans-refined means from _train_centroids (seed-vector init — r4's
+    version assigned against the raw seed vectors; training the quantizer
+    was the point of kmeans_centroids, so the IVF index now consumes it).
+
+    Search: every DB vector is assigned to its nearest trained centroid by
+    cosine (inverted lists), each query probes only its nprobe=2 nearest
+    lists, exact cosine + top-3 within the candidates. All cosines are
+    DECIMAL-exact partial sums over bit-identical (1e-12-quantized) centroid
+    coordinates → deterministic ranking on both engines.
+
+    Scale shape: training touches the corpus KMEANS_ITERS times through one
+    persisted long-form relation; the assignment join is vectors x
+    centroids with the k x dim centroid side BROADCAST, and the candidate
+    search touches ~nprobe/K of the corpus instead of all of it. The oracle
+    unrolls training + search in one CTE chain (KMEANS_CTE_CHAIN)."""
+    from .textops import _centroid_cosine_ranked
+
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).persist()
+    cent, _ = _train_centroids(e, ex)  # takes ownership of ex's persist
+    norms = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
+    )
+    # cosine(vector, trained centroid) for every vector (queries and DB alike)
+    ranked = _centroid_cosine_ranked(ex, norms, cent)
+    assign = ranked.where(
+        (F.col("crank") == 1) & (F.col("vec_id") >= 5)
+    ).select("vec_id", "cent_id")
+    probes = ranked.where(
+        (F.col("crank") <= N_IVF_PROBE) & (F.col("vec_id") < 5)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+    cands = probes.join(assign, "cent_id").select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    # exact cosine only for (query, candidate) pairs
+    qx = ex.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "i", F.col("x").alias("qx")
+    )
+    nx = ex.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "i", F.col("x").alias("nx")
+    )
+    dots = (
+        cands.join(qx, "query_id")
+        .join(nx, ["neighbor_id", "i"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum((F.col("qx") * F.col("nx")).cast("decimal(28,14)")).alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nsq").alias("nsq_q"))
+    nn = norms.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("nsq").alias("nsq_n")
+    )
+    cos = (
+        dots.join(nq, "query_id")
+        .join(nn, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("nsq_q").cast("double") * F.col("nsq_n").cast("double")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH {KMEANS_CTE_CHAIN},
+norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS nsq FROM ex GROUP BY vec_id),
+cnorms AS (
+  SELECT cent_id, SUM(CAST(cx*cx AS DECIMAL(28,14))) AS cnsq
+  FROM c{KMEANS_ITERS} GROUP BY cent_id
+),
+vc AS (
+  SELECT e.vec_id, c.cent_id,
+         CAST(SUM(CAST(e.x * c.cx AS DECIMAL(28,14))) AS DOUBLE)
+           / SQRT(CAST(n.nsq AS DOUBLE) * CAST(cn.cnsq AS DOUBLE)) AS ccos
+  FROM ex e JOIN c{KMEANS_ITERS} c USING (i)
+  JOIN norms n ON n.vec_id = e.vec_id
+  JOIN cnorms cn ON cn.cent_id = c.cent_id
+  GROUP BY e.vec_id, c.cent_id, n.nsq, cn.cnsq
+),
+cranked AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crank
+  FROM vc
+),
+assign AS (SELECT vec_id, cent_id FROM cranked WHERE crank = 1 AND vec_id >= 5),
+probes AS (SELECT vec_id AS query_id, cent_id FROM cranked WHERE crank <= {N_IVF_PROBE} AND vec_id < 5),
+cands AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p JOIN assign a ON p.cent_id = a.cent_id),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, SUM(CAST(q.x * n.x AS DECIMAL(28,14))) AS dot
+  FROM cands c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+cos AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / SQRT(CAST(nq.nsq AS DOUBLE) * CAST(nn.nsq AS DOUBLE)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cos
+) WHERE rank <= 3
+"""
 
 
 # --------------------------------------------------------- sequence packing
@@ -284,8 +431,11 @@ def semdedup_keep(spark, sf_dir):
         F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
     )
     seeds = _seed_centroid_ids(e, KMEANS_K)
+    cent = ex.join(F.broadcast(seeds), "vec_id").select(
+        "cent_id", "i", F.col("x").alias("cx")
+    )
     assign = (
-        _centroid_cosine_ranked(ex, norms, seeds)
+        _centroid_cosine_ranked(ex, norms, cent)
         .where(F.col("crank") == 1)
         .select("vec_id", "cent_id")
         .persist()
@@ -383,6 +533,7 @@ FROM assign a LEFT JOIN dups d ON d.vb = a.vec_id
 
 MLOPS_QUERIES: dict[str, tuple] = {
     "kmeans_centroids": (kmeans_centroids, KMEANS_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),

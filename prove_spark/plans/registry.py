@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .advanced import ADVANCED_QUERIES
+from .iterstate import truncate_round
 from .disambig import DISAMBIG_QUERIES
 from .mlops import MLOPS_QUERIES
 from .relational import RELATIONAL_QUERIES
@@ -134,6 +135,11 @@ def kg_pagerank(spark, sf_dir):
                 ).alias("pr"),
             )
         )
+        # round-state cut (node-count rows): without it the ranks lineage
+        # doubles per round — 6 rounds print as an 831-exchange static plan
+        # and driver-side analysis grows superlinearly with rounds
+        # (plans/iterstate.py + BASELINE.md measurements)
+        ranks = truncate_round(ranks, _KG_CACHES)
     return ranks.join(outdeg, ranks.entity == outdeg.src, "left").select(
         "entity",
         F.col("pr").alias("pagerank"),
@@ -229,6 +235,7 @@ def _kg_sqls() -> dict[str, str]:
         kg_entity_rollup_sql,
         kg_pagerank_sql,
         kg_top_supported_sql,
+        kg_triangles_sql,
         kg_triples_sql,
     )
 
@@ -238,6 +245,7 @@ def _kg_sqls() -> dict[str, str]:
         "kg_top_supported": kg_top_supported_sql(),
         "kg_pagerank": kg_pagerank_sql(),
         "kg_entities": kg_entities_sql(),
+        "kg_triangles": kg_triangles_sql(),
     }
 
 
@@ -249,17 +257,16 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_top_supported": (kg_top_supported, _SQLS["kg_top_supported"]),
     "kg_pagerank": (kg_pagerank, _SQLS["kg_pagerank"]),
     "kg_entities": (kg_entities, _SQLS["kg_entities"]),
+    # registered r5 (rotating out usage_stats): triangle counting is a
+    # genuinely distinct graph capability (degree-oriented wedge join)
+    # where usage_stats repeated the plain-groupBy shape other CORR rows
+    # already pin
+    "kg_triangles": (kg_triangles, _SQLS["kg_triangles"]),
 }
 
-def _kg_extra_queries() -> dict[str, tuple]:
-    from .kg_oracle import kg_triangles_sql
-
-    return {"kg_triangles": (kg_triangles, kg_triangles_sql())}
-
-
-# KG-family queries held out of the sweep cap (still fully oracled via the
-# pytest unregistered lane, same as the non-KG _UNREGISTERED entries)
-KG_EXTRA_QUERIES: dict[str, tuple] = _kg_extra_queries()
+# KG-family queries held out of the sweep cap (none since r5 promoted
+# kg_triangles; kept for the pytest/plan-audit collection seam)
+KG_EXTRA_QUERIES: dict[str, tuple] = {}
 
 # Intentionally unregistered to stay under the driver's 50-row sweep cap
 # (still importable + unit-tested; exposed via __spark_entry__.unregistered()
@@ -286,6 +293,11 @@ KG_EXTRA_QUERIES: dict[str, tuple] = _kg_extra_queries()
 #     pack_sequences (token-budget sequence packing — the corpus → training
 #     sequences step)
 _UNREGISTERED = {
+    # usage_stats — plain groupBy/agg usage rollup whose shape is pinned by
+    # several other CORR rows (top_sources_by_docs, rollup_order_stats);
+    # rotated out r5 in favor of kg_triangles (degree-oriented triangle
+    # counting — a genuinely new graph capability in the sweep)
+    "usage_stats",
     "salted_pivot_counts",
     "q18_large_orders",
     "q10_returned_items",
@@ -297,10 +309,6 @@ _UNREGISTERED = {
     # corpus-analytics family already holds CORR rows (lang_id / quality /
     # token_counts / fingerprints), so it lives in the pytest oracle lane
     "tfidf_top_terms",
-    # kg_triangles — KG graph family already holds CORR rows (kg_pagerank,
-    # CC via the kg lane rekey); triangle participation joins them through
-    # the pytest oracle lane (KG_EXTRA_QUERIES)
-    "kg_triangles",
     # repetition_flags / decontaminate_overlap — Gopher-style repetition
     # filters and benchmark n-gram decontamination; the quality family
     # already holds CORR rows (quality_scores, lang_id), so these join the

@@ -614,7 +614,6 @@ SELECT vec_a AS query_id, vec_b AS neighbor_id, cosine, rank FROM (
 
 
 N_IVF_CENTROIDS = 8
-N_IVF_PROBE = 2
 
 
 def _seed_centroid_ids(e: DataFrame, k: int) -> DataFrame:
@@ -639,17 +638,18 @@ SEED_IDS_SQL_TMPL = """
 
 
 def _centroid_cosine_ranked(
-    ex: DataFrame, norms: DataFrame, seeds: DataFrame
+    ex: DataFrame, norms: DataFrame, cent: DataFrame
 ) -> DataFrame:
-    """cosine(vector, centroid) for every vector against every seed
-    centroid, ranked per vector (crank=1 ⇒ nearest). Shared by the IVF
-    index (ann_ivf_topk) and the SemDeDup clusterer (mlops.semdedup_keep).
-    The centroid side is k×dim — broadcast at any corpus scale."""
-    cent = ex.join(F.broadcast(seeds), "vec_id").select(
-        "cent_id", "i", F.col("x").alias("cx")
-    )
-    cnorms = norms.join(F.broadcast(seeds), "vec_id").select(
-        "cent_id", F.col("nsq").alias("cnsq")
+    """cosine(vector, centroid) for every vector against every centroid in
+    `cent` — a (cent_id, i, cx) long-form relation (seed vectors or
+    kmeans-trained means alike) — ranked per vector (crank=1 ⇒ nearest).
+    Shared by the IVF index (mlops.ann_ivf_topk, trained centroids) and the
+    SemDeDup clusterer (mlops.semdedup_keep, seed centroids). The centroid
+    side is k×dim — broadcast at any corpus scale; its norms are DECIMAL
+    partial sums (order-independent, so seed-centroid norms equal the
+    corpus-norm rows they duplicate bit for bit)."""
+    cnorms = cent.groupBy("cent_id").agg(
+        F.sum((F.col("cx") * F.col("cx")).cast("decimal(28,14)")).alias("cnsq")
     )
     vc = (
         ex.join(F.broadcast(cent), "i")
@@ -665,128 +665,6 @@ def _centroid_cosine_ranked(
     )
     wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
     return vc.withColumn("crank", F.row_number().over(wv))
-
-
-def ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN (the scale path ann_topk_cosine is validated against):
-    centroids = the 8 seed vectors with the HIGHEST vec_ids, selected by
-    RANK via _seed_centroid_ids (NOT a hardcoded id range — that silently
-    selected (max - 492) "centroids" on any table larger than the one the
-    constant was written for — and NOT an id-range predicate off max(vec_id),
-    which under-selects when the top ids have gaps;
-    mlops.kmeans_centroids is the distributed Lloyd's trainer that refines
-    exactly these seeds — kept out of this query so its oracle stays a flat
-    CTE),
-    every DB vector is assigned to its nearest centroid (inverted
-    lists), each query probes only its nprobe=2 nearest lists, exact cosine
-    + top-3 within the candidates. All cosines decimal-exact → deterministic
-    ranking. At 100 TB the assignment join is vectors x centroids with the
-    centroid side broadcast, and the candidate search touches ~nprobe/K of
-    the corpus instead of all of it."""
-    e = _t(spark, sf_dir, "embeddings")
-    seeds = _seed_centroid_ids(e, N_IVF_CENTROIDS)
-    ex = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
-    )
-    norms = ex.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
-    )
-    # cosine(vector, centroid) for every vector (queries and DB alike)
-    ranked = _centroid_cosine_ranked(ex, norms, seeds)
-    assign = ranked.where(
-        (F.col("crank") == 1) & (F.col("vec_id") >= 5)
-    ).select("vec_id", "cent_id")
-    probes = ranked.where(
-        (F.col("crank") <= N_IVF_PROBE) & (F.col("vec_id") < 5)
-    ).select(F.col("vec_id").alias("query_id"), "cent_id")
-    cands = probes.join(assign, "cent_id").select(
-        "query_id", F.col("vec_id").alias("neighbor_id")
-    )
-    # exact cosine only for (query, candidate) pairs
-    qx = ex.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "i", F.col("x").alias("qx")
-    )
-    nx = ex.where(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("neighbor_id"), "i", F.col("x").alias("nx")
-    )
-    dots = (
-        cands.join(qx, "query_id")
-        .join(nx, ["neighbor_id", "i"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum((F.col("qx") * F.col("nx")).cast("decimal(28,14)")).alias("dot"))
-    )
-    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nsq").alias("nsq_q"))
-    nn = norms.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("nsq").alias("nsq_n")
-    )
-    cos = (
-        dots.join(nq, "query_id")
-        .join(nn, "neighbor_id")
-        .withColumn(
-            "cosine",
-            F.col("dot").cast("double")
-            / F.sqrt(F.col("nsq_q").cast("double") * F.col("nsq_n").cast("double")),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        cos.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
-
-
-ANN_IVF_SQL = f"""
-WITH ex AS (
-  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
-         UNNEST(generate_series(1, len(embedding))) AS i
-  FROM embeddings
-),
-norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS nsq FROM ex GROUP BY vec_id),
-seeds AS ({SEED_IDS_SQL_TMPL.format(k=N_IVF_CENTROIDS)}),
-cent AS (
-  SELECT s.cent_id, e.i, e.x AS cx FROM ex e JOIN seeds s USING (vec_id)
-),
-cnorms AS (
-  SELECT s.cent_id, n.nsq AS cnsq FROM norms n JOIN seeds s USING (vec_id)
-),
-vc AS (
-  SELECT e.vec_id, c.cent_id,
-         CAST(SUM(CAST(e.x * c.cx AS DECIMAL(28,14))) AS DOUBLE)
-           / SQRT(CAST(n.nsq AS DOUBLE) * CAST(cn.cnsq AS DOUBLE)) AS ccos
-  FROM ex e JOIN cent c ON e.i = c.i
-  JOIN norms n ON n.vec_id = e.vec_id
-  JOIN cnorms cn ON cn.cent_id = c.cent_id
-  GROUP BY e.vec_id, c.cent_id, n.nsq, cn.cnsq
-),
-ranked AS (
-  SELECT vec_id, cent_id,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crank
-  FROM vc
-),
-assign AS (SELECT vec_id, cent_id FROM ranked WHERE crank = 1 AND vec_id >= 5),
-probes AS (SELECT vec_id AS query_id, cent_id FROM ranked WHERE crank <= {N_IVF_PROBE} AND vec_id < 5),
-cands AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p JOIN assign a ON p.cent_id = a.cent_id),
-dots AS (
-  SELECT c.query_id, c.neighbor_id, SUM(CAST(q.x * n.x AS DECIMAL(28,14))) AS dot
-  FROM cands c
-  JOIN ex q ON q.vec_id = c.query_id
-  JOIN ex n ON n.vec_id = c.neighbor_id AND n.i = q.i
-  GROUP BY c.query_id, c.neighbor_id
-),
-cos AS (
-  SELECT query_id, neighbor_id,
-         CAST(dot AS DOUBLE) / SQRT(CAST(nq.nsq AS DOUBLE) * CAST(nn.nsq AS DOUBLE)) AS cosine
-  FROM dots
-  JOIN norms nq ON nq.vec_id = query_id
-  JOIN norms nn ON nn.vec_id = neighbor_id
-)
-SELECT query_id, neighbor_id, cosine, rank FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM cos
-) WHERE rank <= 3
-"""
 
 
 # ------------------------------------------------------------ text analysis
@@ -1452,7 +1330,6 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "token_counts": (token_counts, TOKEN_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "multimodal_bytes": (multimodal_bytes, MULTIMODAL_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_SQL),

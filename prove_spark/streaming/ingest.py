@@ -219,11 +219,15 @@ def conversation_progress_tws(stream: DataFrame) -> DataFrame:
     (`getValueState(ttlDurationMs=...)`) gives declarative state expiry
     where the old API needed manual timeout bookkeeping.
 
-    Sandbox note: the TWS runtime speaks protobuf to the state server and
-    this container ships no `google.protobuf`, so the execution test skips
-    in-sandbox (tests/test_streaming.py gates on the import and still
-    builds the streaming plan + output schema) — the same real-code /
-    absent-runtime posture as the Iceberg writer branch."""
+    Runtime note: the TWS Python state client speaks protobuf to the JVM
+    state server and needs a state-store provider with column-family
+    support (RocksDBStateStoreProvider — HDFSBackedStateStore raises
+    STATE_STORE_MULTIPLE_COLUMN_FAMILIES). This container ships no
+    installed `google.protobuf`, but streaming/protobuf_runtime.py locates
+    and validates a pure-Python runtime on the host and the execution test
+    RUNS against it in a fresh subprocess (tests/tws_exec_probe.py),
+    asserting cross-micro-batch state accumulation against batch ground
+    truth."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -298,28 +302,63 @@ def join_turn_tool_streams(
     )
 
 
-def stream_triples_foreach_batch(
-    spark: SparkSession, stream: DataFrame, out_path: str
+def triples_batch_writer(
+    spark: SparkSession,
+    out_path: str | None = None,
+    io=None,
+    table: str = "stream_triples",
 ):
-    """Micro-batch bridge: run the full batch KG pipeline per micro-batch.
+    """The foreachBatch callback for the KG bridge: full batch pipeline per
+    micro-batch, written idempotently keyed on batch_id.
 
     foreachBatch alone is only at-least-once (a crash between the write and
-    the checkpoint commit replays the batch), so the write is made IDEMPOTENT
-    by partitioning on batch_id with dynamic partition overwrite: a replayed
-    batch replaces exactly its own partition instead of appending duplicates.
+    the checkpoint commit replays the batch), so a replayed batch must
+    replace exactly its own batch_id partition instead of appending
+    duplicates. Two sinks, same semantics:
+
+    * ``io`` (a sources.tables.TableIO) — the lakehouse path:
+      ``overwrite_buckets(..., "batch_id")`` = Iceberg
+      ``overwritePartitions()`` on a batch_id-partitioned table (atomic
+      dynamic REPLACE PARTITIONS snapshot commit) or the parquet fallback's
+      dynamic partition overwrite. The Iceberg branch is fake-driven-
+      executed in tests/test_streaming.py (same posture as
+      tests/test_iceberg_branch.py for the batch path).
+    * ``out_path`` — raw parquet dir with dynamic partition overwrite
+      (the e2e replay-idempotency test drives this for real).
     """
     from ..pipeline.run import build_triples
+
+    if (io is None) == (out_path is None):
+        raise ValueError("exactly one of out_path / io must be given")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        triples = build_triples(spark, batch_df, persist_sentences=False)
+        triples = build_triples(
+            spark, batch_df, persist_sentences=False
+        ).withColumn("batch_id", F.lit(batch_id))
+        if io is not None:
+            io.overwrite_buckets(triples, table, "batch_id")
+            return
         (
-            triples.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
+            triples.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(out_path)
         )
 
+    return process
+
+
+def stream_triples_foreach_batch(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_path: str | None = None,
+    io=None,
+    table: str = "stream_triples",
+):
+    """Micro-batch bridge: run the full batch KG pipeline per micro-batch,
+    writing idempotently via triples_batch_writer (see its docstring for
+    the replay semantics of the parquet and Iceberg sinks)."""
+    process = triples_batch_writer(spark, out_path=out_path, io=io, table=table)
     return stream.writeStream.foreachBatch(process).outputMode("append")

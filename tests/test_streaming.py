@@ -435,17 +435,22 @@ def test_stream_stream_join_matches_batch(spark, spark_transcripts, tmp_path):
 
 
 def test_transform_with_state_progress(spark, spark_transcripts, tmp_path):
-    """transformWithStateInPandas: the typed ValueState must accumulate
-    across micro-batches — a conversation split over two source files ends
-    at its full turn count with n_batches = 2, and the LAST update row per
-    conversation matches the batch ground truth.
+    """transformWithStateInPandas EXECUTION: the typed ValueState must
+    accumulate across micro-batches — a conversation split over two source
+    files ends at its full turn count with n_batches = 2, and the LAST
+    update row per conversation matches the batch ground truth.
 
-    Env gate: the TWS runtime speaks protobuf to the state server and this
-    sandbox ships no `google.protobuf` (pip is off-limits) — same
-    real-code/absent-runtime situation as the Iceberg jar, so the test
-    skips rather than fakes. conversation_progress_tws is still import-
-    checked and its plan is built below before the skip."""
-    import importlib.util
+    The TWS Python state client needs `google.protobuf`, which this sandbox
+    doesn't ship as an installed distribution — but a validated pure-Python
+    runtime located on the host (prove_spark/streaming/protobuf_runtime.py)
+    wires it via env vars, which must be set BEFORE the JVM starts so the
+    streaming workers inherit them: the execution therefore runs in a fresh
+    subprocess (tests/tws_exec_probe.py) instead of the shared session.
+    Skips ONLY when no usable protobuf runtime exists anywhere on the host —
+    a provably environmental gate, not a missing-coverage one."""
+    import os
+    import subprocess
+    import sys
 
     from pyspark.sql import functions as F
 
@@ -453,6 +458,7 @@ def test_transform_with_state_progress(spark, spark_transcripts, tmp_path):
         TRANSCRIPT_STRUCT,
         conversation_progress_tws,
     )
+    from prove_spark.streaming.protobuf_runtime import protobuf_runtime_env
 
     src = str(tmp_path / "src")
     # split every conversation across two files: turn parity decides the
@@ -469,54 +475,87 @@ def test_transform_with_state_progress(spark, spark_transcripts, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    progress = conversation_progress_tws(stream)  # plan builds without protobuf
+    # the plan + output contract build in-process regardless of the runtime
+    progress = conversation_progress_tws(stream)
     assert progress.schema["n_turns_total"].dataType.typeName() == "long"
-    try:
-        # probe the real dependency, not the bare 'google' namespace (any
-        # other google-* package would make that probe pass and the query
-        # then crash inside the streaming worker instead of skipping);
-        # find_spec raises rather than returning None when even the parent
-        # namespace is missing
-        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
-        has_protobuf = False
-    if not has_protobuf:
-        pytest.skip("google.protobuf absent in sandbox (TWS runtime needs it)")
-    q = (
-        progress
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName("conv_progress")
-        .option("checkpointLocation", str(tmp_path / "cp"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        rows = spark.sql("SELECT * FROM conv_progress").collect()
-    finally:
-        q.stop()
 
-    # final state per conversation = the row with the highest n_batches
-    final: dict = {}
-    for r in rows:
-        if r.conv_id not in final or r.n_batches > final[r.conv_id].n_batches:
-            final[r.conv_id] = r
-    truth = {
-        r.conv_id: r
-        for r in spark_transcripts.groupBy("conv_id")
-        .agg(
-            F.count("*").alias("n_turns"),
-            F.max("turn_idx").alias("max_idx"),
-            F.countDistinct(F.col("turn_idx") % 2).alias("n_parities"),
+    pb_env = protobuf_runtime_env()
+    if pb_env is None:
+        pytest.skip(
+            "no usable google.protobuf runtime on this host "
+            "(TWS state client needs it; see protobuf_runtime.py)"
         )
-        .collect()
-    }
-    assert set(final) == set(truth)
-    multi_batch = 0
-    for cid, r in final.items():
-        t = truth[cid]
-        assert r.n_turns_total == t.n_turns, cid
-        assert r.max_turn_idx == t.max_idx, cid
-        assert r.n_batches == t.n_parities, cid
-        multi_batch += r.n_batches == 2
-    assert multi_batch > 0  # the cross-batch accumulation actually happened
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = [pb_env.get("PYTHONPATH"), repo, env.get("PYTHONPATH")]
+    env.update(pb_env)
+    env["PYTHONPATH"] = os.pathsep.join(p for p in parts if p)
+    probe = os.path.join(repo, "tests", "tws_exec_probe.py")
+    out = subprocess.run(
+        [sys.executable, probe, src, str(tmp_path / "cp")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "TWS_OK" in out.stdout, out.stdout[-500:]
+
+
+
+def test_stream_foreach_batch_iceberg_sink_branch(
+    spark, spark_transcripts, monkeypatch
+):
+    """Fake-driven EXECUTION of the foreachBatch → Iceberg sink branch
+    (mirror of tests/test_iceberg_branch.py for the streaming path): the
+    batch pipeline runs for REAL on a micro-batch, and the write seam is
+    recorded — first batch creates the batch_id-partitioned table, a
+    REPLAYED batch issues overwritePartitions (Iceberg dynamic REPLACE
+    PARTITIONS — the at-least-once → exactly-once upgrade), and an empty
+    micro-batch writes nothing."""
+    # patch the CONCRETE class — `pyspark.sql.DataFrame` is the abstract
+    # base in Spark 4; classic-session frames override writeTo on the
+    # classic subclass, so a base-class patch never fires
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from prove_spark.sources.tables import TableIO
+    from prove_spark.streaming.ingest import triples_batch_writer
+    from tests.test_iceberg_branch import FakeSpark, FakeWriterV2
+
+    writes: list = []
+    monkeypatch.setattr(
+        DataFrame, "writeTo", lambda self, ident: FakeWriterV2(writes, ident)
+    )
+    catalog_spark = FakeSpark(tables=set())
+    io = TableIO(catalog_spark, "/tmp/wh", use_iceberg=True)
+    process = triples_batch_writer(spark, io=io)
+
+    batch = spark_transcripts.limit(40)
+    process(batch, 3)
+    assert len(writes) == 1
+    ident, chain = writes[0]
+    assert ident == "prove.stream_triples"
+    assert chain[0] == "using(iceberg)" and chain[-1] == "create"
+    assert any("partitionedBy" in c and "batch_id" in c for c in chain)
+
+    # table now exists in the catalog → the replayed batch REPLACES its
+    # own batch_id partition instead of appending duplicates
+    catalog_spark.catalog.tables.add("prove.stream_triples")
+    writes.clear()
+    process(batch, 3)
+    assert writes == [("prove.stream_triples", ["overwritePartitions"])]
+
+    # an empty micro-batch never reaches the sink
+    writes.clear()
+    process(spark_transcripts.limit(0), 4)
+    assert writes == []
+
+
+def test_triples_batch_writer_requires_exactly_one_sink(spark):
+    from prove_spark.streaming.ingest import triples_batch_writer
+
+    with pytest.raises(ValueError):
+        triples_batch_writer(spark)
+    with pytest.raises(ValueError):
+        triples_batch_writer(spark, out_path="/tmp/x", io=object())
