@@ -363,6 +363,14 @@ _UNREGISTERED = {
     # exact HAVING-count output; completes the sketch family (HLL, GK)
     # with a fully SQL-oracled member
     "heavy_hitter_tokens",
+    # dup_span_fraction — sub-document (16-word span) duplication signal
+    # (MassiveText/CCNet paragraph dedup); joins the dedup family whose
+    # document-level members hold the CORR rows
+    "dup_span_fraction",
+    # redact_pii — email/URL/long-number scrubbing (map-only regexp chain);
+    # identity on the PII-free synthetic corpus, behavior pinned on crafted
+    # fixtures in pytest
+    "redact_pii",
 }
 
 # Single source for the sweep-capped queries: name → (spark_fn, sql | None),

@@ -763,6 +763,135 @@ FROM documents
 """
 
 
+CHUNK_WORDS = 16  # non-overlapping span width for duplicate-span detection
+
+
+def dup_span_fraction(spark, sf_dir):
+    """Span-level (sub-document) duplication: split each document into
+    non-overlapping CHUNK_WORDS-word spans, hash every span, count each
+    hash corpus-wide, and report per document how many of its spans occur
+    more than once anywhere in the corpus — the MassiveText/CCNet-style
+    paragraph-dedup signal that document-level dedup (dedup_exact /
+    LSH) misses: boilerplate headers, license blocks and templated
+    passages shared across otherwise-distinct documents.
+
+    Scale shape: spans explode to ~corpus token size once; the hash count
+    is one map-side-combinable groupBy on the span hash; the dup flag
+    rejoins on the same hash key; the per-doc rollup shuffles on doc_id.
+    Nothing is all-pairs and no span list ever sits on the driver.
+    Exactness: md5 hex + integer counts; the final fraction is one IEEE
+    double division of two BIGINTs (bit-identical across engines).
+
+    Spark traps honored: `words` is bound in its OWN projection (a split()
+    inlined into the transform lambda re-evaluates per element — O(words²)
+    per row), and the chunk count is >= 1 by construction (split('') is
+    ['']) so the DESCENDING sequence(0, -1) edge never fires."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    nch = F.expr(f"(size(words) + {CHUNK_WORDS - 1}) DIV {CHUNK_WORDS}")
+    chunks = w.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), (nch - 1).cast("int")),
+            lambda i: F.array_join(
+                F.slice("words", i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+            ),
+        ).alias("chunks"),
+    )
+    spans = chunks.select(
+        "doc_id", F.explode("chunks").alias("chunk")
+    ).select("doc_id", F.md5("chunk").alias("h"))
+    counts = spans.groupBy("h").agg(F.count("*").alias("cnt"))
+    return (
+        spans.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+DUP_SPAN_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+spans AS (
+  SELECT doc_id,
+         MD5(array_to_string(
+           list_slice(words, i*{CHUNK_WORDS}+1, i*{CHUNK_WORDS}+{CHUNK_WORDS}),
+           ' ')) AS h
+  FROM w, UNNEST(generate_series(
+    0, (len(words) + {CHUNK_WORDS - 1}) // {CHUNK_WORDS} - 1)) AS t(i)
+),
+counts AS (SELECT h, COUNT(*) AS cnt FROM spans GROUP BY h)
+SELECT s.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+FROM spans s JOIN counts c USING (h)
+GROUP BY s.doc_id
+"""
+
+
+# PII patterns shared verbatim by both engines: Java regex and DuckDB RE2
+# agree on these constructs (char classes, bounded repetition; no
+# backreferences or lookaround, which RE2 lacks)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^ ]+"
+PII_LONGNUM = r"[0-9]{7,}"
+
+
+def redact_pii(spark, sf_dir):
+    """PII scrubbing — the pre-training hygiene pass that strips emails,
+    URLs and long digit runs (phone/account numbers) before text enters a
+    training mix: per-document match counts plus the redacted text with
+    typed placeholders. Map-only JVM regexp chain (no shuffle, no Python);
+    order matters — emails first (their hosts would otherwise be eaten by
+    the URL rule), then URLs, then long numbers.
+
+    The synthetic corpus is PII-free by construction, so on the sf tables
+    this is an (oracled) identity map; the operator's behavior on real PII
+    is pinned by tests/test_textops fixtures with crafted emails/URLs/
+    numbers through the same plan."""
+    d = _t(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_URL,
+            "<URL>",
+        ),
+        PII_LONGNUM,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_URL)).cast("long").alias("n_urls"),
+        F.regexp_count("text", F.lit(PII_LONGNUM)).cast("long").alias("n_longnums"),
+        red.alias("text_redacted"),
+    )
+
+
+REDACT_SQL = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PII_URL}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '{PII_LONGNUM}')) AS BIGINT) AS n_longnums,
+  regexp_replace(regexp_replace(regexp_replace(
+    text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+    '{PII_URL}', '<URL>', 'g'),
+    '{PII_LONGNUM}', '<NUM>', 'g') AS text_redacted
+FROM documents
+"""
+
+
 def stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling — the data-MIXING primitive of a
     training corpus: per-stratum (source) rates, membership decided by a
@@ -1332,6 +1461,8 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "multimodal_bytes": (multimodal_bytes, MULTIMODAL_SQL),
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "dup_span_fraction": (dup_span_fraction, DUP_SPAN_SQL),
+    "redact_pii": (redact_pii, REDACT_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_SQL),
     "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),

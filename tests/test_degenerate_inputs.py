@@ -157,3 +157,75 @@ def test_stratified_sample_digitless_source_drops_identically(spark, tmp_path):
     con.register("documents", pdf)
     want = sorted(con.execute(STRATIFIED_SAMPLE_SQL).df()["doc_id"].tolist())
     assert got == want
+
+
+def test_redact_pii_on_crafted_pii(spark, tmp_path):
+    """The synthetic corpus is PII-free (the sf-table oracle rows are
+    identity maps), so the redaction behavior itself is pinned here on
+    crafted emails/URLs/long numbers — including the ordering contract
+    (emails before URLs before numbers) and DuckDB parity on the same
+    fixture."""
+    import duckdb
+
+    from prove_spark.plans.compare import compare
+    from prove_spark.plans.textops import REDACT_SQL, redact_pii
+
+    pdf = pd.DataFrame(
+        [
+            [1, "mail bob.smith+x@corp-mail.io now", "en", "s1", 33],
+            [2, "see https://a.io/p?q=1 and http://b.co/x", "en", "s1", 40],
+            [3, "call 5551234567 or 12345678901234", "en", "s2", 33],
+            [4, "mixed a@b.io https://c.de/y 9876543 end", "en", "s2", 40],
+            [5, "clean text no pii at all", "en", "s3", 24],
+        ],
+        columns=DOC_COLS,
+    )
+    d = f"{tmp_path}/pii_sf"
+    spark.createDataFrame(pdf, schema=DOC_SCHEMA).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r.doc_id: r for r in redact_pii(spark, d).collect()}
+    assert got[1].n_emails == 1 and got[1].text_redacted == "mail <EMAIL> now"
+    assert got[2].n_urls == 2 and got[2].text_redacted == "see <URL> and <URL>"
+    assert got[3].n_longnums == 2 and got[3].text_redacted == "call <NUM> or <NUM>"
+    # ordering: the email host survives (not eaten by the URL rule), the
+    # URL's digits survive (not eaten by the number rule)
+    assert got[4].text_redacted == "mixed <EMAIL> <URL> <NUM> end"
+    assert (got[5].n_emails, got[5].n_urls, got[5].n_longnums) == (0, 0, 0)
+    assert got[5].text_redacted == got[5].text_redacted == "clean text no pii at all"
+
+    con = duckdb.connect()
+    # Spark wrote a directory; DuckDB needs the part-file glob
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    assert not compare(
+        redact_pii(spark, d).toPandas(), con.execute(REDACT_SQL).df()
+    )
+
+
+def test_dup_span_fraction_ground_truth(spark, tmp_path):
+    """Hand-computable span dedup: two docs sharing one exact 16-word block
+    (and nothing else) each report exactly that block as duplicated; a
+    short unique doc reports zero."""
+    from prove_spark.plans.textops import dup_span_fraction
+
+    block = " ".join(f"w{i}" for i in range(16))
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_b = " ".join(f"b{i}" for i in range(16))
+    pdf = pd.DataFrame(
+        [
+            [1, f"{block} {uniq_a}", "en", "s1", 0],
+            [2, f"{block} {uniq_b}", "en", "s1", 0],
+            [3, "totally unique tiny doc", "en", "s2", 0],
+        ],
+        columns=DOC_COLS,
+    )
+    d = f"{tmp_path}/span_sf"
+    spark.createDataFrame(pdf, schema=DOC_SCHEMA).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r.doc_id: r for r in dup_span_fraction(spark, d).collect()}
+    assert (got[1].n_spans, got[1].n_dup_spans, got[1].dup_frac) == (2, 1, 0.5)
+    assert (got[2].n_spans, got[2].n_dup_spans, got[2].dup_frac) == (2, 1, 0.5)
+    assert (got[3].n_spans, got[3].n_dup_spans, got[3].dup_frac) == (1, 0, 0.0)
