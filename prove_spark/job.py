@@ -95,11 +95,12 @@ def main(argv: list[str] | None = None) -> int:
         transcripts, corrupt = stage_transcripts_jsonl(spark, args.input, staging)
         # quarantine before the pipeline consumes the feed: malformed lines
         # are preserved for replay, never silently dropped (F11 at ingest).
-        # This reads the pruned lane=corrupt partition, not the raw feed.
+        # The plain-text dir is the replay CONTRACT (grep/replay-able as-is);
+        # the staging lane=corrupt partition it is derived from is internal.
+        # Both the write and the count below are pruned columnar reads of
+        # that partition, never re-reads of the raw feed.
         corrupt.write.mode("overwrite").text(args.warehouse.rstrip("/") + "/quarantine")
-        n_quarantined = spark.read.text(
-            args.warehouse.rstrip("/") + "/quarantine"
-        ).count()
+        n_quarantined = corrupt.count()
     elif args.input:
         transcripts = spark.read.parquet(args.input)
     else:

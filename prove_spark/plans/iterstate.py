@@ -38,7 +38,11 @@ ITER_CHECKPOINT = os.environ.get("SPARK_GRAFT_ITER_CHECKPOINT", "1") == "1"
 def truncate_round(df: DataFrame, cache_registry: list | None = None) -> DataFrame:
     """Materialize one iteration's round state and truncate its lineage
     (flag ON), or persist it lazily into `cache_registry` (flag OFF — the
-    pre-r5 behavior, kept for the measured comparison)."""
+    comparison arm for the BASELINE.md measurements; note it is persist-
+    WITHOUT-truncation, which for kmeans matches the pre-r5 code exactly
+    while pre-r5 kg_pagerank persisted nothing per round — either way the
+    lineage, and hence the driver-analysis blowup being measured, is
+    identical because persist never cuts the logical plan)."""
     if ITER_CHECKPOINT:
         return df.localCheckpoint(eager=True)
     df = df.persist()

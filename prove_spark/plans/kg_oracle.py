@@ -424,7 +424,9 @@ def kg_top_supported_sql() -> str:
 
 
 # measurement knob ONLY (scripts/measure_iter_checkpoint.py); contract is 6
-PAGERANK_ITERS = int(__import__("os").environ.get("SPARK_GRAFT_PAGERANK_ITERS", "6"))
+PAGERANK_ITERS = max(
+    1, int(__import__("os").environ.get("SPARK_GRAFT_PAGERANK_ITERS", "6"))
+)
 PAGERANK_DAMPING = "CAST(0.85 AS DOUBLE)"
 PAGERANK_TELEPORT = "CAST(0.15 AS DOUBLE)"
 

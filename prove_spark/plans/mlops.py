@@ -43,7 +43,9 @@ def _qz_sql(e: str) -> str:
 KMEANS_K = N_IVF_CENTROIDS  # 8 — trains the IVF coarse quantizer
 # measurement knob ONLY (scripts/measure_iter_checkpoint.py sweeps round
 # counts to size the lineage-truncation default); the contract is 4
-KMEANS_ITERS = int(__import__("os").environ.get("SPARK_GRAFT_KMEANS_ITERS", "4"))
+KMEANS_ITERS = max(
+    1, int(__import__("os").environ.get("SPARK_GRAFT_KMEANS_ITERS", "4"))
+)
 # init = the IVF seed vectors: the K HIGHEST vec_ids selected by RANK
 # (textops._seed_centroid_ids — a hardcoded base selects (max - base + 1)
 # "centroids" on a larger table; an id-range predicate off max(vec_id)
@@ -52,6 +54,24 @@ KMEANS_ITERS = int(__import__("os").environ.get("SPARK_GRAFT_KMEANS_ITERS", "4")
 # centroid relations persisted by the previous invocation — released on the
 # next call (same hygiene as textops._DEDUP_CACHES / registry._KG_CACHES)
 _KMEANS_CACHES: list = []
+
+
+def _exploded(e: DataFrame) -> DataFrame:
+    """The long-form (vec_id, i, x) relation every embedding operator in
+    this module builds on — ONE definition so the double cast (and hence
+    cross-engine bit-parity of every downstream DECIMAL sum) cannot
+    silently diverge between call sites."""
+    return e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+
+
+def _nsq(ex: DataFrame) -> DataFrame:
+    """Per-vector squared norms as exact DECIMAL(28,14) partial sums."""
+    return ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
+    )
 
 
 def _train_centroids(e: DataFrame, ex: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -140,10 +160,7 @@ def kmeans_centroids(spark, sf_dir):
     quantized to the 1e-12 grid. Assignment tie-break: lowest cent_id.
     """
     e = _t(spark, sf_dir, "embeddings")
-    ex = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
-    ).persist()
+    ex = _exploded(e).persist()
     cent, assign = _train_centroids(e, ex)
     sizes = assign.groupBy("cent_id").agg(F.count("*").alias("n"))
     return cent.join(F.broadcast(sizes), "cent_id", "left").select(
@@ -227,14 +244,9 @@ def ann_ivf_topk(spark, sf_dir):
     from .textops import _centroid_cosine_ranked
 
     e = _t(spark, sf_dir, "embeddings")
-    ex = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
-    ).persist()
+    ex = _exploded(e).persist()
     cent, _ = _train_centroids(e, ex)  # takes ownership of ex's persist
-    norms = ex.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
-    )
+    norms = _nsq(ex)
     # cosine(vector, trained centroid) for every vector (queries and DB alike)
     ranked = _centroid_cosine_ranked(ex, norms, cent)
     assign = ranked.where(
@@ -422,14 +434,9 @@ def semdedup_keep(spark, sf_dir):
     from .textops import _centroid_cosine_ranked, _seed_centroid_ids
 
     e = _t(spark, sf_dir, "embeddings")
-    ex = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
-    ).persist()
+    ex = _exploded(e).persist()
     _SEMDEDUP_CACHES.append(ex)
-    norms = ex.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("nsq")
-    )
+    norms = _nsq(ex)
     seeds = _seed_centroid_ids(e, KMEANS_K)
     cent = ex.join(F.broadcast(seeds), "vec_id").select(
         "cent_id", "i", F.col("x").alias("cx")

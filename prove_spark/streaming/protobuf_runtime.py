@@ -81,7 +81,16 @@ def protobuf_runtime_env() -> dict[str, str] | None:
     when a bundled pure-Python runtime is found and validated, else None.
     """
     if _importable_here():
-        return {}
+        # validate the INSTALLED runtime too — the version-skew hazard this
+        # module documents applies to it just the same (an installed 5.x
+        # would import fine here and then crash on pyspark's 6.33 gencode
+        # check inside the probe subprocess). If it fails as-is, retry with
+        # the official skew escape before falling through to bundled copies.
+        if _validates({}):
+            return {}
+        skew_escape = {"TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK": "true"}
+        if _validates(skew_escape):
+            return skew_escape
     for d in _BUNDLED_RUNTIME_DIRS:
         if not os.path.isfile(os.path.join(d, "google", "protobuf", "__init__.py")):
             continue
