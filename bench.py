@@ -88,13 +88,48 @@ N_TIMED_SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_SIDE_RUNS", "2"))
 #     exceeds SENTINEL_TOL x baseline (default 1.25 — measured quiet-box
 #     probe spread is ~11% over the floor, drift episodes 1.3-2x).
 #   * At most floor(n_pairs / 3) tagged pairs are excluded (7 pairs -> 2).
-#     If MORE pairs are tagged, NO pair is excluded and the output carries
-#     "ambient_overload": true — a mostly-contaminated run must not be
-#     cherry-picked down to its luckiest pairs.
+#     If MORE pairs are tagged than the cap, the cap WORST pairs by
+#     sentinel severity (max of the pair's readings — an ambient-load
+#     number, never the pair's own efficiency, so the selection stays
+#     outcome-blind) are excluded and the output carries
+#     "ambient_overload": true. The rule is monotone: heavier contamination
+#     can never cause FEWER exclusions (the r5 rehearsal run showed the
+#     earlier keep-everything-on-overflow cliff failing exactly when the
+#     sentinel had correctly identified the contaminated pairs — 3 tags vs
+#     cap 2 kept a 0.706 ambient-hit pair in the median).
 #   * "efficiency" (the gate statistic) = lower-median over the KEPT pairs;
-#     the raw all-pairs median is reported alongside as "efficiency_raw".
+#     the raw all-pairs median is reported alongside as "efficiency_raw",
+#     and the full sentinel trail ships in the artifact.
 # ---------------------------------------------------------------------------
 SENTINEL_TOL = float(os.environ.get("SPARK_GRAFT_SENTINEL_TOL", "1.25"))
+
+
+def sentinel_rule(
+    sentinels: list,
+    pair_sentinels: list,
+    n_pairs: int,
+) -> tuple:
+    """Mechanics of the pre-registered exclusion rule (doc block above):
+    returns (baseline, tagged, excluded, ambient_overload). Tagging compares
+    each pair's before/mid/after probe walls to TOL x the run floor;
+    exclusion takes up to floor(n/3) tagged pairs by DESCENDING severity
+    (max probe wall — outcome-blind, never the pair's efficiency; ties break
+    on pair index for determinism). Monotone in contamination: more tagged
+    pairs can never mean fewer exclusions."""
+    valid_walls = [s for s in sentinels if s is not None]
+    sent_base = min(valid_walls) if valid_walls else None
+    tagged: list[int] = []
+    severity: dict[int, float] = {}
+    if sent_base is not None:
+        for i, readings in enumerate(pair_sentinels):
+            rs = [r for r in readings if r is not None]
+            if rs and max(rs) > SENTINEL_TOL * sent_base:
+                tagged.append(i)
+                severity[i] = max(rs)
+    max_excl = n_pairs // 3
+    ambient_overload = len(tagged) > max_excl
+    excluded = sorted(sorted(tagged, key=lambda i: (-severity[i], i))[:max_excl])
+    return sent_base, tagged, excluded, ambient_overload
 
 
 def sentinel_measure() -> float:
@@ -548,21 +583,11 @@ def main() -> None:
     }
     if pairs:
         # Apply the PRE-REGISTERED sentinel exclusion rule (see SENTINEL_TOL
-        # block at the top of this file): a pair whose before/mid/after
-        # ambient probe exceeded TOL x the run's uncontended floor is
-        # excluded, capped at floor(n/3) exclusions; more tags than the cap
-        # means the whole run was contaminated — keep every pair and flag it.
-        valid_walls = [s for s in sentinels if s is not None]
-        sent_base = min(valid_walls) if valid_walls else None
-        tagged = []
-        if sent_base is not None:
-            for i, readings in enumerate(pair_sentinels):
-                rs = [r for r in readings if r is not None]
-                if rs and max(rs) > SENTINEL_TOL * sent_base:
-                    tagged.append(i)
-        max_excl = len(pairs) // 3
-        ambient_overload = len(tagged) > max_excl
-        excluded = [] if ambient_overload else tagged
+        # block at the top of this file; mechanics in sentinel_rule(), which
+        # tests/test_bench_rule.py pins on the r5 rehearsal readings).
+        sent_base, tagged, excluded, ambient_overload = sentinel_rule(
+            sentinels, pair_sentinels, len(pairs)
+        )
         kept = [p for i, p in enumerate(pairs) if i not in excluded]
 
         def _eff(p):

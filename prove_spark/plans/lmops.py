@@ -1,0 +1,247 @@
+"""Representation and language-model-flavored corpus operators, each with
+a DuckDB oracle: sparse random-projection embedding compression (the
+Johnson-Lindenstrauss step that shrinks vectors before ANN / clustering)
+and corpus-trained bigram language-model scoring (the CCNet-style
+"perplexity bucket" quality signal, kept rational so it is cross-engine
+exact).
+
+Reference anchor: the reference scores evidence sentences with learned
+models over text (ProVe `Wikidata_claims_refuting_evidence.ipynb`-era
+sentence selection, `utils/textual_entailment_module.py`); these are the
+corpus-STATISTICS twins of that idea — no checkpoint, every number derived
+from the input relation itself, so they stay deterministic and oracled.
+
+Exactness rules (same discipline as plans/textops.py):
+- per-element probabilities / contributions are ONE IEEE double op of
+  exact integers or raw input doubles (bit-identical across engines);
+- every reduction over those doubles goes through DECIMAL(28,14) partial
+  sums (exact, associative, layout-independent);
+- the only engine hash used in compared columns is the portable md5 form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -------------------------------------------- sparse JL random projection
+# Achlioptas-sparse projection matrix entries s(i, j) in {+1, 0, -1} with
+# probabilities {1/6, 1/6, 2/3}, derived from the repo's portable 60-bit
+# md5 hash of "jl|i|j" — the same cross-engine idiom minhash uses. A cheap
+# LINEAR integer mix (a·i + b·j) mod 6 is NOT acceptable here: it is
+# periodic in j with period 6/gcd(b,6), which silently duplicates output
+# dimensions (measured: b = 40503 ≡ 3 mod 6 made j∈{0,2,4,6} bit-identical
+# copies — a rank-2 "projection"). The hash makes matrix entries pairwise
+# independent. Consumers rescale by sqrt(3 / D_PROJ) when they need
+# expected-norm preservation; the raw integer-signed sum is kept here so
+# the output stays DECIMAL-exact.
+D_PROJ = 8
+_JL_SALT = "jl|"
+
+
+def _proj_sign_hash(i: F.Column, j: F.Column) -> F.Column:
+    from .textops import _portable_hash
+
+    h = _portable_hash(
+        F.concat(
+            F.lit(_JL_SALT),
+            i.cast("string"),
+            F.lit("|"),
+            j.cast("string"),
+        )
+    )
+    m = F.pmod(h, F.lit(6))
+    return F.when(m == 0, F.lit(1)).when(m == 1, F.lit(-1)).otherwise(F.lit(0))
+
+
+def jl_project_embeddings(spark, sf_dir):
+    """Compress every embedding to D_PROJ dimensions with a sparse ±1
+    Johnson-Lindenstrauss projection, emitted long-form as
+    (vec_id, j, y) — the shape the ANN / k-means operators in plans/mlops
+    already consume, so the compressed table composes with them directly.
+
+    Scale shape: the sign matrix is a d_in × D_PROJ relation (KBs at any
+    embedding width) derived from a 1-row max-width aggregate and
+    broadcast; the exploded elements equi-join it on the input dim (a
+    broadcast hash join — no shuffle on the big side), keeping only the
+    ~1/3 non-zero entries, then ONE map-side-combinable groupBy on
+    (vec_id, j) reduces the contributions. Nothing all-pairs; the shuffle
+    carries at most N·d/3 rows of three scalar columns regardless of
+    cluster size. Any engine rebuilds the matrix bit-identically from the
+    hash — there is no stored/random state.
+    Exactness: x is a raw input double, the sign is an exact small
+    integer, and x·s is cast to DECIMAL(28,14) before summing, so y is
+    bit-identical across engines and partition layouts."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.agg(F.max(F.size("embedding")).alias("d"))  # 1 row
+    mat = (
+        dims.select(F.explode(F.sequence(F.lit(0), F.col("d") - 1)).alias("i"))
+        .select(
+            "i",
+            F.explode(F.sequence(F.lit(0), F.lit(D_PROJ - 1))).alias("j"),
+        )
+        .select(
+            "i",
+            F.col("j").cast("int").alias("j"),
+            _proj_sign_hash(F.col("i"), F.col("j")).alias("s"),
+        )
+        .where(F.col("s") != 0)
+    )
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    return (
+        ex.join(F.broadcast(mat), "i")
+        .select(
+            "vec_id",
+            "j",
+            (F.col("x") * F.col("s")).cast("decimal(28,14)").alias("c"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.sum("c").alias("cdec"))
+        .select("vec_id", "j", F.col("cdec").cast("double").alias("y"))
+    )
+
+
+def _jl_hash_sql(i_expr: str, j_expr: str) -> str:
+    from .textops import PORTABLE_HASH_SQL
+
+    return PORTABLE_HASH_SQL.format(
+        x=f"CONCAT('{_JL_SALT}', {i_expr}, '|', {j_expr})"
+    )
+
+
+JL_PROJECT_SQL = f"""
+WITH dims AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+mat AS (
+  SELECT i, CAST(j AS INT) AS j,
+         CASE {_jl_hash_sql('i', 'j')} % 6
+           WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS s
+  FROM dims,
+       UNNEST(generate_series(0, d - 1)) AS ti(i),
+       UNNEST(generate_series(0, {D_PROJ - 1})) AS tj(j)
+),
+ex AS (
+  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+         UNNEST(generate_series(0, len(embedding) - 1)) AS i
+  FROM embeddings
+)
+SELECT vec_id, j,
+       CAST(SUM(CAST(x * s AS DECIMAL(28,14))) AS DOUBLE) AS y
+FROM ex JOIN mat USING (i)
+WHERE s <> 0
+GROUP BY vec_id, j
+"""
+
+
+# ----------------------------------------- corpus-trained bigram LM score
+def bigram_lm_score(spark, sf_dir):
+    """Score every document by the mean add-one-smoothed bigram transition
+    probability of its word sequence under a language model trained on the
+    corpus itself — the CCNet-style quality signal that separates fluent
+    text (common transitions) from gibberish / boilerplate (rare ones)
+    without any external checkpoint. The rational form (mean probability,
+    not mean log-probability) is deliberate: ln() is not bit-identical
+    across libm implementations, while (cb+1)/(ctx+V) is ONE IEEE division
+    of two exact BIGINTs.
+
+    Model: P(b | a) = (count(a,b) + 1) / (count(a as context) + V), where
+    the context count is the number of bigrams starting with `a` and V is
+    the corpus vocabulary size.
+
+    Scale shape: bigram extraction is map-only (indexed transform over the
+    split array — the array is bound in its own projection, the O(words²)
+    re-split trap from dup_span_fraction applies here too); the model is
+    two map-side-combinable groupBys on bigram / context keys; V is a
+    1-row broadcast; scoring re-joins the document bigrams to the model on
+    those same keys and rolls up on doc_id. Nothing is all-pairs and the
+    model relations scale with vocabulary, not corpus size. Documents with
+    fewer than two words have no transitions and are excluded (identical
+    semantics in the oracle via the same inner join shape).
+    Exactness: per-bigram p is one double division; the per-doc mean sums
+    DECIMAL(28,14) partials before a final division by the exact count."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("ws"))
+    # size >= 2 guard: Spark's sequence(1, 0) is a DESCENDING [1, 0] (the
+    # dup_span_fraction edge), while DuckDB's generate_series(1, 0) is
+    # empty — filter single-word docs out explicitly so both engines skip
+    # them the same way (vocab below still sees their words).
+    big = w.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " k -> struct(ws[k - 1] AS a, ws[k] AS b))"
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.a").alias("a"), F.col("t.b").alias("b"))
+    cb = big.groupBy("a", "b").agg(F.count("*").alias("cb"))
+    ctx = big.groupBy("a").agg(F.count("*").alias("ctx"))
+    vocab = (
+        w.select(F.explode("ws").alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    p = (
+        big.join(cb, ["a", "b"])
+        .join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))  # 1-row vocabulary-size relation
+        .select(
+            "doc_id",
+            (
+                (F.col("cb") + 1).cast("double")
+                / (F.col("ctx") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    return (
+        p.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.col("p").cast("decimal(28,14)")).alias("psum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("psum").cast("double") / F.col("n_bigrams")).alias("lm_score"),
+        )
+    )
+
+
+BIGRAM_LM_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+big AS (
+  SELECT doc_id, ws[k] AS a, ws[k + 1] AS b
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(k)
+),
+cb AS (SELECT a, b, COUNT(*) AS cb FROM big GROUP BY a, b),
+ctx AS (SELECT a, COUNT(*) AS ctx FROM big GROUP BY a),
+vocab AS (
+  SELECT COUNT(DISTINCT word) AS v
+  FROM (SELECT UNNEST(ws) AS word FROM w)
+),
+p AS (
+  SELECT g.doc_id,
+         CAST(cb.cb + 1 AS DOUBLE) / CAST(ctx.ctx + vocab.v AS DOUBLE) AS p
+  FROM big g
+  JOIN cb USING (a, b)
+  JOIN ctx USING (a)
+  CROSS JOIN vocab
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(p AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS lm_score
+FROM p
+GROUP BY doc_id
+"""
+
+
+LMOPS_QUERIES: dict[str, tuple] = {
+    # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
+    "jl_project_embeddings": (jl_project_embeddings, JL_PROJECT_SQL),
+    "bigram_lm_score": (bigram_lm_score, BIGRAM_LM_SQL),
+}

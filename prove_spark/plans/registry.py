@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 from .advanced import ADVANCED_QUERIES
 from .iterstate import truncate_round
 from .disambig import DISAMBIG_QUERIES
+from .lmops import LMOPS_QUERIES
 from .mlops import MLOPS_QUERIES
 from .relational import RELATIONAL_QUERIES
+from .shardops import SHARDOPS_QUERIES
 from .textops import TEXTOPS_QUERIES
 
 
@@ -371,6 +373,18 @@ _UNREGISTERED = {
     # identity on the PII-free synthetic corpus, behavior pinned on crafted
     # fixtures in pytest
     "redact_pii",
+    # jl_project_embeddings / bigram_lm_score — representation compression
+    # (sparse JL projection) and corpus-trained LM quality scoring; the
+    # embedding and quality families already hold CORR rows
+    # (kmeans_centroids, ann_ivf_topk, quality_scores)
+    "jl_project_embeddings",
+    "bigram_lm_score",
+    # epoch_shuffle / shard_manifest — deterministic training-order export
+    # + per-shard audit manifest; the window/agg shapes are CORR-pinned
+    # elsewhere (topk_per_group, rollup_order_stats), the export semantics
+    # pinned in tests/test_shardops.py
+    "epoch_shuffle",
+    "shard_manifest",
 }
 
 # Single source for the sweep-capped queries: name → (spark_fn, sql | None),
@@ -385,6 +399,8 @@ UNREGISTERED_QUERIES: dict[str, tuple] = {
         TEXTOPS_QUERIES,
         ADVANCED_QUERIES,
         MLOPS_QUERIES,
+        LMOPS_QUERIES,
+        SHARDOPS_QUERIES,
         DISAMBIG_QUERIES,
         KG_EXTRA_QUERIES,
     )

@@ -49,6 +49,8 @@ ALLOWED: dict[str, tuple[str, int]] = {
     "heavy_hitter_tokens": ("BroadcastNestedLoopJoin", 1),  # 1-row total
     # 1-row weight-sum + feasible-total broadcasts in counts/quota
     "mixture_resample": ("BroadcastNestedLoopJoin", 3),
+    # 1-row vocabulary-size broadcast in the smoothing denominator
+    "bigram_lm_score": ("BroadcastNestedLoopJoin", 1),
 }
 
 

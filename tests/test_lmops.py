@@ -1,0 +1,175 @@
+"""Semantic pins for plans/lmops.py beyond the generic oracle lane
+(tests/test_entry_queries.py covers the DuckDB compare at sf0.001): the JL
+projection is checked against an independent numpy evaluation of the same
+deterministic sign matrix, and the bigram LM score against a hand-computed
+fixture — both on crafted tables, since the sf corpora only exercise the
+aggregate shape, not the arithmetic."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from prove_spark.plans.lmops import (
+    _JL_SALT,
+    BIGRAM_LM_SQL,
+    D_PROJ,
+    JL_PROJECT_SQL,
+    bigram_lm_score,
+    jl_project_embeddings,
+)
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@pytest.fixture(scope="module")
+def lm_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lm_sf")
+    docs = pd.DataFrame(
+        [
+            [1, "a b a b", "en", "src1", 7],
+            [2, "a b", "en", "src1", 3],
+            [3, "x", "en", "src2", 1],  # single word: no transitions
+            [4, "a c", "en", "src2", 3],
+        ],
+        columns=DOC_COLS,
+    )
+    spark.createDataFrame(docs).write.parquet(f"{d}/documents.parquet")
+    rng = np.random.default_rng(42)
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(5, dtype=np.int64),
+            "embedding": [rng.normal(size=12).astype(np.float32) for _ in range(5)],
+            "label": np.arange(5, dtype=np.int32) % 2,
+        }
+    )
+    spark.createDataFrame(emb).write.parquet(f"{d}/embeddings.parquet")
+    return str(d), emb
+
+
+def _np_sign_matrix(d_in: int) -> np.ndarray:
+    # independent evaluation of the portable-hash sign rule:
+    # CONV(SUBSTR(MD5('jl|i|j'), 1, 15), 16, 10) % 6 -> {+1, -1, 0}
+    import hashlib
+
+    s = np.zeros((d_in, D_PROJ), dtype=np.int64)
+    for i in range(d_in):
+        for j in range(D_PROJ):
+            h = int(
+                hashlib.md5(f"{_JL_SALT}{i}|{j}".encode()).hexdigest()[:15], 16
+            )
+            m = h % 6
+            s[i, j] = 1 if m == 0 else (-1 if m == 1 else 0)
+    return s
+
+
+def test_sign_matrix_is_sparse_balanced_and_nondegenerate():
+    # the {+1,0,-1} ~ {1/6,1/6,2/3} Achlioptas mix should roughly hold on a
+    # realistic input width; a degenerate all-zero column would silently
+    # produce y = 0 for that output dim
+    s = _np_sign_matrix(384)
+    nz = np.count_nonzero(s, axis=0)
+    assert (nz > 0).all(), "every output dim must receive some inputs"
+    frac_nz = np.count_nonzero(s) / s.size
+    assert 0.2 < frac_nz < 0.5  # expected 1/3
+    # regression pin for the linear-mix defect this hash replaced: a
+    # (a*i + b*j) % 6 rule is periodic in j, so distinct output dims were
+    # bit-identical copies (rank-2 "projection"); every column pair must
+    # now differ
+    for a in range(D_PROJ):
+        for b in range(a + 1, D_PROJ):
+            assert (s[:, a] != s[:, b]).any(), f"columns {a},{b} identical"
+
+
+def test_jl_projection_matches_numpy(spark, lm_dir):
+    d, emb = lm_dir
+    got = (
+        jl_project_embeddings(spark, d)
+        .toPandas()
+        .sort_values(["vec_id", "j"])
+        .reset_index(drop=True)
+    )
+    s = _np_sign_matrix(12)
+    for _, row in got.iterrows():
+        x = emb.loc[emb.vec_id == row.vec_id, "embedding"].iloc[0].astype(np.float64)
+        # same reduction discipline: exact sum of the double products
+        # (DECIMAL partials in-engine; math.fsum-free because the products
+        # are summed exactly there — numpy's pairwise sum over <=12 terms
+        # matches to quantization, so pin at the 1e-12 grid)
+        expect = float(np.sum(x * s[:, int(row.j)]))
+        assert abs(row.y - expect) < 1e-9
+    # only dims with at least one non-zero sign appear
+    assert set(got.j.unique()) == {
+        j for j in range(D_PROJ) if np.count_nonzero(s[:, j]) > 0
+    }
+
+
+def test_jl_projection_duckdb_oracle_on_fixture(spark, lm_dir):
+    d, _ = lm_dir
+    got = (
+        jl_project_embeddings(spark, d)
+        .toPandas()
+        .sort_values(["vec_id", "j"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(JL_PROJECT_SQL)
+        .df()
+        .sort_values(["vec_id", "j"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.vec_id.values == want.vec_id.values).all()
+    assert (got.j.values == want.j.values).all()
+    assert (got.y.values == want.y.values).all()  # bit-identical
+
+
+def test_bigram_lm_score_hand_computed(spark, lm_dir):
+    d, _ = lm_dir
+    got = {
+        r.doc_id: r
+        for r in bigram_lm_score(spark, d).collect()
+    }
+    # corpus bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,b), doc4 (a,c)
+    # cb: (a,b)=3 (b,a)=1 (a,c)=1; ctx: a=4, b=1; V = |{a,b,x,c}| = 4
+    # p(a,b) = 4/8 = .5; p(b,a) = 2/5 = .4; p(a,c) = 2/8 = .25
+    assert set(got) == {1, 2, 4}  # doc 3 has no transitions
+    assert got[1].n_bigrams == 3
+    assert abs(got[1].lm_score - (0.5 + 0.4 + 0.5) / 3) < 1e-12
+    assert got[2].n_bigrams == 1
+    assert abs(got[2].lm_score - 0.5) < 1e-12
+    assert abs(got[4].lm_score - 0.25) < 1e-12
+
+
+def test_bigram_lm_duckdb_oracle_on_fixture(spark, lm_dir):
+    d, _ = lm_dir
+    got = (
+        bigram_lm_score(spark, d)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(BIGRAM_LM_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    assert (got.doc_id.values == want.doc_id.values).all()
+    assert (got.n_bigrams.values == want.n_bigrams.values).all()
+    assert (got.lm_score.values == want.lm_score.values).all()  # bit-identical
+
+
+def test_lm_score_survives_empty_and_singleton(spark, tmp_path):
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame([], schema=schema).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    assert bigram_lm_score(spark, str(tmp_path)).count() == 0
