@@ -158,9 +158,10 @@ def bigram_lm_score(spark, sf_dir):
     Scale shape: bigram extraction is map-only (indexed transform over the
     split array — the array is bound in its own projection, the O(words²)
     re-split trap from dup_span_fraction applies here too); the model is
-    two map-side-combinable groupBys on bigram / context keys; V is a
-    1-row broadcast; scoring re-joins the document bigrams to the model on
-    those same keys and rolls up on doc_id. Nothing is all-pairs and the
+    ONE corpus-scale groupBy on the bigram key, from which the context
+    counts roll up vocabulary-scale (ctx(a) = Σ_b cb(a,b) — never a second
+    corpus pass); V is a 1-row broadcast; scoring re-joins the document
+    bigrams to the model on those same keys and rolls up on doc_id. Nothing is all-pairs and the
     model relations scale with vocabulary, not corpus size. Documents with
     fewer than two words have no transitions and are excluded (identical
     semantics in the oracle via the same inner join shape).
@@ -182,7 +183,10 @@ def bigram_lm_score(spark, sf_dir):
         ).alias("t"),
     ).select("doc_id", F.col("t.a").alias("a"), F.col("t.b").alias("b"))
     cb = big.groupBy("a", "b").agg(F.count("*").alias("cb"))
-    ctx = big.groupBy("a").agg(F.count("*").alias("ctx"))
+    # ctx(a) = Σ_b cb(a,b): roll up the vocabulary-scale bigram counts
+    # instead of re-aggregating the corpus-scale `big` relation (which
+    # would re-run split + explode over every document a second time)
+    ctx = cb.groupBy("a").agg(F.sum("cb").alias("ctx"))
     vocab = (
         w.select(F.explode("ws").alias("word"))
         .agg(F.countDistinct("word").alias("v"))
@@ -220,7 +224,7 @@ big AS (
   FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(k)
 ),
 cb AS (SELECT a, b, COUNT(*) AS cb FROM big GROUP BY a, b),
-ctx AS (SELECT a, COUNT(*) AS ctx FROM big GROUP BY a),
+ctx AS (SELECT a, CAST(SUM(cb) AS BIGINT) AS ctx FROM cb GROUP BY a),
 vocab AS (
   SELECT COUNT(DISTINCT word) AS v
   FROM (SELECT UNNEST(ws) AS word FROM w)

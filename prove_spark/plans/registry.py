@@ -423,3 +423,25 @@ ALL_QUERIES: dict[str, tuple] = {
     },
 }
 assert len(ALL_QUERIES) <= 50, "driver sweep records at most 50 rows"
+
+# Reverse-direction completeness check: every name in every family dict must
+# land in SOME gate — the registered sweep (ALL_QUERIES) or the pytest
+# oracle lane (UNREGISTERED_QUERIES). Without this, a query added to a
+# family dict but forgotten in _UNREGISTERED would silently lose every gate
+# (LMOPS/SHARDOPS/KG_EXTRA are merged only into the unregistered side, so
+# the <=50 assert alone cannot notice).
+_GATELESS = {
+    n
+    for d in (
+        RELATIONAL_QUERIES,
+        TEXTOPS_QUERIES,
+        ADVANCED_QUERIES,
+        MLOPS_QUERIES,
+        LMOPS_QUERIES,
+        SHARDOPS_QUERIES,
+        DISAMBIG_QUERIES,
+        KG_EXTRA_QUERIES,
+    )
+    for n in d
+} - set(ALL_QUERIES) - set(UNREGISTERED_QUERIES)
+assert not _GATELESS, f"queries in no gate (register or add to _UNREGISTERED): {_GATELESS}"

@@ -117,6 +117,6 @@ def test_checksum_detects_single_doc_change(spark, tmp_path):
     b = shard_manifest(spark, f"{tmp_path}/b").toPandas().set_index("shard")
     # doc 7's shard is keyed on doc_id (unchanged) so counts agree everywhere,
     # but exactly that shard's checksum must move
-    assert a.n_docs.equals(b.n_docs)
-    diff = a.xor_checksum.ne(b.xor_checksum)
+    assert a.n_docs.sort_index().equals(b.n_docs.sort_index())
+    diff = a.xor_checksum.sort_index().ne(b.xor_checksum.sort_index())
     assert diff.sum() == 1
