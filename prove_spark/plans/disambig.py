@@ -124,6 +124,71 @@ FROM resolved r JOIN n_cands c USING (alias) LEFT JOIN mentions m USING (alias)
 """
 
 
+def alias_mentions_anchored(spark, sf_dir):
+    """Word-boundary alias mention counting WITHOUT the dictionary
+    crossJoin — the scale path the crossJoin version's SCALE NOTE promises.
+    Contract: an alias matches a document iff it appears as a contiguous
+    whitespace-delimited token phrase (padded-contains on ' text ' /
+    ' alias ' — full word boundary on both ends), the standard
+    entity-mention semantic; the substring contract stays with
+    [alias_resolve_popularity].
+
+    Scale shape: per document, map-only work — tokenize, hash-set intersect
+    the distinct tokens with the broadcast ANCHOR set (each alias's first
+    word), explode only the matching anchors (usually zero), broadcast-join
+    anchor → candidate aliases, and verify the full phrase with the text
+    still in hand. No crossJoin, no corpus shuffle, no per-alias pass: the
+    ONLY exchange is the final alias-keyed count. The anchor filter is a
+    strict superset of true matches (a word-boundary phrase match implies
+    its first word is a complete token — pinned in tests), so verification
+    never misses. At 10^6 surface forms the literal anchor array becomes an
+    equi-join of exploded tokens against the anchor dim (same candidate
+    set, anchor side still broadcast); the per-doc verify is unchanged."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    anchors = sorted({a.split(" ")[0] for a, _ in ALIASES})
+    alias_dim = (
+        _aliases_df(spark)
+        .select("alias")
+        .distinct()
+        .withColumn("anchor", F.split("alias", " ").getItem(0))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.array_intersect(
+                    F.array_distinct(F.split("text", " ")),
+                    F.array(*[F.lit(a) for a in anchors]),
+                )
+            ).alias("anchor"),
+        )
+        .join(F.broadcast(alias_dim), "anchor")
+        .where(
+            F.contains(
+                F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("alias"), F.lit(" ")),
+            )
+        )
+        .groupBy("alias")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+ALIAS_ANCHORED_SQL = f"""
+WITH aliases(alias, qid) AS (
+  SELECT * FROM (VALUES {", ".join(f"('{a}', '{q}')" for a, q in ALIASES)})
+),
+al AS (SELECT DISTINCT alias FROM aliases)
+SELECT al.alias, COUNT(DISTINCT d.doc_id) AS n_docs
+FROM documents d
+JOIN al ON position(' ' || al.alias || ' ' IN ' ' || d.text || ' ') > 0
+GROUP BY al.alias
+"""
+
+
 DISAMBIG_QUERIES: dict[str, tuple] = {
     "alias_resolve_popularity": (alias_resolve_popularity, ALIAS_RESOLVE_SQL),
+    # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
+    "alias_mentions_anchored": (alias_mentions_anchored, ALIAS_ANCHORED_SQL),
 }

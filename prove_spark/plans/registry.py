@@ -385,6 +385,14 @@ _UNREGISTERED = {
     # pinned in tests/test_shardops.py
     "epoch_shuffle",
     "shard_manifest",
+    # alias_mentions_anchored — the anchored (no-crossJoin) scale path for
+    # dictionary mention matching; alias_resolve_popularity keeps the
+    # family's CORR row and the substring contract. The synthetic corpus
+    # contains no alias surface forms (both contracts count 0 there — true
+    # of the substring CORR row as well), so the word-boundary semantics,
+    # superset property, and plan shape are pinned on crafted fixtures in
+    # tests/test_alias_anchored.py
+    "alias_mentions_anchored",
 }
 
 # Single source for the sweep-capped queries: name → (spark_fn, sql | None),
