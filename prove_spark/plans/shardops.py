@@ -34,6 +34,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _assigned(d: DataFrame, *carry: str) -> DataFrame:
+    """(doc_id, [carry...], shard, pos): the deterministic epoch assignment
+    with extra columns riding along (the write path carries text). One
+    exchange — the window's partition-by-shard hashpartitioning — and one
+    in-partition sort; hashpartitioning puts ALL of a shard in exactly one
+    partition, so downstream same-stage consumers (the partitioned write)
+    see each shard contiguous and pos-ordered."""
+    h = _portable_hash(
+        F.concat(F.lit(_EPOCH_SALT), F.col("doc_id").cast("string"))
+    )
+    assigned = d.select(
+        "doc_id",
+        *carry,
+        h.alias("h"),
+        F.pmod(h, F.lit(N_SHARDS)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return assigned.select(
+        "doc_id",
+        *carry,
+        "h",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 def epoch_shuffle(spark, sf_dir):
     """Assign every document a deterministic (shard, pos) training order for
     one epoch: shard = H(salt || doc_id) mod N_SHARDS, pos = rank of that
@@ -49,21 +75,7 @@ def epoch_shuffle(spark, sf_dir):
     single-partition row_number). Ties on the 60-bit hash break by doc_id so
     the order is total and engine-independent.
     """
-    d = _t(spark, sf_dir, "documents")
-    h = _portable_hash(
-        F.concat(F.lit(_EPOCH_SALT), F.col("doc_id").cast("string"))
-    )
-    assigned = d.select(
-        "doc_id",
-        h.alias("h"),
-        F.pmod(h, F.lit(N_SHARDS)).cast("int").alias("shard"),
-    )
-    w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    return assigned.select(
-        "doc_id",
-        "shard",
-        F.row_number().over(w).cast("long").alias("pos"),
-    )
+    return _assigned(_t(spark, sf_dir, "documents")).drop("h")
 
 
 _EP_HASH = PORTABLE_HASH_SQL.format(
@@ -126,6 +138,31 @@ SELECT shard, COUNT(*) AS n_docs,
 FROM per_doc
 GROUP BY shard
 """
+
+
+def write_shards(spark, sf_dir: str, out_dir: str) -> None:
+    """Materialize the epoch shuffle as the physical export: one parquet
+    directory per shard (`shard=K/`), rows inside each shard in training
+    order. This is the plan the epoch_shuffle docstring promises, executed:
+    text rides through the assignment (no join — the assignment is map-only
+    until its single partition-by-shard exchange, which is exactly the
+    exchange the physical write needs; there is no cheaper plan that ends
+    with co-located, ordered shards). The explicit sortWithinPartitions
+    uses the window's OWN sort keys (shard, h, doc_id) — not pos, which
+    Catalyst cannot relate to h — so the sort is satisfied by the window's
+    output ordering and elided (plan-pinned in tests): it documents and
+    GUARANTEES the file order without re-paying for it. Re-running
+    produces row-identical shards (the hash order is deterministic), which
+    is what makes the manifest's XOR checksum a usable after-copy
+    integrity check."""
+    assigned = _assigned(_t(spark, sf_dir, "documents"), "text")
+    (
+        assigned.sortWithinPartitions("shard", "h", "doc_id")
+        .drop("h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
 
 
 SHARDOPS_QUERIES: dict[str, tuple] = {

@@ -104,6 +104,60 @@ def test_shard_manifest_duckdb_oracle(spark, shard_dir):
     assert (got.values == want.values).all()  # incl. bit-exact checksum
 
 
+def test_write_shards_files_are_ordered_and_deterministic(spark, shard_dir, tmp_path):
+    import glob
+
+    from prove_spark.plans.shardops import write_shards
+
+    write_shards(spark, shard_dir, f"{tmp_path}/epoch0")
+    assign = (
+        epoch_shuffle(spark, shard_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    seen = 0
+    for k in range(N_SHARDS):
+        files = glob.glob(f"{tmp_path}/epoch0/shard={k}/*.parquet")
+        if not files:
+            continue
+        # hashpartitioning puts a whole shard in ONE task -> one file
+        assert len(files) == 1
+        df = pd.read_parquet(files[0])  # file row order == written order
+        assert list(df.pos) == sorted(df.pos) == list(range(1, len(df) + 1))
+        assert (assign.loc[df.doc_id, "shard"] == k).all()
+        assert (assign.loc[df.doc_id, "pos"].values == df.pos.values).all()
+        seen += len(df)
+    assert seen == 97
+    # re-export is row-identical (deterministic hash order): the property
+    # that makes the manifest checksum usable after a copy
+    write_shards(spark, shard_dir, f"{tmp_path}/epoch0b")
+    for k in range(N_SHARDS):
+        a = glob.glob(f"{tmp_path}/epoch0/shard={k}/*.parquet")
+        b = glob.glob(f"{tmp_path}/epoch0b/shard={k}/*.parquet")
+        assert len(a) == len(b)
+        if a:
+            assert pd.read_parquet(a[0]).equals(pd.read_parquet(b[0]))
+
+
+def test_write_shards_plan_single_exchange_no_extra_sort(spark, shard_dir):
+    import re
+
+    from prove_spark.plans.shardops import _assigned, _t
+
+    a = _assigned(_t(spark, shard_dir, "documents"), "text")
+    plan = (
+        a.sortWithinPartitions("shard", "h", "doc_id")
+        .drop("h")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the explicit sort shares the window's keys, so it is elided: exactly
+    # ONE Sort (the window's own) and ONE exchange in the whole export plan
+    assert len(re.findall(r"(?m)^\s*[*+:\- ]*Sort \[", plan)) == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_checksum_detects_single_doc_change(spark, tmp_path):
     base = pd.DataFrame(
         [[i, f"text {i}", "en", "src0", 6] for i in range(20)],
