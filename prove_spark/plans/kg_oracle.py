@@ -515,6 +515,50 @@ FROM tri_deg d LEFT JOIN tri_counts c ON c.v = d.v"""
     )
 
 
+LPA_ITERS = 4
+
+
+def kg_label_propagation_sql() -> str:
+    """Synchronous label-propagation oracle over the KG entity graph: the
+    Spark side's fixed-round loop unrolled as a CTE chain. Deterministic
+    variant — every round each node adopts its neighbors' most frequent
+    label with ties broken by MIN label (plain async LPA is order-dependent
+    and un-oracle-able); isolated nodes keep their own label. String/int
+    arithmetic only — no float parity concerns."""
+    sql = (
+        _kg_ctes()
+        + """,
+lp_und AS (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM triples WHERE subj <> obj),
+lp_nbr AS (SELECT a AS src, b AS dst FROM lp_und
+           UNION ALL SELECT b AS src, a AS dst FROM lp_und),
+lp_nodes AS (SELECT subj AS entity FROM triples
+             UNION SELECT obj AS entity FROM triples),
+lp_r0 AS (SELECT entity, entity AS lbl FROM lp_nodes)"""
+    )
+    for t in range(1, LPA_ITERS + 1):
+        sql += f""",
+lp_c{t} AS (
+  SELECT n.src AS v, p.lbl, COUNT(*) AS c
+  FROM lp_nbr n JOIN lp_r{t - 1} p ON p.entity = n.dst
+  GROUP BY n.src, p.lbl),
+lp_p{t} AS (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+    FROM lp_c{t})
+  WHERE rn = 1),
+lp_r{t} AS (
+  SELECT r.entity, COALESCE(p.lbl, r.lbl) AS lbl
+  FROM lp_r{t - 1} r LEFT JOIN lp_p{t} p ON p.v = r.entity)"""
+    sql += f""",
+lp_sizes AS (SELECT lbl, COUNT(*) AS n FROM lp_r{LPA_ITERS} GROUP BY lbl)
+SELECT r.entity, r.lbl AS community, CAST(s.n AS BIGINT) AS community_size
+FROM lp_r{LPA_ITERS} r JOIN lp_sizes s ON s.lbl = r.lbl"""
+    return sql
+
+
 def kg_entities_sql() -> str:
     """Entities-dimension oracle (build_entities twin)."""
     ent_rows = ENTITIES

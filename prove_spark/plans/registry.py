@@ -17,6 +17,7 @@ __spark_entry__.unregistered() so the exclusion is visible at runtime).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .advanced import ADVANCED_QUERIES
 from .iterstate import truncate_round
@@ -266,9 +267,95 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_triangles": (kg_triangles, _SQLS["kg_triangles"]),
 }
 
-# KG-family queries held out of the sweep cap (none since r5 promoted
-# kg_triangles; kept for the pytest/plan-audit collection seam)
-KG_EXTRA_QUERIES: dict[str, tuple] = {}
+def _label_propagation(nodes, und, iters: int):
+    """Core synchronous LPA loop over an undirected (a < b) edge relation:
+    every round, each node adopts its neighbors' most frequent label, ties
+    broken by MIN label (async LPA is visit-order-dependent — this variant
+    is deterministic and therefore oracle-able); isolated nodes keep their
+    own label. Factored out so tests can drive crafted graphs directly.
+
+    Scale shape: the symmetric neighbor relation is pre-partitioned on dst
+    and persisted ONCE (eager — the sibling-stage cache race); each round
+    is one edge-scale join reusing that partitioning + one node-scale
+    (v, lbl) map-side-combinable count + one node-scale window, the same
+    per-round cost profile as [kg_pagerank]; round state is lineage-
+    truncated (plans/iterstate.py)."""
+    nbr = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition("dst")
+        .persist()
+    )
+    _KG_CACHES.append(nbr)
+    nbr.count()
+    labels = nodes.select("entity", F.col("entity").alias("lbl"))
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(iters):
+        cand = nbr.join(labels, nbr.dst == labels.entity).select(
+            F.col("src").alias("v"), "lbl"
+        )
+        pick = (
+            cand.groupBy("v", "lbl")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("v", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(pick, labels.entity == pick.v, "left")
+            .select(
+                "entity", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+        )
+        labels = truncate_round(labels, _KG_CACHES)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("n"))
+    return labels.join(sizes, "lbl").select(
+        "entity",
+        F.col("lbl").alias("community"),
+        F.col("n").cast("long").alias("community_size"),
+    )
+
+
+def kg_label_propagation(spark, sf_dir):
+    """Community detection over the KG entity graph — the graph family's
+    fourth signal next to [kg_pagerank] (importance), [kg_triangles]
+    (clustering), and connected components (identity): synchronous,
+    deterministic label propagation for LPA_ITERS rounds, mirrored
+    round-for-round by the DuckDB oracle's unrolled CTE chain
+    (kg_oracle.kg_label_propagation_sql)."""
+    from .kg_oracle import LPA_ITERS
+
+    triples = _kg_build(spark, sf_dir)
+    und = (
+        triples.where(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+    )
+    nodes = (
+        triples.select(F.col("subj").alias("entity"))
+        .union(triples.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    return _label_propagation(nodes, und, LPA_ITERS)
+
+
+def _kg_extra_sqls() -> dict[str, str]:
+    from .kg_oracle import kg_label_propagation_sql
+
+    return {"kg_label_propagation": kg_label_propagation_sql()}
+
+
+# KG-family queries held out of the sweep cap (oracle-checked in the pytest
+# unregistered lane; kg_triangles was promoted to the registry r5)
+KG_EXTRA_QUERIES: dict[str, tuple] = {
+    "kg_label_propagation": (
+        kg_label_propagation,
+        _kg_extra_sqls()["kg_label_propagation"],
+    ),
+}
 
 # Intentionally unregistered to stay under the driver's 50-row sweep cap
 # (still importable + unit-tested; exposed via __spark_entry__.unregistered()
@@ -385,6 +472,10 @@ _UNREGISTERED = {
     # pinned in tests/test_shardops.py
     "epoch_shuffle",
     "shard_manifest",
+    # kg_label_propagation — community detection (synchronous deterministic
+    # LPA, min-label tie-break) completing the graph family beside the
+    # registered kg_pagerank / kg_triangles / CC rows
+    "kg_label_propagation",
     # alias_mentions_anchored — the anchored (no-crossJoin) scale path for
     # dictionary mention matching; alias_resolve_popularity keeps the
     # family's CORR row and the substring contract. The synthetic corpus
