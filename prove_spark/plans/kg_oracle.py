@@ -525,17 +525,24 @@ def kg_label_propagation_sql() -> str:
     label with ties broken by MIN label (plain async LPA is order-dependent
     and un-oracle-able); isolated nodes keep their own label. String/int
     arithmetic only — no float parity concerns."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references lp_r{t-1} TWICE (candidate counting + the carry-
+    # forward left join), so an un-hinted chain re-evaluates the entire KG
+    # build 2^t times — measured 530 s at sf0.01 vs ~2 s materialized.
+    # (kg_pagerank's chain references each round once, hence linear and
+    # unhinted.) Oracle-side only; the Spark plan truncates round lineage
+    # for the same reason (plans/iterstate.py).
     sql = (
         _kg_ctes()
         + """,
-lp_und AS (
+lp_und AS MATERIALIZED (
   SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
   FROM triples WHERE subj <> obj),
-lp_nbr AS (SELECT a AS src, b AS dst FROM lp_und
+lp_nbr AS MATERIALIZED (SELECT a AS src, b AS dst FROM lp_und
            UNION ALL SELECT b AS src, a AS dst FROM lp_und),
-lp_nodes AS (SELECT subj AS entity FROM triples
+lp_nodes AS MATERIALIZED (SELECT subj AS entity FROM triples
              UNION SELECT obj AS entity FROM triples),
-lp_r0 AS (SELECT entity, entity AS lbl FROM lp_nodes)"""
+lp_r0 AS MATERIALIZED (SELECT entity, entity AS lbl FROM lp_nodes)"""
     )
     for t in range(1, LPA_ITERS + 1):
         sql += f""",
@@ -549,7 +556,7 @@ lp_p{t} AS (
            ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
     FROM lp_c{t})
   WHERE rn = 1),
-lp_r{t} AS (
+lp_r{t} AS MATERIALIZED (
   SELECT r.entity, COALESCE(p.lbl, r.lbl) AS lbl
   FROM lp_r{t - 1} r LEFT JOIN lp_p{t} p ON p.v = r.entity)"""
     sql += f""",

@@ -232,41 +232,6 @@ def kg_triangles(spark, sf_dir):
     )
 
 
-def _kg_sqls() -> dict[str, str]:
-    from .kg_oracle import (
-        kg_entities_sql,
-        kg_entity_rollup_sql,
-        kg_pagerank_sql,
-        kg_top_supported_sql,
-        kg_triangles_sql,
-        kg_triples_sql,
-    )
-
-    return {
-        "kg_triples": kg_triples_sql(),
-        "kg_entity_rollup": kg_entity_rollup_sql(),
-        "kg_top_supported": kg_top_supported_sql(),
-        "kg_pagerank": kg_pagerank_sql(),
-        "kg_entities": kg_entities_sql(),
-        "kg_triangles": kg_triangles_sql(),
-    }
-
-
-_SQLS = _kg_sqls()
-
-KG_QUERIES: dict[str, tuple] = {
-    "kg_triples": (kg_triples, _SQLS["kg_triples"]),
-    "kg_entity_rollup": (kg_entity_rollup, _SQLS["kg_entity_rollup"]),
-    "kg_top_supported": (kg_top_supported, _SQLS["kg_top_supported"]),
-    "kg_pagerank": (kg_pagerank, _SQLS["kg_pagerank"]),
-    "kg_entities": (kg_entities, _SQLS["kg_entities"]),
-    # registered r5 (rotating out usage_stats): triangle counting is a
-    # genuinely distinct graph capability (degree-oriented wedge join)
-    # where usage_stats repeated the plain-groupBy shape other CORR rows
-    # already pin
-    "kg_triangles": (kg_triangles, _SQLS["kg_triangles"]),
-}
-
 def _label_propagation(nodes, und, iters: int):
     """Core synchronous LPA loop over an undirected (a < b) edge relation:
     every round, each node adopts its neighbors' most frequent label, ties
@@ -342,20 +307,55 @@ def kg_label_propagation(spark, sf_dir):
     return _label_propagation(nodes, und, LPA_ITERS)
 
 
-def _kg_extra_sqls() -> dict[str, str]:
-    from .kg_oracle import kg_label_propagation_sql
+def _kg_sqls() -> dict[str, str]:
+    from .kg_oracle import (
+        kg_entities_sql,
+        kg_entity_rollup_sql,
+        kg_label_propagation_sql,
+        kg_pagerank_sql,
+        kg_top_supported_sql,
+        kg_triangles_sql,
+        kg_triples_sql,
+    )
 
-    return {"kg_label_propagation": kg_label_propagation_sql()}
+    return {
+        "kg_triples": kg_triples_sql(),
+        "kg_entity_rollup": kg_entity_rollup_sql(),
+        "kg_top_supported": kg_top_supported_sql(),
+        "kg_pagerank": kg_pagerank_sql(),
+        "kg_entities": kg_entities_sql(),
+        "kg_triangles": kg_triangles_sql(),
+        "kg_label_propagation": kg_label_propagation_sql(),
+    }
 
 
-# KG-family queries held out of the sweep cap (oracle-checked in the pytest
-# unregistered lane; kg_triangles was promoted to the registry r5)
-KG_EXTRA_QUERIES: dict[str, tuple] = {
+_SQLS = _kg_sqls()
+
+KG_QUERIES: dict[str, tuple] = {
+    "kg_triples": (kg_triples, _SQLS["kg_triples"]),
+    "kg_entity_rollup": (kg_entity_rollup, _SQLS["kg_entity_rollup"]),
+    "kg_top_supported": (kg_top_supported, _SQLS["kg_top_supported"]),
+    "kg_pagerank": (kg_pagerank, _SQLS["kg_pagerank"]),
+    "kg_entities": (kg_entities, _SQLS["kg_entities"]),
+    # registered r5 (rotating out usage_stats): triangle counting is a
+    # genuinely distinct graph capability (degree-oriented wedge join)
+    # where usage_stats repeated the plain-groupBy shape other CORR rows
+    # already pin
+    "kg_triangles": (kg_triangles, _SQLS["kg_triangles"]),
+    # registered r5 (rotating out url_host_extract — the r4 verdict's named
+    # rotation candidate, a single parse_url projection whose map-only shape
+    # several CORR rows pin): community detection is the graph family's
+    # fourth genuinely distinct capability
     "kg_label_propagation": (
         kg_label_propagation,
-        _kg_extra_sqls()["kg_label_propagation"],
+        _SQLS["kg_label_propagation"],
     ),
 }
+
+# KG-family queries held out of the sweep cap (none — kg_triangles and
+# kg_label_propagation were both promoted to the registry r5; kept for the
+# pytest/plan-audit collection seam)
+KG_EXTRA_QUERIES: dict[str, tuple] = {}
 
 # Intentionally unregistered to stay under the driver's 50-row sweep cap
 # (still importable + unit-tested; exposed via __spark_entry__.unregistered()
@@ -472,10 +472,11 @@ _UNREGISTERED = {
     # pinned in tests/test_shardops.py
     "epoch_shuffle",
     "shard_manifest",
-    # kg_label_propagation — community detection (synchronous deterministic
-    # LPA, min-label tie-break) completing the graph family beside the
-    # registered kg_pagerank / kg_triangles / CC rows
-    "kg_label_propagation",
+    # url_host_extract — single parse_url projection (C9) whose map-only
+    # shape several CORR rows pin; rotated out r5 in favor of
+    # kg_label_propagation (community detection — a genuinely new graph
+    # capability in the sweep)
+    "url_host_extract",
     # alias_mentions_anchored — the anchored (no-crossJoin) scale path for
     # dictionary mention matching; alias_resolve_popularity keeps the
     # family's CORR row and the substring contract. The synthetic corpus
