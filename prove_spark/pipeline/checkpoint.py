@@ -273,3 +273,61 @@ def incremental_update(
 def stage_metrics(io: TableIO) -> DataFrame:
     """Lineage/metrics read path (A7-shaped parser-stats analog)."""
     return io.read("manifest").orderBy("bucket", "completed_ts")
+
+
+def bucket_file_counts(io: TableIO, table: str) -> dict[int, int]:
+    """Visible parquet files per bucket partition, via the Hadoop FS API
+    (s3a/hdfs/file all behave identically — see TableIO). Bucket-scale
+    listing (<= n_buckets dirs), same driver-side bound as the manifest."""
+    if io.use_iceberg:
+        raise NotImplementedError(
+            "Iceberg tables carry their own file inventory and rewrite "
+            "action (metadata `files` table + rewrite_data_files); this "
+            "listing is the parquet-layout path"
+        )
+    fs, root = io._fs(io.path(table))
+    counts: dict[int, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("bucket=")):
+            continue
+        n = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+        counts[int(name.split("=", 1)[1])] = n
+    return counts
+
+
+def compact_buckets(
+    spark: SparkSession,
+    warehouse: str,
+    table: str = "triples",
+    max_files_per_bucket: int = 1,
+) -> list[int]:
+    """Small-file compaction for the bucket-partitioned layout — the
+    maintenance pass a long-lived table needs after many [incremental_update]
+    deltas (each touched-bucket rewrite is one file, but repeated partial
+    builds and resumes accumulate fragments). Rewrites ONLY buckets whose
+    visible file count exceeds the bound, via the same idempotent dynamic
+    partition overwrite the resume path uses; every other bucket's files
+    stay byte-untouched (pinned in tests). Returns the compacted bucket ids.
+
+    Scale shape: detection is a bucket-scale FS listing (no data read);
+    the rewrite reads only the fragmented buckets (partition-pruned scan)
+    and `repartition(k, "bucket")` hash-routes each bucket to exactly one
+    task, so dynamic partitioning emits exactly one file per bucket.
+    Iceberg mode is a documented non-goal here: Iceberg ships its own
+    `rewrite_data_files` maintenance action — use that."""
+    io = TableIO(spark, warehouse)
+    counts = bucket_file_counts(io, table)
+    fragmented = sorted(
+        b for b, n in counts.items() if n > max_files_per_bucket
+    )
+    if not fragmented:
+        return []
+    df = io.read(table).where(F.col("bucket").isin(fragmented))
+    out = df.repartition(len(fragmented), "bucket")
+    io.overwrite_buckets(out, table, "bucket")
+    return fragmented
