@@ -285,6 +285,10 @@ def bucket_file_counts(io: TableIO, table: str) -> dict[int, int]:
             "action (metadata `files` table + rewrite_data_files); this "
             "listing is the parquet-layout path"
         )
+    if not io.exists(table):
+        # fresh warehouse / wrong name: an empty inventory (so compaction
+        # is a clean no-op) beats an opaque Py4J FileNotFoundException
+        return {}
     fs, root = io._fs(io.path(table))
     counts: dict[int, int] = {}
     for st in fs.listStatus(root):

@@ -50,6 +50,30 @@ def _kg_build(spark, sf_dir):
     )
 
 
+def _kg_undirected_edges(triples):
+    """Canonical undirected (a < b) distinct edge set of the entity graph —
+    single source for kg_triangles and kg_label_propagation (the oracle's
+    twin lives once in _kg_ctes-derived SQL; keep these in lockstep)."""
+    return (
+        triples.where(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _kg_node_set(triples):
+    """Distinct entity set (subjects ∪ objects) — single source for
+    kg_pagerank and kg_label_propagation."""
+    return (
+        triples.select(F.col("subj").alias("entity"))
+        .union(triples.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+
+
 def kg_triples(spark, sf_dir):
     """Full KG-construction pipeline: transcripts → verified canonical triples."""
     return _kg_build(spark, sf_dir)
@@ -95,12 +119,7 @@ def kg_pagerank(spark, sf_dir):
         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         .distinct()
     )
-    nodes = (
-        triples.select(F.col("subj").alias("entity"))
-        .union(triples.select(F.col("obj").alias("entity")))
-        .distinct()
-        .persist()
-    )
+    nodes = _kg_node_set(triples).persist()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
     links = edges.join(outdeg, "src").repartition("src").persist()
     _KG_CACHES.extend([nodes, links])
@@ -173,15 +192,7 @@ def kg_triangles(spark, sf_dir):
     Degree/orientation/count are all integers — no cross-engine float
     discipline needed."""
     triples = _kg_build(spark, sf_dir)
-    und = (
-        triples.where(F.col("subj") != F.col("obj"))
-        .select(
-            F.least("subj", "obj").alias("a"),
-            F.greatest("subj", "obj").alias("b"),
-        )
-        .distinct()
-        .persist()
-    )
+    und = _kg_undirected_edges(triples).persist()
     _KG_CACHES.append(und)
     # EAGER materialization: und/deg/oriented each feed 2+ sibling branches
     # of one job, and Spark runs independent stages concurrently — a lazy
@@ -232,26 +243,35 @@ def kg_triangles(spark, sf_dir):
     )
 
 
-def _label_propagation(nodes, und, iters: int):
+def _label_propagation(nodes, und, iters: int, cache_registry: list | None = None):
     """Core synchronous LPA loop over an undirected (a < b) edge relation:
     every round, each node adopts its neighbors' most frequent label, ties
     broken by MIN label (async LPA is visit-order-dependent — this variant
     is deterministic and therefore oracle-able); isolated nodes keep their
-    own label. Factored out so tests can drive crafted graphs directly.
+    own label. Factored out so tests can drive crafted graphs directly
+    (pass a local cache_registry to unpersist after use).
 
     Scale shape: the symmetric neighbor relation is pre-partitioned on dst
-    and persisted ONCE (eager — the sibling-stage cache race); each round
-    is one edge-scale join reusing that partitioning + one node-scale
-    (v, lbl) map-side-combinable count + one node-scale window, the same
-    per-round cost profile as [kg_pagerank]; round state is lineage-
-    truncated (plans/iterstate.py)."""
+    and persisted ONCE (eager — the sibling-stage cache race); `nodes` and
+    `und` are likewise persisted eagerly because both feed two sibling
+    branches (the nbr union's legs / round 1's join + carry-forward) of
+    one job; each round is one edge-scale join reusing the nbr
+    partitioning + one node-scale (v, lbl) map-side-combinable count +
+    one node-scale window, the same per-round cost profile as
+    [kg_pagerank]; round state is lineage-truncated (plans/iterstate.py)."""
+    caches = _KG_CACHES if cache_registry is None else cache_registry
+    und = und.persist()
+    nodes = nodes.persist()
+    caches.extend([und, nodes])
+    und.count()
+    nodes.count()
     nbr = (
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .repartition("dst")
         .persist()
     )
-    _KG_CACHES.append(nbr)
+    caches.append(nbr)
     nbr.count()
     labels = nodes.select("entity", F.col("entity").alias("lbl"))
     w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
@@ -272,7 +292,7 @@ def _label_propagation(nodes, und, iters: int):
                 "entity", F.coalesce("new_lbl", "lbl").alias("lbl")
             )
         )
-        labels = truncate_round(labels, _KG_CACHES)
+        labels = truncate_round(labels, caches)
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("n"))
     return labels.join(sizes, "lbl").select(
         "entity",
@@ -291,20 +311,9 @@ def kg_label_propagation(spark, sf_dir):
     from .kg_oracle import LPA_ITERS
 
     triples = _kg_build(spark, sf_dir)
-    und = (
-        triples.where(F.col("subj") != F.col("obj"))
-        .select(
-            F.least("subj", "obj").alias("a"),
-            F.greatest("subj", "obj").alias("b"),
-        )
-        .distinct()
+    return _label_propagation(
+        _kg_node_set(triples), _kg_undirected_edges(triples), LPA_ITERS
     )
-    nodes = (
-        triples.select(F.col("subj").alias("entity"))
-        .union(triples.select(F.col("obj").alias("entity")))
-        .distinct()
-    )
-    return _label_propagation(nodes, und, LPA_ITERS)
 
 
 def _kg_sqls() -> dict[str, str]:

@@ -28,8 +28,9 @@ def fragmented_wh(spark, tmp_path):
         F.concat(F.lit("payload "), F.col("id")).alias("text"),
     )
     # bucket 0 written compact first (one task), the rest fragmented across
-    # 8 tasks each -> up to 8 files per bucket
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # 8 tasks each -> up to 8 files per bucket (no overwrite-mode conf
+    # needed: the first write targets an empty dir and overwrite_buckets
+    # sets dynamic mode per-write)
     rows.where("bucket = 0").repartition(1).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{wh}/events")

@@ -52,10 +52,14 @@ def lpa_result(spark):
         )
     )
     nodes = spark.createDataFrame(pd.DataFrame({"entity": NODES}))
-    return {
+    caches: list = []  # local registry: no leak into the module-global one
+    out = {
         r.entity: (r.community, r.community_size)
-        for r in _label_propagation(nodes, und, 4).collect()
+        for r in _label_propagation(nodes, und, 4, cache_registry=caches).collect()
     }
+    for df in caches:
+        df.unpersist()
+    return out
 
 
 def test_matches_independent_simulator(lpa_result):
