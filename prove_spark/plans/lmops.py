@@ -244,8 +244,51 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------------- curriculum binning
+def curriculum_bins(spark, sf_dir):
+    """Curriculum assignment: quartile-bin every document by its
+    corpus-trained LM score WITHIN its source — the ordering signal a
+    quality-curriculum training schedule consumes (CCNet buckets its
+    perplexity scores the same way, per language/shard). Composes the
+    oracled [bigram_lm_score] relation; documents with no transitions
+    (<2 words) have no score and are excluded, same inner-join shape both
+    engines.
+
+    Scale shape: binning is NTILE over a window PARTITIONED BY source —
+    per-group rank arithmetic that distributes (no global sort, unlike a
+    corpus-wide quantile; a skewed mega-source would call for the sketch
+    thresholds in [approx_value_quantiles] instead — documented
+    trade-off). Exactness: ntile is integer rank arithmetic over a total
+    order (lm_score, doc_id) whose score component is already bit-exact
+    cross-engine; ties cannot reorder because doc_id completes the key."""
+    scores = bigram_lm_score(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("lm_score", "doc_id")
+    return (
+        scores.join(src, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lm_score",
+            F.ntile(4).over(w).alias("bin"),
+        )
+    )
+
+
+CURRICULUM_SQL = f"""
+WITH scores AS ({BIGRAM_LM_SQL})
+SELECT s.doc_id, d.source, s.lm_score,
+       NTILE(4) OVER (PARTITION BY d.source ORDER BY s.lm_score, s.doc_id)
+         AS bin
+FROM scores s JOIN documents d USING (doc_id)
+"""
+
+
 LMOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "jl_project_embeddings": (jl_project_embeddings, JL_PROJECT_SQL),
     "bigram_lm_score": (bigram_lm_score, BIGRAM_LM_SQL),
+    "curriculum_bins": (curriculum_bins, CURRICULUM_SQL),
 }

@@ -475,6 +475,10 @@ _UNREGISTERED = {
     # (kmeans_centroids, ann_ivf_topk, quality_scores)
     "jl_project_embeddings",
     "bigram_lm_score",
+    # curriculum_bins — per-source quartile binning of the LM score (the
+    # quality-curriculum schedule input); composes bigram_lm_score, whose
+    # arithmetic the LM rows pin
+    "curriculum_bins",
     # epoch_shuffle / shard_manifest — deterministic training-order export
     # + per-shard audit manifest; the window/agg shapes are CORR-pinned
     # elsewhere (topk_per_group, rollup_order_stats), the export semantics

@@ -51,6 +51,8 @@ ALLOWED: dict[str, tuple[str, int]] = {
     "mixture_resample": ("BroadcastNestedLoopJoin", 3),
     # 1-row vocabulary-size broadcast in the smoothing denominator
     "bigram_lm_score": ("BroadcastNestedLoopJoin", 1),
+    # same 1-row vocab broadcast, riding in via the composed bigram score
+    "curriculum_bins": ("BroadcastNestedLoopJoin", 1),
 }
 
 

@@ -167,6 +167,36 @@ def test_bigram_lm_duckdb_oracle_on_fixture(spark, lm_dir):
     assert (got.lm_score.values == want.lm_score.values).all()  # bit-identical
 
 
+def test_curriculum_bins_quartiles_and_oracle(spark, lm_dir):
+    from prove_spark.plans.lmops import CURRICULUM_SQL, curriculum_bins
+
+    d, _ = lm_dir
+    got = (
+        curriculum_bins(spark, d)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 3 (single word) has no score -> excluded; bins within a source
+    # follow ascending score order
+    assert set(got.doc_id) == {1, 2, 4}
+    assert got.bin.between(1, 4).all()
+    by_src = got.sort_values(["source", "lm_score", "doc_id"])
+    for _, grp in by_src.groupby("source"):
+        assert list(grp.bin) == sorted(grp.bin)  # monotone in score order
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(CURRICULUM_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (got.doc_id.values == want.doc_id.values).all()
+    assert (got.bin.values == want.bin.values).all()
+    assert (got.lm_score.values == want.lm_score.values).all()
+
+
 def test_lm_score_survives_empty_and_singleton(spark, tmp_path):
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     spark.createDataFrame([], schema=schema).write.parquet(
