@@ -192,22 +192,26 @@ def kg_triangles(spark, sf_dir):
     Degree/orientation/count are all integers — no cross-engine float
     discipline needed."""
     triples = _kg_build(spark, sf_dir)
-    und = _kg_undirected_edges(triples).persist()
-    _KG_CACHES.append(und)
-    # EAGER materialization: und/deg/oriented each feed 2+ sibling branches
-    # of one job, and Spark runs independent stages concurrently — a lazy
-    # persist would be recomputed by every sibling before the cache fills
-    # (the measured 4x-identical-stage race; same mitigation as
-    # build_triples' eager_cache). All three are edge/node scale — cheap.
-    und.count()
-    deg = (
+    # EAGER materialization via truncate_round (localCheckpoint): und/deg/
+    # oriented each feed 2+ sibling branches of one job, and Spark runs
+    # independent stages concurrently — a lazy persist would be recomputed
+    # by every sibling before the cache fills (the measured
+    # 4x-identical-stage race; same mitigation as build_triples'
+    # eager_cache). The lineage CUT also matters here even though nothing
+    # iterates: each branch re-expands the full kg-pipeline subtree
+    # TEXTUALLY in the static plan (audited at 1003 exchanges / 410 scans
+    # before the cut, runtime 11 stages), and the driver pays analysis
+    # cost on that tree for every planned action. All three relations are
+    # edge/node scale — cheap to materialize.
+    und = truncate_round(_kg_undirected_edges(triples), _KG_CACHES)
+    und.count()  # trivial when checkpointed; races the flag-OFF lazy persist otherwise
+    deg = truncate_round(
         und.select(F.col("a").alias("v"))
         .union(und.select(F.col("b").alias("v")))
         .groupBy("v")
-        .agg(F.count("*").alias("deg"))
-        .persist()
+        .agg(F.count("*").alias("deg")),
+        _KG_CACHES,
     )
-    _KG_CACHES.append(deg)
     deg.count()
     e = und.join(
         deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a"
@@ -215,11 +219,13 @@ def kg_triangles(spark, sf_dir):
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = e.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    ).persist()
-    _KG_CACHES.append(oriented)
+    oriented = truncate_round(
+        e.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        ),
+        _KG_CACHES,
+    )
     oriented.count()
     o1 = oriented.select("src", F.col("dst").alias("d1"))
     o2 = oriented.select("src", F.col("dst").alias("d2"))
