@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from .advanced import ADVANCED_QUERIES
 from .iterstate import truncate_round
 from .disambig import DISAMBIG_QUERIES
+from .dqops import DQOPS_QUERIES
 from .lmops import LMOPS_QUERIES
 from .mlops import MLOPS_QUERIES
 from .relational import RELATIONAL_QUERIES
@@ -485,6 +486,10 @@ _UNREGISTERED = {
     # quality-curriculum schedule input); composes bigram_lm_score, whose
     # arithmetic the LM rows pin
     "curriculum_bins",
+    # dq_report — Deequ/dbt-style declared-expectation validation report
+    # (fused conditional counts + anti-join referential checks); the agg
+    # and anti-join shapes it composes hold CORR rows elsewhere
+    "dq_report",
     # epoch_shuffle / shard_manifest — deterministic training-order export
     # + per-shard audit manifest; the window/agg shapes are CORR-pinned
     # elsewhere (topk_per_group, rollup_order_stats), the export semantics
@@ -520,6 +525,7 @@ UNREGISTERED_QUERIES: dict[str, tuple] = {
         MLOPS_QUERIES,
         LMOPS_QUERIES,
         SHARDOPS_QUERIES,
+        DQOPS_QUERIES,
         DISAMBIG_QUERIES,
         KG_EXTRA_QUERIES,
     )
@@ -558,6 +564,7 @@ _GATELESS = {
         MLOPS_QUERIES,
         LMOPS_QUERIES,
         SHARDOPS_QUERIES,
+        DQOPS_QUERIES,
         DISAMBIG_QUERIES,
         KG_EXTRA_QUERIES,
     )

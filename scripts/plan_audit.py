@@ -53,6 +53,9 @@ ALLOWED: dict[str, tuple[str, int]] = {
     "bigram_lm_score": ("BroadcastNestedLoopJoin", 1),
     # same 1-row vocab broadcast, riding in via the composed bigram score
     "curriculum_bins": ("BroadcastNestedLoopJoin", 1),
+    # 1-row per-table aggregate + anti-join-count relations assembled into
+    # the report via scalar crossJoins
+    "dq_report": ("BroadcastNestedLoopJoin", 4),
 }
 
 
