@@ -8,8 +8,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# shared table loader (single source: one place to change if the
+# path layout or a catalog integration ever changes)
+from .relational import _t  # noqa: E402
 
 
 def asof_join_latest_order(spark, sf_dir):

@@ -22,8 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# shared table loader (single source: one place to change if the
+# path layout or a catalog integration ever changes)
+from .relational import _t  # noqa: E402
 
 
 def _report_row(expectation: str, table: str, checked, violations):
@@ -114,14 +115,18 @@ def dq_report(spark, sf_dir):
     return rows.select("r.*")
 
 
+# MATERIALIZED on the multiply-referenced per-table aggregates: DuckDB
+# inlines plain CTEs, so `o` (5 refs) / `li` (3 refs) would re-scan their
+# tables once per reference (linear waste here, not the LPA exponential
+# case — but the same trap; see kg_oracle.kg_label_propagation_sql)
 DQ_REPORT_SQL = """
-WITH o AS (
+WITH o AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_pk,
          CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT) AS neg_price,
          CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_cust
   FROM orders),
-li AS (
+li AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
               AS BIGINT) AS bad_discount

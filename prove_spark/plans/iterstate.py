@@ -42,7 +42,15 @@ def truncate_round(df: DataFrame, cache_registry: list | None = None) -> DataFra
     WITHOUT-truncation, which for kmeans matches the pre-r5 code exactly
     while pre-r5 kg_pagerank persisted nothing per round — either way the
     lineage, and hence the driver-analysis blowup being measured, is
-    identical because persist never cuts the logical plan)."""
+    identical because persist never cuts the logical plan).
+
+    Block lifecycle, flag ON: localCheckpoint blocks are NOT registered in
+    cache_registry (DataFrame.unpersist cannot free them — they belong to
+    the checkpoint RDD, not a persisted plan) and are released by the
+    ContextCleaner when the RDD reference is garbage-collected. That is
+    deliberate slack, bounded by design: every caller checkpoints
+    node/edge/round-scale relations (KBs-MBs), never corpus-scale data, so
+    a sweep loop leaks at most a few small block sets between GCs."""
     if ITER_CHECKPOINT:
         return df.localCheckpoint(eager=True)
     df = df.persist()

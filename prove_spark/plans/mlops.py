@@ -25,8 +25,9 @@ from .iterstate import truncate_round
 from .textops import N_IVF_CENTROIDS, SEED_IDS_SQL_TMPL, _seed_centroid_ids
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# shared table loader (single source: one place to change if the
+# path layout or a catalog integration ever changes)
+from .relational import _t  # noqa: E402
 
 
 def _qz(col: F.Column) -> F.Column:

@@ -30,8 +30,9 @@ N_SHARDS = 8
 _EPOCH_SALT = "ep0|"  # epoch baked into the hash salt: new epoch = new salt
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# shared table loader (single source: one place to change if the
+# path layout or a catalog integration ever changes)
+from .relational import _t  # noqa: E402
 
 
 def _assigned(d: DataFrame, *carry: str) -> DataFrame:

@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# shared table loader (single source: one place to change if the
+# path layout or a catalog integration ever changes)
+from .relational import _t  # noqa: E402
 
 
 def _rebalance_scan(spark: SparkSession, df: DataFrame, key: str = "doc_id") -> DataFrame:
