@@ -27,6 +27,7 @@ from .lmops import LMOPS_QUERIES
 from .mlops import MLOPS_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .shardops import SHARDOPS_QUERIES
+from .simops import SIMOPS_QUERIES
 from .textops import TEXTOPS_QUERIES
 
 
@@ -509,6 +510,11 @@ _UNREGISTERED = {
     # superset property, and plan shape are pinned on crafted fixtures in
     # tests/test_alias_anchored.py
     "alias_mentions_anchored",
+    # jaccard_prefix_join — EXACT similarity join via AllPairs/PPJoin prefix
+    # filtering (full-universe exactness where dedup_ngram_jaccard caps the
+    # universe and LSH approximates); its brute-force oracle doubles as a
+    # recall proof, and tests/test_simops.py pins the pruning claim
+    "jaccard_prefix_join",
 }
 
 # Single source for the sweep-capped queries: name → (spark_fn, sql | None),
@@ -525,6 +531,7 @@ UNREGISTERED_QUERIES: dict[str, tuple] = {
         MLOPS_QUERIES,
         LMOPS_QUERIES,
         SHARDOPS_QUERIES,
+        SIMOPS_QUERIES,
         DQOPS_QUERIES,
         DISAMBIG_QUERIES,
         KG_EXTRA_QUERIES,
@@ -564,6 +571,7 @@ _GATELESS = {
         MLOPS_QUERIES,
         LMOPS_QUERIES,
         SHARDOPS_QUERIES,
+        SIMOPS_QUERIES,
         DQOPS_QUERIES,
         DISAMBIG_QUERIES,
         KG_EXTRA_QUERIES,
