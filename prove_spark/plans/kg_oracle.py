@@ -598,3 +598,42 @@ FROM dim d
 LEFT JOIN subj_stats s USING (canonical_qid)
 LEFT JOIN obj_stats o USING (canonical_qid)"""
     )
+
+
+KCORE_ITERS = 16  # testdata fixpoint at 11 rounds (probed); extra rounds are
+# no-ops because the h-operator is monotone non-increasing and fixpoint-stable
+
+
+def kg_coreness_sql() -> str:
+    """Coreness oracle over the KG entity graph: the Spark side's fixed-round
+    h-index iteration (Lü et al. 2016 — c(v) initialized to degree, each
+    round replaced by the H-index of the neighbors' current values; the
+    unique fixpoint is the exact k-core number) unrolled as a CTE chain.
+    H-index via the sorted-rank trick: with neighbor values x ranked
+    descending by r, H = MAX(LEAST(x, r)). Integer-only — no float parity
+    concerns. Defined on the edge-induced node set (self-loops dropped with
+    the undirected edge derivation, so isolated nodes don't appear)."""
+    sql = (
+        _kg_ctes()
+        + """,
+kc_und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM triples WHERE subj <> obj),
+kc_nbr AS MATERIALIZED (SELECT a AS src, b AS dst FROM kc_und
+           UNION ALL SELECT b AS src, a AS dst FROM kc_und),
+kc_deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM kc_nbr GROUP BY src),
+kc_c0 AS MATERIALIZED (SELECT v, deg AS c FROM kc_deg)"""
+    )
+    for t in range(1, KCORE_ITERS + 1):
+        sql += f""",
+kc_c{t} AS MATERIALIZED (
+  SELECT v, MAX(LEAST(x, r)) AS c FROM (
+    SELECT n.src AS v, p.c AS x,
+           ROW_NUMBER() OVER (PARTITION BY n.src ORDER BY p.c DESC) AS r
+    FROM kc_nbr n JOIN kc_c{t - 1} p ON p.v = n.dst)
+  GROUP BY v)"""
+    sql += f"""
+SELECT d.v AS entity, CAST(d.deg AS BIGINT) AS degree,
+       CAST(c.c AS BIGINT) AS coreness
+FROM kc_deg d JOIN kc_c{KCORE_ITERS} c ON c.v = d.v"""
+    return sql

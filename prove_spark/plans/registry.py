@@ -251,6 +251,77 @@ def kg_triangles(spark, sf_dir):
     )
 
 
+def _coreness(und, iters: int, cache_registry: list | None = None):
+    """Core h-index coreness loop over an undirected (a < b) edge relation
+    (Lü et al. 2016): c(v) starts at degree; each round c(v) becomes the
+    H-index of its neighbors' current values; the unique fixpoint is the
+    exact k-core number of every node. Synchronous and deterministic, so
+    the DuckDB oracle can unroll it round-for-round. Factored out so tests
+    can drive crafted graphs directly.
+
+    Scale shape: the symmetric neighbor relation is pre-partitioned on dst
+    and persisted ONCE (eager — the sibling-stage cache race); each round
+    is one edge-scale join reusing that partitioning, one neighbor-scale
+    window PARTITIONED BY node (per-node sort is degree-bounded, never
+    global), and one map-side-combinable max-agg — the same per-round cost
+    profile as [kg_pagerank]/[kg_label_propagation]. Round state is
+    lineage-truncated (plans/iterstate.py). H-index via the sorted-rank
+    trick: with neighbor values x ranked descending by r, H = max(min(x, r)).
+    Integer-only. Defined on the edge-induced node set (the undirected
+    derivation drops self-loops, so isolated nodes don't appear)."""
+    caches = _KG_CACHES if cache_registry is None else cache_registry
+    nbr = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition("dst")
+        .persist()
+    )
+    caches.append(nbr)
+    nbr.count()
+    deg = truncate_round(
+        nbr.groupBy("src").agg(F.count("*").alias("deg")).select(
+            F.col("src").alias("v"), "deg"
+        ),
+        caches,
+    )
+    deg.count()  # deg feeds round 0 AND the final join — sibling consumers
+    c = deg.select("v", F.col("deg").alias("c"))
+    w = Window.partitionBy("v").orderBy(F.desc("x"))
+    for _ in range(iters):
+        vals = nbr.join(c, nbr.dst == c.v).select(
+            F.col("src").alias("v"), F.col("c").alias("x")
+        )
+        c = (
+            vals.withColumn("r", F.row_number().over(w))
+            .groupBy("v")
+            .agg(F.max(F.least(F.col("x"), F.col("r"))).alias("c"))
+        )
+        c = truncate_round(c, caches)
+    return deg.join(c, "v").select(
+        F.col("v").alias("entity"),
+        F.col("deg").cast("long").alias("degree"),
+        F.col("c").cast("long").alias("coreness"),
+    )
+
+
+def kg_coreness(spark, sf_dir):
+    """Per-entity k-core number over the KG entity graph — the graph
+    family's density/robustness signal next to [kg_pagerank] (importance),
+    [kg_triangles] (clustering), [kg_label_propagation] (community), and
+    connected components (identity). The synthetic entity graph is regular
+    enough that every node lands in the same core (coreness 6 — the 11
+    intermediate rounds still walk every initial degree 6..39 down through
+    the h-operator, which the unrolled oracle checks round-for-round);
+    discriminative behavior is pinned on crafted graphs in
+    tests/test_kcore.py, same posture as alias_mentions_anchored."""
+    from .kg_oracle import KCORE_ITERS
+
+    triples = _kg_build(spark, sf_dir)
+    und = truncate_round(_kg_undirected_edges(triples), _KG_CACHES)
+    und.count()  # both union legs of nbr consume it concurrently
+    return _coreness(und, KCORE_ITERS)
+
+
 def _label_propagation(nodes, und, iters: int, cache_registry: list | None = None):
     """Core synchronous LPA loop over an undirected (a < b) edge relation:
     every round, each node adopts its neighbors' most frequent label, ties
@@ -369,10 +440,17 @@ KG_QUERIES: dict[str, tuple] = {
     ),
 }
 
-# KG-family queries held out of the sweep cap (none — kg_triangles and
-# kg_label_propagation were both promoted to the registry r5; kept for the
-# pytest/plan-audit collection seam)
-KG_EXTRA_QUERIES: dict[str, tuple] = {}
+# KG-family queries held out of the sweep cap (the registry is full at 50;
+# these get the identical oracle gate in the pytest unregistered lane)
+def _kg_extra_sqls() -> dict[str, str]:
+    from .kg_oracle import kg_coreness_sql
+
+    return {"kg_coreness": kg_coreness_sql()}
+
+
+KG_EXTRA_QUERIES: dict[str, tuple] = {
+    "kg_coreness": (kg_coreness, _kg_extra_sqls()["kg_coreness"]),
+}
 
 # Intentionally unregistered to stay under the driver's 50-row sweep cap
 # (still importable + unit-tested; exposed via __spark_entry__.unregistered()
@@ -515,6 +593,12 @@ _UNREGISTERED = {
     # universe and LSH approximates); its brute-force oracle doubles as a
     # recall proof, and tests/test_simops.py pins the pruning claim
     "jaccard_prefix_join",
+    # kg_coreness — per-entity k-core number via the h-index iteration (the
+    # graph family's fifth signal; registry is full at 50, and the four
+    # registered kg graph rows already pin the iterative-join machinery);
+    # uniform coreness on the regular synthetic graph is documented —
+    # crafted-graph discrimination pinned in tests/test_kcore.py
+    "kg_coreness",
 }
 
 # Single source for the sweep-capped queries: name → (spark_fn, sql | None),
