@@ -605,6 +605,103 @@ def kll_sketch_rollup(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------------- CDC merge-apply
+def cdc_apply_changes(spark, sf_dir):
+    """MERGE INTO twin: compact a keyed changelog and apply it to a
+    snapshot — the Debezium/Iceberg-upsert maintenance step. The changelog
+    is the events stream read as (key, seq, op, value): signup→I, error→D,
+    everything else→U, sequenced by the (ts, event_id) total order; the
+    snapshot is a deterministic customer subset (c_custkey % 3 <> 0, so the
+    changelog exercises every MERGE lane: matched-update, matched-delete,
+    unmatched-insert, unmatched-delete-noop, untouched carry-over).
+
+    Semantics (last-writer-wins): per key, only the final change matters —
+    D removes the row (matched or not), I/U upserts balance to the change's
+    value, keys without changes carry the snapshot row through. Inserted
+    keys take the 'cdc-insert' placeholder name.
+
+    Scale shape: compaction is ONE key-partitioned ranking window (the
+    standard changelog-compaction shuffle — no driver state); apply is ONE
+    full-outer join co-partitioned on the same key, so AQE reuses/aligns
+    the exchanges and a skewed hot key splits under the skew-join rule.
+    Values are raw input doubles carried through untouched — no float
+    arithmetic, bit-identical across engines. Reference anchor: the
+    reference recomputes its Mongo status collections in place
+    (ProVe_main_service.py status upserts); this is the declarative,
+    engine-side form of that maintenance."""
+    snap = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 != 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("balance"),
+        )
+    )
+    ch = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("value"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("event_id"))
+    wcnt = Window.partitionBy("key")
+    last = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count("*").over(wcnt))
+        .where(F.col("rn") == 1)
+        .select("key", "op", "value", "n_changes")
+    )
+    merged = snap.join(last, "key", "full_outer")
+    return (
+        merged.where(F.coalesce(F.col("op"), F.lit("K")) != "D")
+        # unmatched-delete rows (no snapshot, last op D) are dropped by the
+        # same predicate; unmatched inserts need a present snapshot OR an
+        # upsert op — a key only in the changelog always has op set
+        .select(
+            "key",
+            F.coalesce("name", F.lit("cdc-insert")).alias("name"),
+            F.coalesce("value", "balance").alias("balance"),
+            F.coalesce("op", F.lit("K")).alias("last_op"),
+            F.coalesce("n_changes", F.lit(0)).cast("long").alias("n_changes"),
+        )
+    )
+
+
+CDC_SQL = """
+WITH snap AS (
+  SELECT c_custkey AS key, c_name AS name, c_acctbal AS balance
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+ch AS (
+  SELECT user_id AS key, ts, event_id,
+         CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         value
+  FROM events
+),
+last AS (
+  SELECT key, op, value, n_changes FROM (
+    SELECT key, op, value,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY key) AS n_changes
+    FROM ch)
+  WHERE rn = 1
+)
+SELECT COALESCE(s.key, l.key) AS key,
+       COALESCE(s.name, 'cdc-insert') AS name,
+       COALESCE(l.value, s.balance) AS balance,
+       COALESCE(l.op, 'K') AS last_op,
+       CAST(COALESCE(l.n_changes, 0) AS BIGINT) AS n_changes
+FROM snap s FULL OUTER JOIN last l ON s.key = l.key
+WHERE COALESCE(l.op, 'K') <> 'D'
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -624,4 +721,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "lateral_top_orders": (lateral_top_orders, LATERAL_SQL),
     "fuzzy_part_matches": (fuzzy_part_matches, FUZZY_SQL),
     "scd2_user_state": (scd2_user_state, SCD2_SQL),
+    "cdc_apply_changes": (cdc_apply_changes, CDC_SQL),
 }

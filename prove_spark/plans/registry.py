@@ -599,6 +599,11 @@ _UNREGISTERED = {
     # uniform coreness on the regular synthetic graph is documented —
     # crafted-graph discrimination pinned in tests/test_kcore.py
     "kg_coreness",
+    # cdc_apply_changes — MERGE INTO twin (changelog compaction +
+    # upsert/delete apply); the window and full-outer shapes it composes
+    # hold CORR rows elsewhere (latest_event_per_user, kg_entities' left
+    # join), the merge-lane semantics pinned in tests/test_cdc.py
+    "cdc_apply_changes",
 }
 
 # Single source for the sweep-capped queries: name → (spark_fn, sql | None),
