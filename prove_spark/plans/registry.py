@@ -604,6 +604,10 @@ _UNREGISTERED = {
     # hold CORR rows elsewhere (latest_event_per_user, kg_entities' left
     # join), the merge-lane semantics pinned in tests/test_cdc.py
     "cdc_apply_changes",
+    # bm25_rank — lexical retrieval scoring (rational-idf BM25) beside
+    # tfidf_top_terms; the retrieval family's CORR rows are the ANN pair
+    # (ann_topk_cosine, ann_ivf_topk)
+    "bm25_rank",
 }
 
 # Single source for the sweep-capped queries: name → (spark_fn, sql | None),

@@ -1017,6 +1017,118 @@ WHERE rank <= 3
 """
 
 
+# ------------------------------------------------------------ BM25 retrieval
+# Fixed lexical query for the ranking demonstration (terms present in the
+# synthetic vocabulary; any query list works — it becomes a broadcast-sized
+# IN filter). k1 = 1.2, b = 0.75 (the standard Robertson defaults), written
+# as pre-folded literals so BOTH engines evaluate the identical IEEE
+# expression tree (no engine-side constant folding can reorder ops).
+BM25_QUERY = ("spark", "join", "vector")
+
+
+def bm25_rank(spark, sf_dir):
+    """BM25 document ranking for a fixed lexical query — the retrieval
+    scorer beside tfidf_top_terms (salience) and the embedding ANN ops
+    (semantic): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    Rational-idf variant idf = (N−df+0.5)/(df+0.5) — same reasoning as
+    tfidf_top_terms: ln() is not bit-identical across libms, while this
+    form is a fixed tree of single IEEE ops over exact integers (it is the
+    BM25 idf WITHOUT the log — monotone in the classic idf per term, a
+    different but valid weighting documented here deliberately).
+
+    Scale shape: dl/tf are map-side-combinable aggs over one corpus scan;
+    the query filter cuts the tf relation to |Q| terms BEFORE df and the
+    joins (the tf⋈df join carries query terms only); corpus N and Σdl ride
+    as a 1-row broadcast; final per-doc sum is one combinable agg. Nothing
+    is query-length-quadratic and no global sort exists — top-k consumers
+    add a WindowGroupLimit like tfidf does.
+
+    Exactness: every per-term score is the same parenthesized chain of
+    IEEE double ops on exact integers in both engines; the cross-term sum
+    quantizes each term to 1e-12 via floor(x*1e12 + 0.5) — HALF_UP FLOOR is
+    bit-identical across both runtimes (double→DECIMAL casts are NOT: the
+    engines round the repr differently at the last ulp, measured 1e-14
+    drift at sf0.01) — then sums exact BIGINTs (associative,
+    layout-independent) and divides once at the end.
+
+    Reference anchor: the reference ranks candidate evidence sentences per
+    claim before entailment (ProVe sentence selection,
+    `utils/sentence_retrieval_module.py`); this is its lexical twin over
+    the documents relation."""
+    d = _rebalance_scan(spark, _t(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qtf = (
+        words.where(F.col("w").isin(*BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    qdf = qtf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25)
+        + F.lit(0.75)
+        * (F.col("dl") / (F.col("sum_dl").cast("double") / F.col("n_docs")))
+    )
+    scored = (
+        qtf.join(qdf, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score_t", idf * ((F.col("tf") * F.lit(2.2)) / denom))
+    )
+    quant = F.floor(F.col("score_t") * F.lit(1.0e12) + F.lit(0.5))
+    return (
+        scored.withColumn("score_q", quant)
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("score_q") / F.lit(1.0e12)).alias("bm25"),
+            F.count("*").alias("n_terms_matched"),
+            F.sum("tf").alias("n_occurrences"),
+        )
+    )
+
+
+# e0-suffixed literals are load-bearing: a bare 1.2 parses as DECIMAL(2,1)
+# in DuckDB and decimal arithmetic would diverge from Spark's double tree.
+BM25_SQL = f"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+qtf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM words
+  WHERE w IN ({", ".join("'" + t + "'" for t in BM25_QUERY)})
+  GROUP BY doc_id, w
+),
+qdf AS (SELECT w, COUNT(*) AS df FROM qtf GROUP BY w),
+scored AS (
+  SELECT t.doc_id, t.tf,
+         ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5e0)
+            / (CAST(f.df AS DOUBLE) + 0.5e0))
+         * ((t.tf * 2.2e0)
+            / (t.tf + 1.2e0 * (0.25e0 + 0.75e0
+                 * (l.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))) AS score_t
+  FROM qtf t JOIN qdf f USING (w) JOIN dl l USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(SUM(CAST(FLOOR(score_t * 1.0e12 + 0.5e0) AS BIGINT)) AS BIGINT)
+         / 1.0e12 AS bm25,
+       COUNT(*) AS n_terms_matched,
+       CAST(SUM(tf) AS BIGINT) AS n_occurrences
+FROM scored GROUP BY doc_id
+"""
+
+
 def _word_ngram_rows(base: DataFrame, n: int) -> DataFrame:
     """Exploded word n-grams (doc_id, g) from a relation carrying a bound
     `ws` array column and its size `nw`. The array MUST be bound in its own
@@ -1467,6 +1579,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "mixture_resample": (mixture_resample, MIXTURE_SQL),
     "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "bm25_rank": (bm25_rank, BM25_SQL),
     "repetition_flags": (repetition_flags, REPETITION_SQL),
     "decontaminate_overlap": (decontaminate_overlap, DECONTAMINATE_SQL),
     "corpus_filter_pipeline": (

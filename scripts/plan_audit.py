@@ -43,6 +43,7 @@ ALLOWED: dict[str, tuple[str, int]] = {
     # 1-row node-count broadcast: init ranks + one per PageRank round
     "kg_pagerank": ("BroadcastNestedLoopJoin", 7),
     "tfidf_top_terms": ("BroadcastNestedLoopJoin", 1),  # 1-row corpus size
+    "bm25_rank": ("BroadcastNestedLoopJoin", 1),  # 1-row (n_docs, sum_dl)
     # dim-sized alias dictionary crossJoin (scale note: Aho-Corasick,
     # plans/disambig.py)
     "alias_resolve_popularity": ("BroadcastNestedLoopJoin", 1),

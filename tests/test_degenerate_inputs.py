@@ -230,3 +230,49 @@ def test_dup_span_fraction_ground_truth(spark, tmp_path):
     assert (got[1].n_spans, got[1].n_dup_spans, got[1].dup_frac) == (2, 1, 0.5)
     assert (got[2].n_spans, got[2].n_dup_spans, got[2].dup_frac) == (2, 1, 0.5)
     assert (got[3].n_spans, got[3].n_dup_spans, got[3].dup_frac) == (1, 0, 0.0)
+
+
+def test_bm25_hand_computed(spark, tmp_path):
+    """BM25 on a 3-doc fixture checked against a pure-python mirror of the
+    exact op tree (rational idf, k1=1.2, b=0.75); a doc containing no query
+    term must be absent from the output."""
+    from prove_spark.plans.textops import BM25_QUERY, bm25_rank
+
+    texts = {
+        1: "spark join spark scan table",          # 2x spark, 1x join
+        2: "join vector join join scan",           # 3x join, 1x vector
+        3: "table scan row batch window",          # no query term
+        4: "spark",                                # dl=1 extreme
+    }
+    pdf = pd.DataFrame(
+        [[i, t, "en", "s", len(t)] for i, t in sorted(texts.items())],
+        columns=DOC_COLS,
+    )
+    d = f"{tmp_path}/bm25_sf"
+    spark.createDataFrame(pdf, schema=DOC_SCHEMA).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    # python mirror with the identical parenthesization
+    words = {i: t.split(" ") for i, t in texts.items()}
+    dl = {i: len(ws) for i, ws in words.items()}
+    n_docs = len(texts)
+    avgdl = sum(dl.values()) / n_docs
+    tf = {
+        (i, q): ws.count(q)
+        for i, ws in words.items()
+        for q in BM25_QUERY
+        if q in ws
+    }
+    df = {q: sum(1 for (_i, qq) in tf if qq == q) for q in BM25_QUERY}
+    expected = {}
+    for (i, q), t in tf.items():
+        idf = ((n_docs - df[q]) + 0.5) / (df[q] + 0.5)
+        score = idf * ((t * 2.2) / (t + 1.2 * (0.25 + 0.75 * (dl[i] / avgdl))))
+        expected[i] = expected.get(i, 0.0) + score
+    got = {r.doc_id: r for r in bm25_rank(spark, d).collect()}
+    assert set(got) == set(expected) == {1, 2, 4}
+    for i, s in expected.items():
+        assert got[i].bm25 == pytest.approx(s, abs=1e-9)
+    assert got[1].n_terms_matched == 2 and got[1].n_occurrences == 3
+    assert got[2].n_terms_matched == 2 and got[2].n_occurrences == 4
+    assert got[4].n_terms_matched == 1 and got[4].n_occurrences == 1
