@@ -637,3 +637,50 @@ SELECT d.v AS entity, CAST(d.deg AS BIGINT) AS degree,
        CAST(c.c AS BIGINT) AS coreness
 FROM kc_deg d JOIN kc_c{KCORE_ITERS} c ON c.v = d.v"""
     return sql
+
+
+BFS_ITERS = 8  # dense synthetic entity graph reaches fixpoint in ~2-3 hops;
+# extra rounds are no-ops (empty frontier → empty new set → reached unchanged)
+BFS_SEEDS = 3
+
+
+def kg_bfs_distance_sql() -> str:
+    """Multi-source BFS hop-distance oracle over the KG entity graph: the
+    Spark side's fixed-round frontier loop unrolled as a CTE chain. Seeds =
+    the BFS_SEEDS highest-degree entities (ties broken by MIN entity id) —
+    a deterministic stand-in for the external seed list a production
+    reachability job would take. Integer/string arithmetic only — no float
+    parity concerns. Unreached nodes are absent from the output (same
+    edge-induced domain posture as kg_coreness)."""
+    # MATERIALIZED is load-bearing on the per-round reached set: each round
+    # references bfs_r{t-1} twice (the NOT EXISTS + the carry-forward UNION),
+    # so an un-hinted chain re-evaluates the entire KG build 2^t times (the
+    # measured LPA blow-up, kg_label_propagation_sql). The frontier is
+    # referenced once but derives from the twice-referenced new set.
+    sql = (
+        _kg_ctes()
+        + f""",
+bfs_und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM triples WHERE subj <> obj),
+bfs_nbr AS MATERIALIZED (SELECT a AS src, b AS dst FROM bfs_und
+            UNION ALL SELECT b AS src, a AS dst FROM bfs_und),
+bfs_deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM bfs_nbr GROUP BY src),
+bfs_seeds AS MATERIALIZED (
+  SELECT v FROM bfs_deg ORDER BY deg DESC, v ASC LIMIT {BFS_SEEDS}),
+bfs_r0 AS MATERIALIZED (SELECT v, 0 AS hop FROM bfs_seeds),
+bfs_f0 AS MATERIALIZED (SELECT v FROM bfs_seeds)"""
+    )
+    for t in range(1, BFS_ITERS + 1):
+        sql += f""",
+bfs_n{t} AS MATERIALIZED (
+  SELECT c.v, {t} AS hop FROM (
+    SELECT DISTINCT n.src AS v
+    FROM bfs_nbr n JOIN bfs_f{t - 1} f ON f.v = n.dst) c
+  WHERE NOT EXISTS (SELECT 1 FROM bfs_r{t - 1} r WHERE r.v = c.v)),
+bfs_r{t} AS MATERIALIZED (
+  SELECT v, hop FROM bfs_r{t - 1} UNION ALL SELECT v, hop FROM bfs_n{t}),
+bfs_f{t} AS (SELECT v FROM bfs_n{t})"""
+    sql += f"""
+SELECT v AS entity, CAST(hop AS BIGINT) AS hop FROM bfs_r{BFS_ITERS}"""
+    return sql

@@ -25,7 +25,12 @@ def kg_plan(spark):
     from prove_spark.pipeline.run import build_triples
 
     # small broadcast threshold = the 100 TB regime (nothing fact-sized can
-    # broadcast), eager_cache off for a fully lazy, inspectable plan
+    # broadcast), eager_cache off for a fully lazy, inspectable plan.
+    # clearCache: plan assertions need a cache-free session — leaked
+    # deferred-unpersist caches from other modules substitute
+    # InMemoryRelation into structurally-matching subtrees (see the
+    # measured case in tests/test_plans.py::_cache_free_session)
+    spark.catalog.clearCache()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
     try:
         tr = transcripts_df(spark, "/root/testdata/sf0.001")
