@@ -694,6 +694,11 @@ _UNREGISTERED = {
     # tfidf_top_terms; the retrieval family's CORR rows are the ANN pair
     # (ann_topk_cosine, ann_ivf_topk)
     "bm25_rank",
+    # token_pmi — PMI-style co-occurrence lift (collocation mining) beside
+    # tfidf_top_terms/bm25_rank in the corpus-statistics family; the
+    # df-band + bounded self-join shape mirrors dedup_ngram_jaccard's
+    # CORR-pinned discipline
+    "token_pmi",
 }
 
 # Single source for the sweep-capped queries: name → (spark_fn, sql | None),

@@ -1129,6 +1129,117 @@ FROM scored GROUP BY doc_id
 """
 
 
+# -------------------------------------------------------- token co-occurrence
+# df band for PMI-style co-occurrence: tokens appearing in fewer than MIN_DF
+# docs carry no statistical signal; tokens above the MAX_DF fraction are
+# stopword-class and would make the per-doc pair fan-out quadratic in the
+# document length (the classic d² hub problem — same discipline as
+# dedup_ngram_jaccard's shingle df cap). The bound is integer-exact:
+# NUM*df <= DEN*n_docs, no float comparison. The cap of record here is 90%
+# because the synthetic corpus has a 31-token vocabulary sitting almost
+# entirely in 75-85% of documents (a real web corpus tightens this to the
+# 40%-class stopword cut); what the oracle pins is the cap MACHINERY —
+# tokens above it provably never enter the self-join.
+PMI_MIN_DF = 4
+PMI_MAX_DF_NUM = 9  # df * 10 <= 9 * n_docs  ⇔  df <= 90% of docs
+PMI_MAX_DF_DEN = 10
+PMI_MIN_PAIR = 2
+
+
+def token_pmi(spark, sf_dir):
+    """Token co-occurrence association (PMI-style lift) over the corpus:
+    for every in-band token pair co-occurring in >= PMI_MIN_PAIR documents,
+    lift = P(x,y) / (P(x)P(y)) = pair_count * N / (df_x * df_y) — the
+    collocation-mining step of a corpus analysis pipeline (PMI itself is
+    ln(lift); the log is dropped deliberately because ln() is not
+    bit-identical across libms — lift is monotone in PMI, so thresholds and
+    rankings are preserved while the score stays a fixed tree of
+    exact-rounded IEEE ops: one int multiply chain, two divisions).
+
+    Scale shape: presence relation (doc, token) is the DEDUPED tf relation
+    (one corpus scan, map-side combine); the df band [PMI_MIN_DF, MAX_DF%]
+    cuts stopwords BEFORE the self-join, so per-doc pair fan-out is B² with
+    B = banded tokens per doc (bounded by the band, not the doc length); the
+    pair count is one combinable agg keyed on (t1, t2); N rides as a 1-row
+    broadcast. Nothing is vocab² — pairs exist only where a document
+    witnesses them.
+
+    Reference anchor: the reference mines sentence/claim co-mention
+    signals per evidence page (ProVe sentence retrieval); this is the
+    corpus-statistics twin over the documents relation."""
+    d = _rebalance_scan(spark, _t(spark, sf_dir, "documents"))
+    pres = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    dfreq = pres.groupBy("w").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    banded = (
+        pres.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .where(
+            (F.col("df") >= PMI_MIN_DF)
+            & (F.col("df") * PMI_MAX_DF_DEN <= F.col("n_docs") * PMI_MAX_DF_NUM)
+        )
+        .select("doc_id", "w", "df", "n_docs")
+    )
+    a = banded.select("doc_id", F.col("w").alias("t1"), F.col("df").alias("df1"))
+    b = banded.select(
+        "doc_id", F.col("w").alias("t2"), F.col("df").alias("df2"), "n_docs"
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2", "df1", "df2", "n_docs")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= PMI_MIN_PAIR)
+    )
+    return pairs.select(
+        "t1",
+        "t2",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.col("df1").cast("long").alias("df1"),
+        F.col("df2").cast("long").alias("df2"),
+        # fixed left-assoc tree: (double(pair*N) / df1) / df2 — mirrored
+        # literally in the oracle so both engines round identically
+        (
+            (F.col("pair_count") * F.col("n_docs")).cast("double")
+            / F.col("df1")
+            / F.col("df2")
+        ).alias("lift"),
+    )
+
+
+TOKEN_PMI_SQL = f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+dfreq AS (SELECT w, COUNT(*) AS df FROM pres GROUP BY w),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+banded AS (
+  SELECT p.doc_id, p.w, f.df, n.n_docs
+  FROM pres p JOIN dfreq f USING (w) CROSS JOIN n
+  WHERE f.df >= {PMI_MIN_DF}
+    AND f.df * {PMI_MAX_DF_DEN} <= n.n_docs * {PMI_MAX_DF_NUM}
+),
+pairs AS (
+  SELECT a.w AS t1, b.w AS t2, a.df AS df1, b.df AS df2, a.n_docs,
+         COUNT(*) AS pair_count
+  FROM banded a JOIN banded b
+    ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2, 3, 4, 5
+  HAVING COUNT(*) >= {PMI_MIN_PAIR}
+)
+SELECT t1, t2, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+       CAST(pair_count * n_docs AS DOUBLE) / df1 / df2 AS lift
+FROM pairs
+"""
+
+
 def _word_ngram_rows(base: DataFrame, n: int) -> DataFrame:
     """Exploded word n-grams (doc_id, g) from a relation carrying a bound
     `ws` array column and its size `nw`. The array MUST be bound in its own
@@ -1582,6 +1693,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "bm25_rank": (bm25_rank, BM25_SQL),
     "repetition_flags": (repetition_flags, REPETITION_SQL),
     "decontaminate_overlap": (decontaminate_overlap, DECONTAMINATE_SQL),
+    "token_pmi": (token_pmi, TOKEN_PMI_SQL),
     "corpus_filter_pipeline": (
         corpus_filter_pipeline,
         CORPUS_FILTER_SQL.format(
