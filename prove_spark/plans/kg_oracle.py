@@ -684,3 +684,51 @@ bfs_f{t} AS (SELECT v FROM bfs_n{t})"""
     sql += f"""
 SELECT v AS entity, CAST(hop AS BIGINT) AS hop FROM bfs_r{BFS_ITERS}"""
     return sql
+
+
+# Wedge centers above this degree are excluded from common-neighbor
+# enumeration (a degree-d center emits d² wedge pairs — the classic hub
+# blow-up; the cap makes the capped CN a documented LOWER BOUND through
+# hot entities). 64 does not bind on the synthetic graph (max degree ~40);
+# cap behavior is pinned on crafted graphs in tests/test_linkpred.py.
+LINKPRED_HUB_CAP = 64
+LINKPRED_MIN_CN = 2
+
+
+def kg_link_prediction_sql() -> str:
+    """Link-prediction oracle over the KG entity graph: common-neighbor
+    counts via wedge enumeration at hub-capped centers, restricted to
+    NON-adjacent pairs, with neighbor-set Jaccard = cn/(deg_a+deg_b-cn).
+    Integer arithmetic except the single final IEEE division (correctly
+    rounded per IEEE 754 in both engines, unlike ln())."""
+    return (
+        _kg_ctes()
+        + f""",
+lp_und AS (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM triples WHERE subj <> obj),
+lp_nbr AS (SELECT a AS src, b AS dst FROM lp_und
+           UNION ALL SELECT b AS src, a AS dst FROM lp_und),
+lp_deg AS (SELECT src AS v, COUNT(*) AS deg FROM lp_nbr GROUP BY src),
+lp_centers AS (
+  SELECT n.src, n.dst FROM lp_nbr n
+  JOIN lp_deg d ON d.v = n.src
+  WHERE d.deg <= {LINKPRED_HUB_CAP}),
+lp_cn AS (
+  SELECT o1.dst AS a, o2.dst AS b, COUNT(*) AS cn
+  FROM lp_centers o1
+  JOIN lp_centers o2 ON o2.src = o1.src AND o1.dst < o2.dst
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {LINKPRED_MIN_CN}),
+lp_new AS (
+  SELECT c.a, c.b, c.cn FROM lp_cn c
+  WHERE NOT EXISTS (SELECT 1 FROM lp_und e WHERE e.a = c.a AND e.b = c.b))
+SELECT p.a AS entity_a, p.b AS entity_b,
+       CAST(p.cn AS BIGINT) AS common_neighbors,
+       CAST(da.deg AS BIGINT) AS degree_a,
+       CAST(db.deg AS BIGINT) AS degree_b,
+       CAST(p.cn AS DOUBLE) / (da.deg + db.deg - p.cn) AS jaccard
+FROM lp_new p
+JOIN lp_deg da ON da.v = p.a
+JOIN lp_deg db ON db.v = p.b"""
+    )

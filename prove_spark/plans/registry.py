@@ -469,6 +469,86 @@ def kg_bfs_distance(spark, sf_dir):
     return _bfs_distance(und, BFS_ITERS, BFS_SEEDS)
 
 
+def _link_prediction(und, hub_cap: int, min_cn: int, cache_registry: list | None = None):
+    """Core common-neighbor link prediction over an undirected (a < b) edge
+    relation: for every NON-adjacent pair with >= min_cn common neighbors
+    (counted through wedge centers of degree <= hub_cap), emit the count and
+    the neighbor-set Jaccard cn/(deg_a + deg_b - cn). Factored out so tests
+    can drive crafted graphs directly.
+
+    Scale shape: wedge enumeration is ONE self-join of the hub-capped
+    neighbor relation on its center key — fan-out per center is capped-deg²,
+    so a degree-d hub's d² pair blow-up never materializes (capped CN is a
+    documented lower bound through hot entities; degrees stay TRUE degrees).
+    The pair count is a combinable agg on (a, b); adjacency removal is one
+    LEFT ANTI join against the edge set (edge-scale build side); the two
+    degree joins are node-scale. Exactness: integers throughout except the
+    single final IEEE division, which is correctly rounded per IEEE 754 in
+    both engines (the reason the score is Jaccard and not Adamic-Adar:
+    1/ln(deg) sums are NOT bit-portable across libms)."""
+    caches = _KG_CACHES if cache_registry is None else cache_registry
+    und = und.persist()
+    caches.append(und)
+    und.count()  # nbr's two union legs + the anti join consume it concurrently
+    nbr = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = truncate_round(
+        nbr.groupBy("src").agg(F.count("*").alias("deg")).select(
+            F.col("src").alias("v"), "deg"
+        ),
+        caches,
+    )
+    deg.count()  # feeds the center filter AND both final degree joins
+    centers = nbr.join(
+        deg.select(F.col("v").alias("src"), "deg"), "src"
+    ).where(F.col("deg") <= hub_cap)
+    o1 = centers.select("src", F.col("dst").alias("a"))
+    o2 = centers.select("src", F.col("dst").alias("b"))
+    cn = (
+        o1.join(o2, "src")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+        .where(F.col("cn") >= min_cn)
+    )
+    new = cn.join(und, ["a", "b"], "left_anti")
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    return (
+        new.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("entity_a"),
+            F.col("b").alias("entity_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("da").cast("long").alias("degree_a"),
+            F.col("db").cast("long").alias("degree_b"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def kg_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction over the KG entity graph — the graph
+    family's seventh signal (missing-edge inference) next to [kg_pagerank]
+    (importance), [kg_triangles] (clustering), connected components
+    (identity), [kg_label_propagation] (community), [kg_coreness] (density),
+    and [kg_bfs_distance] (reachability): which entity pairs are NOT yet
+    linked by a verified triple but share many verified neighbors — the
+    candidate-generation step for KG completion. Hub-cap behavior is pinned
+    on crafted graphs in tests/test_linkpred.py (the cap does not bind on
+    the synthetic graph — documented), same posture as kg_coreness."""
+    from .kg_oracle import LINKPRED_HUB_CAP, LINKPRED_MIN_CN
+
+    triples = _kg_build(spark, sf_dir)
+    und = truncate_round(_kg_undirected_edges(triples), _KG_CACHES)
+    return _link_prediction(und, LINKPRED_HUB_CAP, LINKPRED_MIN_CN)
+
+
 def _kg_sqls() -> dict[str, str]:
     from .kg_oracle import (
         kg_entities_sql,
@@ -517,11 +597,16 @@ KG_QUERIES: dict[str, tuple] = {
 # KG-family queries held out of the sweep cap (the registry is full at 50;
 # these get the identical oracle gate in the pytest unregistered lane)
 def _kg_extra_sqls() -> dict[str, str]:
-    from .kg_oracle import kg_bfs_distance_sql, kg_coreness_sql
+    from .kg_oracle import (
+        kg_bfs_distance_sql,
+        kg_coreness_sql,
+        kg_link_prediction_sql,
+    )
 
     return {
         "kg_coreness": kg_coreness_sql(),
         "kg_bfs_distance": kg_bfs_distance_sql(),
+        "kg_link_prediction": kg_link_prediction_sql(),
     }
 
 
@@ -530,6 +615,10 @@ _KG_EXTRA_SQLS = _kg_extra_sqls()
 KG_EXTRA_QUERIES: dict[str, tuple] = {
     "kg_coreness": (kg_coreness, _KG_EXTRA_SQLS["kg_coreness"]),
     "kg_bfs_distance": (kg_bfs_distance, _KG_EXTRA_SQLS["kg_bfs_distance"]),
+    "kg_link_prediction": (
+        kg_link_prediction,
+        _KG_EXTRA_SQLS["kg_link_prediction"],
+    ),
 }
 
 # Intentionally unregistered to stay under the driver's 50-row sweep cap
@@ -685,6 +774,11 @@ _UNREGISTERED = {
     # documented — with multi-hop discrimination pinned on crafted graphs
     # in tests/test_bfs.py
     "kg_bfs_distance",
+    # kg_link_prediction — common-neighbor/Jaccard missing-edge inference
+    # (the graph family's seventh signal, KG completion candidates; same
+    # registry-full rationale); hub-cap behavior pinned on crafted graphs
+    # in tests/test_linkpred.py
+    "kg_link_prediction",
     # cdc_apply_changes — MERGE INTO twin (changelog compaction +
     # upsert/delete apply); the window and full-outer shapes it composes
     # hold CORR rows elsewhere (latest_event_per_user, kg_entities' left
