@@ -686,6 +686,44 @@ SELECT v AS entity, CAST(hop AS BIGINT) AS hop FROM bfs_r{BFS_ITERS}"""
     return sql
 
 
+def transcript_turn_stats_sql() -> str:
+    """Per-role rollup oracle over the north-rule input table itself
+    (conv_id, turn_idx, role, text, tool, ts): the `turns` CTE re-derives
+    conv_id/turn_idx/turn_text, and role/tool/ts are the same pure
+    arithmetic datagen applies — role = ROLES[turn_idx % 3], tool =
+    TOOLS[(doc_id + turn_idx) % 4] for tool turns else '', ts = epoch +
+    (doc_id % 1e6)·1000 + turn_idx·7 seconds (datagen.py:124-127).
+    Integer/string/timestamp arithmetic plus ONE final IEEE division."""
+    return (
+        _kg_ctes()
+        + """,
+tts AS (
+  SELECT conv_id, turn_idx, turn_text,
+         CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         CASE WHEN turn_idx % 3 = 2
+              THEN CASE (doc_id + turn_idx) % 4
+                   WHEN 0 THEN 'search' WHEN 1 THEN 'browser'
+                   WHEN 2 THEN 'python' ELSE '' END
+              ELSE '' END AS tool,
+         TIMESTAMP '2026-01-01 00:00:00'
+           + to_seconds(CAST((doc_id % 1000000) * 1000 + turn_idx * 7
+                             AS BIGINT)) AS ts
+  FROM turns)
+SELECT role,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(SUM(length(turn_text)) AS BIGINT) AS total_chars,
+       CAST(SUM(length(turn_text)) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_calls,
+       CAST(COUNT(DISTINCT NULLIF(tool, '')) AS BIGINT) AS n_distinct_tools,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM tts GROUP BY role"""
+    )
+
+
 # Wedge centers above this degree are excluded from common-neighbor
 # enumeration (a degree-d center emits d² wedge pairs — the classic hub
 # blow-up; the cap makes the capped CN a documented LOWER BOUND through

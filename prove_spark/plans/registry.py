@@ -549,6 +549,48 @@ def kg_link_prediction(spark, sf_dir):
     return _link_prediction(und, LINKPRED_HUB_CAP, LINKPRED_MIN_CN)
 
 
+def transcript_turn_stats(spark, sf_dir):
+    """Per-role descriptive rollup over the north-rule input table ITSELF
+    (conv_id, turn_idx, role, text, tool, ts — BASELINE.json input_hint):
+    turn counts, conversation coverage, character volume, tool-call rates,
+    and the time span, per role. The ingest-side data-profile a transcript
+    pipeline runs before KG construction (the kg lane consumes this same
+    relation; this query pins the relation's own statistics cross-engine,
+    including the role/tool/ts columns the triples path doesn't touch).
+
+    Scale shape: ONE scan → one map-side-combinable groupBy on a 3-value
+    key; the two distinct aggs (convs, tools) expand to the standard
+    two-pass partial-distinct plan. avg_chars is the single final IEEE
+    division (correctly rounded in both engines)."""
+    from ..datagen import transcripts_df
+
+    tr = transcripts_df(spark, sf_dir)
+    agg = tr.groupBy("role").agg(
+        F.count("*").alias("n_turns"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.count(F.when(F.col("tool") != "", True)).alias("n_tool_calls"),
+        F.countDistinct(
+            F.when(F.col("tool") != "", F.col("tool"))
+        ).alias("n_distinct_tools"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    return agg.select(
+        "role",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_convs").cast("long").alias("n_convs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        (F.col("total_chars").cast("double") / F.col("n_turns")).alias(
+            "avg_chars"
+        ),
+        F.col("n_tool_calls").cast("long").alias("n_tool_calls"),
+        F.col("n_distinct_tools").cast("long").alias("n_distinct_tools"),
+        "first_ts",
+        "last_ts",
+    )
+
+
 def _kg_sqls() -> dict[str, str]:
     from .kg_oracle import (
         kg_entities_sql,
@@ -601,12 +643,14 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_bfs_distance_sql,
         kg_coreness_sql,
         kg_link_prediction_sql,
+        transcript_turn_stats_sql,
     )
 
     return {
         "kg_coreness": kg_coreness_sql(),
         "kg_bfs_distance": kg_bfs_distance_sql(),
         "kg_link_prediction": kg_link_prediction_sql(),
+        "transcript_turn_stats": transcript_turn_stats_sql(),
     }
 
 
@@ -618,6 +662,10 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
     "kg_link_prediction": (
         kg_link_prediction,
         _KG_EXTRA_SQLS["kg_link_prediction"],
+    ),
+    "transcript_turn_stats": (
+        transcript_turn_stats,
+        _KG_EXTRA_SQLS["transcript_turn_stats"],
     ),
 }
 
@@ -779,6 +827,10 @@ _UNREGISTERED = {
     # registry-full rationale); hub-cap behavior pinned on crafted graphs
     # in tests/test_linkpred.py
     "kg_link_prediction",
+    # transcript_turn_stats — per-role profile of the north-rule input
+    # table itself (pins the role/tool/ts columns the triples path does
+    # not touch); the plain-groupBy shape is CORR-pinned elsewhere
+    "transcript_turn_stats",
     # cdc_apply_changes — MERGE INTO twin (changelog compaction +
     # upsert/delete apply); the window and full-outer shapes it composes
     # hold CORR rows elsewhere (latest_event_per_user, kg_entities' left
