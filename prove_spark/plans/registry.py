@@ -840,6 +840,10 @@ _UNREGISTERED = {
     # tfidf_top_terms; the retrieval family's CORR rows are the ANN pair
     # (ann_topk_cosine, ann_ivf_topk)
     "bm25_rank",
+    # dedup_keep_best — quality-ranked survivor selection per LSH cluster
+    # (the keep policy composing dedup_lsh_clusters + quality_scores, both
+    # of which hold the family's CORR rows)
+    "dedup_keep_best",
     # token_pmi — PMI-style co-occurrence lift (collocation mining) beside
     # tfidf_top_terms/bm25_rank in the corpus-statistics family; the
     # df-band + bounded self-join shape mirrors dedup_ngram_jaccard's

@@ -399,6 +399,59 @@ FROM comp
 """
 
 
+def dedup_keep_best(spark, sf_dir):
+    """Near-dup survivor selection by QUALITY — the keep policy a real
+    training-data dedup applies after cluster resolution: within each LSH
+    near-dup cluster keep the highest-quality copy (alpha_ratio DESC, then
+    n_chars DESC, then doc_id ASC — a total order), not the arbitrary
+    min-id representative [dedup_lsh_clusters] emits. Every document is
+    labeled (cluster, size, quality, keep); downstream filters keep=true.
+
+    Scale shape: composes the two oracled stages on the doc_id spine (one
+    1:1 hash join — no fan-out), then ONE exchange keyed on cluster_rep for
+    the ranking window; the per-partition sort is bounded by the largest
+    cluster (banding caps bound that upstream), and singleton clusters
+    degenerate to pass-through partitions. A per-cluster max_by reduction
+    would cost the identical exchange, so the window is not a scale
+    liability here."""
+    clusters = dedup_lsh_clusters(spark, sf_dir)
+    q = quality_scores(spark, sf_dir).select(
+        "doc_id", "alpha_ratio", "n_chars"
+    )
+    joined = clusters.select("doc_id", "cluster_rep", "cluster_size").join(
+        q, "doc_id"
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("alpha_ratio"), F.desc("n_chars"), F.asc("doc_id")
+    )
+    return joined.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        "alpha_ratio",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("rk") == 1).alias("keep"),
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+qual AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE)
+           / LENGTH(text) AS alpha_ratio
+  FROM documents
+)
+SELECT c.doc_id, c.cluster_rep, c.cluster_size, q.alpha_ratio,
+       CAST(q.n_chars AS BIGINT) AS n_chars,
+       ROW_NUMBER() OVER (
+         PARTITION BY c.cluster_rep
+         ORDER BY q.alpha_ratio DESC, q.n_chars DESC, c.doc_id ASC
+       ) = 1 AS keep
+FROM clusters c JOIN qual q USING (doc_id)
+"""
+
+
 # ----------------------------------------------------------------- SimHash
 # 64 bits — the production width (a 16-bit space saturates at ~2^8 docs by
 # birthday collision; 64-bit SimHash is the standard near-dup fingerprint).
@@ -1694,6 +1747,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "repetition_flags": (repetition_flags, REPETITION_SQL),
     "decontaminate_overlap": (decontaminate_overlap, DECONTAMINATE_SQL),
     "token_pmi": (token_pmi, TOKEN_PMI_SQL),
+    "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "corpus_filter_pipeline": (
         corpus_filter_pipeline,
         CORPUS_FILTER_SQL.format(
