@@ -52,6 +52,10 @@ ALLOWED: dict[str, tuple[str, int]] = {
     "mixture_resample": ("BroadcastNestedLoopJoin", 3),
     # 1-row vocabulary-size broadcast in the smoothing denominator
     "bigram_lm_score": ("BroadcastNestedLoopJoin", 1),
+    # 1-row corpus-size broadcast feeding the df band filter: the banded
+    # relation is consumed by BOTH sides of the pair self-join, so the one
+    # logical crossJoin prints as two physical instances
+    "token_pmi": ("BroadcastNestedLoopJoin", 2),
     # same 1-row vocab broadcast, riding in via the composed bigram score
     "curriculum_bins": ("BroadcastNestedLoopJoin", 1),
     # 1-row per-table aggregate + anti-join-count relations assembled into
