@@ -702,6 +702,104 @@ WHERE COALESCE(l.op, 'K') <> 'D'
 """
 
 
+# Funnel step definitions: strictly-ordered event sequence per user. A step
+# counts only if it happens strictly AFTER the user's earliest completion of
+# the previous step AND within the conversion window (the standard
+# product-analytics funnel semantics; the window also makes every funnel
+# stage live on the synthetic stream — 9/3/3 at sf0.001).
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 12
+
+
+def funnel_steps(spark, sf_dir):
+    """Ordered-sequence funnel analysis over the event stream: per user, the
+    earliest time each step of view → click → purchase was completed IN
+    ORDER (step k counts only strictly after the user's earliest step k-1
+    and within the FUNNEL_WINDOW_HOURS conversion window), plus the
+    furthest stage reached — the sequential-pattern operator none
+    of the set-shaped aggregations express (a user with purchase BEFORE
+    view must not convert).
+
+    Scale shape: each step is a filtered map-side-combinable min-agg joined
+    back on user_id — every join and agg keys on the SAME column, so one
+    hash partitioning serves the whole chain (no re-shuffle between steps;
+    AQE reuses the exchange); step relations shrink monotonically (step k
+    rows ⊆ step k-1 users). Timestamps only — no float arithmetic."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (
+                F.col("ts")
+                <= F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.col("ts")
+                <= F.col("t2") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            F.when(F.col("t3").isNotNull(), F.lit(3))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("stage_reached"),
+        )
+    )
+
+
+FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+  JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+  JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS stage_reached
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -722,4 +820,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "fuzzy_part_matches": (fuzzy_part_matches, FUZZY_SQL),
     "scd2_user_state": (scd2_user_state, SCD2_SQL),
     "cdc_apply_changes": (cdc_apply_changes, CDC_SQL),
+    "funnel_steps": (funnel_steps, FUNNEL_SQL),
 }

@@ -827,6 +827,10 @@ _UNREGISTERED = {
     # registry-full rationale); hub-cap behavior pinned on crafted graphs
     # in tests/test_linkpred.py
     "kg_link_prediction",
+    # funnel_steps — strictly-ordered sequential-pattern funnel (the one
+    # ordering-sensitive aggregation shape the set-shaped CORR rows cannot
+    # express); same-key join/agg chain, one partitioning reused
+    "funnel_steps",
     # transcript_turn_stats — per-role profile of the north-rule input
     # table itself (pins the role/tool/ts columns the triples path does
     # not touch); the plain-groupBy shape is CORR-pinned elsewhere
