@@ -844,6 +844,10 @@ _UNREGISTERED = {
     # tfidf_top_terms; the retrieval family's CORR rows are the ANN pair
     # (ann_topk_cosine, ann_ivf_topk)
     "bm25_rank",
+    # rrf_hybrid_rank — hybrid lexical+semantic retrieval by reciprocal
+    # rank fusion (composes bm25_rank with the exact-cosine ranking; the
+    # retrieval family's CORR rows are the ANN pair)
+    "rrf_hybrid_rank",
     # dedup_keep_best — quality-ranked survivor selection per LSH cluster
     # (the keep policy composing dedup_lsh_clusters + quality_scores, both
     # of which hold the family's CORR rows)

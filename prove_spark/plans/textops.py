@@ -1182,6 +1182,128 @@ FROM scored GROUP BY doc_id
 """
 
 
+# RRF constants: the standard k=60 damping (Cormack et al. 2009) and a
+# fixed fusion depth (RRF is defined over top-k lists, not full rankings).
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_QUERY_VEC = 0  # the semantic query: embeddings.vec_id == doc_id companion
+
+
+def rrf_hybrid_rank(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion: the lexical ranking
+    ([bm25_rank] for the fixed BM25_QUERY) and the semantic ranking (exact
+    DECIMAL cosine against the fixed query embedding RRF_QUERY_VEC;
+    embeddings.vec_id is the doc_id companion column) fused as
+    rrf = Σ_list 1/(RRF_K + rank), missing-from-list contributing 0 — the
+    standard hybrid-search merge (ranks only, so the two scores' scales
+    never need calibrating; 1/(60+r) is a single correctly-rounded IEEE
+    division, unlike score normalization's log/exp).
+
+    Scale shape: each list ends in orderBy().limit(RRF_DEPTH) — a
+    TakeOrderedAndProject (parallel partial top-k, NO global sort); the
+    row_number windows and the full-outer fusion join then run on ≤ DEPTH
+    rows per side, so every post-candidate stage is k-bounded, not
+    corpus-bounded. Ranks are coalesced to 0 (= absent) so the output is
+    all-BIGINT + one double."""
+    lex_order = [F.desc("bm25"), F.asc("doc_id")]
+    lex = (
+        bm25_rank(spark, sf_dir)
+        .orderBy(*lex_order)
+        .limit(RRF_DEPTH)
+        .withColumn("r_lex", F.row_number().over(Window.orderBy(*lex_order)))
+        .select("doc_id", "r_lex")
+    )
+    sem_base = _cosine_pairs_base(
+        spark,
+        sf_dir,
+        F.col("vec_id") == RRF_QUERY_VEC,
+        F.col("vec_id") != RRF_QUERY_VEC,
+        join_on_label=False,
+    ).select(F.col("vec_b").alias("doc_id"), "cosine")
+    sem_order = [F.desc("cosine"), F.asc("doc_id")]
+    sem = (
+        sem_base.orderBy(*sem_order)
+        .limit(RRF_DEPTH)
+        .withColumn("r_sem", F.row_number().over(Window.orderBy(*sem_order)))
+        .select("doc_id", "r_sem")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("r_lex", F.lit(0)).cast("long").alias("r_lex"),
+            F.coalesce("r_sem", F.lit(0)).cast("long").alias("r_sem"),
+        )
+        .withColumn(
+            "rrf_score",
+            F.when(
+                F.col("r_lex") == 0, F.lit(0.0)
+            ).otherwise(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")))
+            + F.when(
+                F.col("r_sem") == 0, F.lit(0.0)
+            ).otherwise(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem"))),
+        )
+    )
+    return fused.withColumn(
+        "fused_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id")))
+        .cast("long"),
+    )
+
+
+RRF_SQL = f"""
+WITH bm AS ({BM25_SQL}),
+lexr AS (
+  SELECT doc_id, r_lex FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+    FROM bm) WHERE r_lex <= {RRF_DEPTH}),
+ex AS (
+  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+         UNNEST(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS nsq
+          FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT b.vec_id AS doc_id, SUM(CAST(a.x * b.x AS DECIMAL(28,14))) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i
+  WHERE a.vec_id = {RRF_QUERY_VEC} AND b.vec_id <> {RRF_QUERY_VEC}
+  GROUP BY 1
+),
+cos AS (
+  SELECT d.doc_id,
+    CAST(d.dot AS DOUBLE)
+      / SQRT(CAST(nq.nsq AS DOUBLE) * CAST(nd.nsq AS DOUBLE)) AS cosine
+  FROM dots d
+  JOIN norms nd ON d.doc_id = nd.vec_id
+  CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = {RRF_QUERY_VEC}) nq
+),
+semr AS (
+  SELECT doc_id, r_sem FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS r_sem
+    FROM cos) WHERE r_sem <= {RRF_DEPTH}),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST(COALESCE(l.r_lex, 0) AS BIGINT) AS r_lex,
+         CAST(COALESCE(s.r_sem, 0) AS BIGINT) AS r_sem
+  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id),
+scored AS (
+  SELECT doc_id, r_lex, r_sem,
+         (CASE WHEN r_lex = 0 THEN 0.0e0
+               ELSE CAST(1 AS DOUBLE) / ({RRF_K} + r_lex) END
+          + CASE WHEN r_sem = 0 THEN 0.0e0
+                 ELSE CAST(1 AS DOUBLE) / ({RRF_K} + r_sem) END) AS rrf_score
+  FROM fused)
+SELECT doc_id, r_lex, r_sem, rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT)
+         AS fused_rank
+FROM scored
+"""
+
+
 # -------------------------------------------------------- token co-occurrence
 # df band for PMI-style co-occurrence: tokens appearing in fewer than MIN_DF
 # docs carry no statistical signal; tokens above the MAX_DF fraction are
@@ -1748,6 +1870,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "decontaminate_overlap": (decontaminate_overlap, DECONTAMINATE_SQL),
     "token_pmi": (token_pmi, TOKEN_PMI_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
+    "rrf_hybrid_rank": (rrf_hybrid_rank, RRF_SQL),
     "corpus_filter_pipeline": (
         corpus_filter_pipeline,
         CORPUS_FILTER_SQL.format(
