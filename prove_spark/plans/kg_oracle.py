@@ -686,6 +686,38 @@ SELECT v AS entity, CAST(hop AS BIGINT) AS hop FROM bfs_r{BFS_ITERS}"""
     return sql
 
 
+def kg_temporal_facts_sql() -> str:
+    """Temporal fact-scoping oracle: every verified triple joined back to
+    its source turn's timestamp via the (conv_id, turn_idx) provenance it
+    carries, then rolled up per distinct (subj, pred, obj) fact — mention
+    counts, conversation coverage, support counts, first/last observation
+    and the observation span in exact epoch seconds (integer subtraction;
+    no day-truncation semantics to diverge on)."""
+    cfg = DEFAULT_CONFIG
+    support = _q(list(cfg.classes)[0])
+    return (
+        _kg_ctes()
+        + f""",
+tf_ts AS (
+  SELECT conv_id, turn_idx,
+         TIMESTAMP '2026-01-01 00:00:00'
+           + to_seconds(CAST((doc_id % 1000000) * 1000 + turn_idx * 7
+                             AS BIGINT)) AS ts
+  FROM turns)
+SELECT t.subj, t.pred, t.obj,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT t.conv_id) AS BIGINT) AS n_convs,
+       CAST(COUNT(*) FILTER (WHERE t.verdict = {support}) AS BIGINT)
+         AS n_supports,
+       MIN(ts.ts) AS first_seen,
+       MAX(ts.ts) AS last_seen,
+       CAST(epoch(MAX(ts.ts)) - epoch(MIN(ts.ts)) AS BIGINT) AS span_seconds
+FROM triples t
+JOIN tf_ts ts ON ts.conv_id = t.conv_id AND ts.turn_idx = t.turn_idx
+GROUP BY 1, 2, 3"""
+    )
+
+
 def transcript_turn_stats_sql() -> str:
     """Per-role rollup oracle over the north-rule input table itself
     (conv_id, turn_idx, role, text, tool, ts): the `turns` CTE re-derives

@@ -591,6 +591,45 @@ def transcript_turn_stats(spark, sf_dir):
     )
 
 
+def kg_temporal_facts(spark, sf_dir):
+    """Temporal scoping of verified facts — the Wikidata-qualifier-style
+    time dimension over the constructed KG: every triple carries its
+    (conv_id, turn_idx) provenance, so joining back to the transcripts
+    relation recovers WHEN each fact was observed; rolled up per distinct
+    (subj, pred, obj) as mention count, conversation coverage, support
+    count, first/last observation and exact span in epoch seconds.
+
+    Scale shape: the provenance join keys on (conv_id, turn_idx) — the
+    transcripts side projects 3 columns (predicate pushdown keeps the text
+    column out of the exchange) and the rollup is one map-side-combinable
+    groupBy (+ the standard partial-distinct expansion for n_convs);
+    integers/timestamps only — span via exact BIGINT epoch subtraction
+    (no day-truncation semantics to diverge cross-engine)."""
+    from ..config import DEFAULT_CONFIG
+    from ..datagen import transcripts_df
+
+    support = list(DEFAULT_CONFIG.classes)[0]
+    triples = _kg_build(spark, sf_dir)
+    turns = transcripts_df(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    joined = triples.select(
+        "subj", "pred", "obj", "conv_id", "turn_idx", "verdict"
+    ).join(turns, ["conv_id", "turn_idx"])
+    return joined.groupBy("subj", "pred", "obj").agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.count(F.when(F.col("verdict") == support, True))
+        .cast("long")
+        .alias("n_supports"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        )
+        .cast("long")
+        .alias("span_seconds"),
+    )
+
+
 def _kg_sqls() -> dict[str, str]:
     from .kg_oracle import (
         kg_entities_sql,
@@ -643,6 +682,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_bfs_distance_sql,
         kg_coreness_sql,
         kg_link_prediction_sql,
+        kg_temporal_facts_sql,
         transcript_turn_stats_sql,
     )
 
@@ -650,6 +690,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         "kg_coreness": kg_coreness_sql(),
         "kg_bfs_distance": kg_bfs_distance_sql(),
         "kg_link_prediction": kg_link_prediction_sql(),
+        "kg_temporal_facts": kg_temporal_facts_sql(),
         "transcript_turn_stats": transcript_turn_stats_sql(),
     }
 
@@ -666,6 +707,10 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
     "transcript_turn_stats": (
         transcript_turn_stats,
         _KG_EXTRA_SQLS["transcript_turn_stats"],
+    ),
+    "kg_temporal_facts": (
+        kg_temporal_facts,
+        _KG_EXTRA_SQLS["kg_temporal_facts"],
     ),
 }
 
@@ -827,6 +872,10 @@ _UNREGISTERED = {
     # registry-full rationale); hub-cap behavior pinned on crafted graphs
     # in tests/test_linkpred.py
     "kg_link_prediction",
+    # kg_temporal_facts — Wikidata-qualifier-style temporal scoping of the
+    # verified facts via the triples' (conv_id, turn_idx) provenance join
+    # back to the transcripts' ts column
+    "kg_temporal_facts",
     # funnel_steps — strictly-ordered sequential-pattern funnel (the one
     # ordering-sensitive aggregation shape the set-shaped CORR rows cannot
     # express); same-key join/agg chain, one partitioning reused
