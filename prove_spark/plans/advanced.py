@@ -800,6 +800,51 @@ LEFT JOIN s3 ON s3.user_id = s1.user_id
 """
 
 
+def cumulative_unique_users(spark, sf_dir):
+    """Running count of DISTINCT users ever seen, by day — the growth-curve
+    query whose naive form (COUNT(DISTINCT) OVER a running frame) cannot
+    partial-aggregate at all. Re-expressed via the scale identity:
+    attribute each user to their FIRST-seen day (one combinable min-agg),
+    count first-occurrences per day, prefix-sum those counts — every stage
+    is map-side combinable and the only window runs over the DAY dimension
+    (time-bounded, not corpus-bounded). Daily active counts ride along for
+    the new-vs-returning contrast. Integer/timestamp only."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("fd"))
+    newd = first.groupBy(F.col("fd").alias("d")).agg(
+        F.count("*").alias("n_new")
+    )
+    act = e.groupBy("d").agg(F.countDistinct("user_id").alias("n_active"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        act.join(newd, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn(
+            "cum_users", F.sum("n_new").over(w).cast("long")
+        )
+    )
+
+
+CUM_UNIQUE_SQL = """
+WITH e AS (SELECT user_id, date_trunc('day', ts) AS d FROM events),
+fst AS (SELECT user_id, MIN(d) AS fd FROM e GROUP BY 1),
+newd AS (SELECT fd AS d, COUNT(*) AS n_new FROM fst GROUP BY 1),
+act AS (SELECT d, COUNT(DISTINCT user_id) AS n_active FROM e GROUP BY 1)
+SELECT a.d AS day,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+         ORDER BY a.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM act a LEFT JOIN newd n ON n.d = a.d
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -821,4 +866,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "scd2_user_state": (scd2_user_state, SCD2_SQL),
     "cdc_apply_changes": (cdc_apply_changes, CDC_SQL),
     "funnel_steps": (funnel_steps, FUNNEL_SQL),
+    "cumulative_unique_users": (cumulative_unique_users, CUM_UNIQUE_SQL),
 }

@@ -872,6 +872,10 @@ _UNREGISTERED = {
     # registry-full rationale); hub-cap behavior pinned on crafted graphs
     # in tests/test_linkpred.py
     "kg_link_prediction",
+    # cumulative_unique_users — running-distinct growth curve via the
+    # first-occurrence-attribution + prefix-sum identity (the combinable
+    # re-expression of an uncombinable COUNT(DISTINCT) OVER)
+    "cumulative_unique_users",
     # kg_temporal_facts — Wikidata-qualifier-style temporal scoping of the
     # verified facts via the triples' (conv_id, turn_idx) provenance join
     # back to the transcripts' ts column
