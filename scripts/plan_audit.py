@@ -44,6 +44,8 @@ ALLOWED: dict[str, tuple[str, int]] = {
     "kg_pagerank": ("BroadcastNestedLoopJoin", 7),
     "tfidf_top_terms": ("BroadcastNestedLoopJoin", 1),  # 1-row corpus size
     "bm25_rank": ("BroadcastNestedLoopJoin", 1),  # 1-row (n_docs, sum_dl)
+    # same 1-row bm25 stats broadcast, riding in via the composed lexical leg
+    "rrf_hybrid_rank": ("BroadcastNestedLoopJoin", 1),
     # dim-sized alias dictionary crossJoin (scale note: Aho-Corasick,
     # plans/disambig.py)
     "alias_resolve_popularity": ("BroadcastNestedLoopJoin", 1),
