@@ -718,6 +718,30 @@ GROUP BY 1, 2, 3"""
     )
 
 
+def nli_training_export_sql() -> str:
+    """Training-pair export oracle: the verified triples projected into the
+    (premise = selected evidence sentence, structured hypothesis fields,
+    label = verdict) rows an NLI fine-tune consumes (reference anchor:
+    finetune.py trains on exactly this shape), with a DETERMINISTIC
+    80/10/10 split by portable md5 hash of the claim id — reproducible on
+    any cluster size / retry / engine, never rand()."""
+    return (
+        _kg_ctes()
+        + """
+SELECT claim_id, conv_id,
+       result_sentence AS premise,
+       subj, pred, obj,
+       verdict AS label,
+       CASE WHEN h10 < 8 THEN 'train' WHEN h10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT *,
+         CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('split|', claim_id)), 1, 15))
+              AS BIGINT) % 10 AS h10
+  FROM triples)"""
+    )
+
+
 def transcript_turn_stats_sql() -> str:
     """Per-role rollup oracle over the north-rule input table itself
     (conv_id, turn_idx, role, text, tool, ts): the `turns` CTE re-derives

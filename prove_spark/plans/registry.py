@@ -630,6 +630,42 @@ def kg_temporal_facts(spark, sf_dir):
     )
 
 
+def nli_training_export(spark, sf_dir):
+    """Training-pair export from the constructed KG — the dataset the
+    reference's NLI fine-tune consumes (finetune.py trains on
+    (evidence sentence, claim, label) rows; ProVe utils/finetune:
+    declared non-goal for TRAINING, but the data EXPORT is a pipeline op):
+    premise = the selected evidence sentence each triple carries, the
+    structured hypothesis fields (subj, pred, obj), label = the verdict,
+    plus a DETERMINISTIC 80/10/10 train/val/test split by portable md5
+    hash of claim_id — bit-reproducible on any cluster size / retry /
+    engine (rand()/randomSplit are partition-layout dependent; a training
+    snapshot must not be).
+
+    Scale shape: a pure map-side projection over the triples relation —
+    zero additional exchanges beyond the pipeline's own."""
+    from .textops import _portable_hash
+
+    t = _kg_build(spark, sf_dir)
+    h10 = F.pmod(
+        _portable_hash(F.concat(F.lit("split|"), F.col("claim_id"))),
+        F.lit(10),
+    )
+    return t.select(
+        "claim_id",
+        "conv_id",
+        F.col("result_sentence").alias("premise"),
+        "subj",
+        "pred",
+        "obj",
+        F.col("verdict").alias("label"),
+        F.when(h10 < 8, F.lit("train"))
+        .when(h10 == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def _kg_sqls() -> dict[str, str]:
     from .kg_oracle import (
         kg_entities_sql,
@@ -683,6 +719,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_coreness_sql,
         kg_link_prediction_sql,
         kg_temporal_facts_sql,
+        nli_training_export_sql,
         transcript_turn_stats_sql,
     )
 
@@ -691,6 +728,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         "kg_bfs_distance": kg_bfs_distance_sql(),
         "kg_link_prediction": kg_link_prediction_sql(),
         "kg_temporal_facts": kg_temporal_facts_sql(),
+        "nli_training_export": nli_training_export_sql(),
         "transcript_turn_stats": transcript_turn_stats_sql(),
     }
 
@@ -711,6 +749,10 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
     "kg_temporal_facts": (
         kg_temporal_facts,
         _KG_EXTRA_SQLS["kg_temporal_facts"],
+    ),
+    "nli_training_export": (
+        nli_training_export,
+        _KG_EXTRA_SQLS["nli_training_export"],
     ),
 }
 
@@ -872,6 +914,10 @@ _UNREGISTERED = {
     # registry-full rationale); hub-cap behavior pinned on crafted graphs
     # in tests/test_linkpred.py
     "kg_link_prediction",
+    # nli_training_export — deterministic-split training-pair projection of
+    # the verified triples (the fine-tune feed; map-only over the kg lane
+    # whose CORR rows pin everything upstream)
+    "nli_training_export",
     # cumulative_unique_users — running-distinct growth curve via the
     # first-occurrence-attribution + prefix-sum identity (the combinable
     # re-expression of an uncombinable COUNT(DISTINCT) OVER)
