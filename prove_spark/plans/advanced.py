@@ -845,6 +845,42 @@ FROM act a LEFT JOIN newd n ON n.d = a.d
 """
 
 
+def unpivot_quality_metrics(spark, sf_dir):
+    """Wide→long reshape via the native DataFrame.unpivot (Spark 4 melt
+    surface; SQL UNPIVOT twin in DuckDB — both engines' first-class
+    relational unpivot operators, not a hand-rolled UNION ALL): the per-doc
+    quality metrics melted to (doc_id, metric, value) — the long form a
+    feature store / metrics warehouse ingests.
+
+    Scale shape: unpivot is a map-only expand (k output rows per input row,
+    k = 3 here) — zero exchanges; value columns pre-cast to one type (the
+    operator requires it) so the long column is all-BIGINT."""
+    from .textops import quality_scores
+
+    q = quality_scores(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_alpha").cast("long").alias("n_alpha"),
+    )
+    return q.unpivot(
+        "doc_id", ["n_chars", "n_words", "n_alpha"], "metric", "value"
+    )
+
+
+UNPIVOT_SQL = """
+UNPIVOT (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS BIGINT)
+           AS n_alpha
+  FROM documents)
+ON n_chars, n_words, n_alpha
+INTO NAME metric VALUE value
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -867,4 +903,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "cdc_apply_changes": (cdc_apply_changes, CDC_SQL),
     "funnel_steps": (funnel_steps, FUNNEL_SQL),
     "cumulative_unique_users": (cumulative_unique_users, CUM_UNIQUE_SQL),
+    "unpivot_quality_metrics": (unpivot_quality_metrics, UNPIVOT_SQL),
 }

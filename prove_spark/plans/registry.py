@@ -914,6 +914,10 @@ _UNREGISTERED = {
     # registry-full rationale); hub-cap behavior pinned on crafted graphs
     # in tests/test_linkpred.py
     "kg_link_prediction",
+    # unpivot_quality_metrics — the native wide→long melt surface
+    # (DataFrame.unpivot / SQL UNPIVOT); map-only, pivot's CORR row covers
+    # the inverse reshape
+    "unpivot_quality_metrics",
     # nli_training_export — deterministic-split training-pair projection of
     # the verified triples (the fine-tune feed; map-only over the kg lane
     # whose CORR rows pin everything upstream)
