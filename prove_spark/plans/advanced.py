@@ -881,6 +881,70 @@ INTO NAME metric VALUE value
 """
 
 
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen DAY (the
+    cohort), then distinct-user counts per (cohort, days-since-cohort)
+    cell plus the retention rate vs the cohort's own size — the standard
+    product-analytics retention triangle.
+
+    Scale shape: first-seen = one combinable min-agg; the cohort join keys
+    on user_id (same key as the agg — one partitioning serves both); the
+    cell rollup is a combinable count-distinct on a (day, day)-bounded
+    key space; cohort sizes ride back in via a broadcast-sized join (cohort
+    count = days, a time dimension). day_offset in exact integer
+    (epoch-second difference // 86400 — no calendar semantics to
+    diverge cross-engine); rate = single IEEE division."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("s")
+    )
+    first = e.groupBy("user_id").agg(F.min("s").alias("fs"))
+    joined = e.join(first, "user_id").select(
+        "user_id",
+        F.floor(F.col("fs") / 86400).cast("long").alias("cohort_day"),
+        (
+            F.floor(F.col("s") / 86400) - F.floor(F.col("fs") / 86400)
+        ).cast("long").alias("day_offset"),
+    )
+    cells = joined.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    sizes = first.groupBy(
+        F.floor(F.col("fs") / 86400).cast("long").alias("cohort_day")
+    ).agg(F.count("*").cast("long").alias("cohort_size"))
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        "cohort_size",
+        (F.col("n_users").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )
+
+
+RETENTION_SQL = """
+WITH e AS (SELECT user_id, epoch(ts) AS s FROM events),
+fst AS (SELECT user_id, MIN(s) AS fs FROM e GROUP BY 1),
+j AS (
+  SELECT e.user_id,
+         CAST(FLOOR(f.fs / 86400) AS BIGINT) AS cohort_day,
+         CAST(FLOOR(e.s / 86400) - FLOOR(f.fs / 86400) AS BIGINT)
+           AS day_offset
+  FROM e JOIN fst f ON f.user_id = e.user_id),
+cells AS (
+  SELECT cohort_day, day_offset,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM j GROUP BY 1, 2),
+sizes AS (
+  SELECT CAST(FLOOR(fs / 86400) AS BIGINT) AS cohort_day,
+         CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM fst GROUP BY 1)
+SELECT c.cohort_day, c.day_offset, c.n_users, s.cohort_size,
+       CAST(c.n_users AS DOUBLE) / s.cohort_size AS retention
+FROM cells c JOIN sizes s ON s.cohort_day = c.cohort_day
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -904,4 +968,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "funnel_steps": (funnel_steps, FUNNEL_SQL),
     "cumulative_unique_users": (cumulative_unique_users, CUM_UNIQUE_SQL),
     "unpivot_quality_metrics": (unpivot_quality_metrics, UNPIVOT_SQL),
+    "retention_cohorts": (retention_cohorts, RETENTION_SQL),
 }

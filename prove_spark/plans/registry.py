@@ -914,6 +914,10 @@ _UNREGISTERED = {
     # registry-full rationale); hub-cap behavior pinned on crafted graphs
     # in tests/test_linkpred.py
     "kg_link_prediction",
+    # retention_cohorts — first-seen-week cohort retention triangle
+    # (exact integer week arithmetic; the min-agg/join/distinct shapes
+    # are CORR-pinned elsewhere)
+    "retention_cohorts",
     # unpivot_quality_metrics — the native wide→long melt surface
     # (DataFrame.unpivot / SQL UNPIVOT); map-only, pivot's CORR row covers
     # the inverse reshape
