@@ -742,17 +742,12 @@ FROM (
     )
 
 
-def transcript_turn_stats_sql() -> str:
-    """Per-role rollup oracle over the north-rule input table itself
-    (conv_id, turn_idx, role, text, tool, ts): the `turns` CTE re-derives
-    conv_id/turn_idx/turn_text, and role/tool/ts are the same pure
-    arithmetic datagen applies — role = ROLES[turn_idx % 3], tool =
-    TOOLS[(doc_id + turn_idx) % 4] for tool turns else '', ts = epoch +
-    (doc_id % 1e6)·1000 + turn_idx·7 seconds (datagen.py:124-127).
-    Integer/string/timestamp arithmetic plus ONE final IEEE division."""
-    return (
-        _kg_ctes()
-        + """,
+# The `tts` CTE: the north-rule input table re-derived in SQL — the `turns`
+# CTE gives conv_id/turn_idx/turn_text, and role/tool/ts are the same pure
+# arithmetic datagen applies — role = ROLES[turn_idx % 3], tool =
+# TOOLS[(doc_id + turn_idx) % 4] for tool turns else '', ts = epoch +
+# (doc_id % 1e6)·1000 + turn_idx·7 seconds (datagen.py:124-127).
+_TTS_CTE = """,
 tts AS (
   SELECT conv_id, turn_idx, turn_text,
          CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
@@ -765,7 +760,17 @@ tts AS (
          TIMESTAMP '2026-01-01 00:00:00'
            + to_seconds(CAST((doc_id % 1000000) * 1000 + turn_idx * 7
                              AS BIGINT)) AS ts
-  FROM turns)
+  FROM turns)"""
+
+
+def transcript_turn_stats_sql() -> str:
+    """Per-role rollup oracle over the north-rule input table itself
+    (conv_id, turn_idx, role, text, tool, ts — the shared _TTS_CTE).
+    Integer/string/timestamp arithmetic plus ONE final IEEE division."""
+    return (
+        _kg_ctes()
+        + _TTS_CTE
+        + """
 SELECT role,
        CAST(COUNT(*) AS BIGINT) AS n_turns,
        CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
@@ -777,6 +782,24 @@ SELECT role,
        MIN(ts) AS first_ts,
        MAX(ts) AS last_ts
 FROM tts GROUP BY role"""
+    )
+
+
+def conv_tool_chain_sql() -> str:
+    """ORDERED string aggregation oracle: per conversation, the '>'-joined
+    tool invocation sequence in turn order (string_agg ... ORDER BY — the
+    SQL-native ordered aggregate), plus call counts. Exercises the
+    order-sensitive aggregation contract that every other agg in the suite
+    is deliberately insensitive to."""
+    return (
+        _kg_ctes()
+        + _TTS_CTE
+        + """
+SELECT conv_id,
+       string_agg(tool, '>' ORDER BY turn_idx) AS tool_chain,
+       CAST(COUNT(*) AS BIGINT) AS n_tool_calls,
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_distinct_tools
+FROM tts WHERE tool <> '' GROUP BY conv_id"""
     )
 
 

@@ -666,6 +666,40 @@ def nli_training_export(spark, sf_dir):
     )
 
 
+def conv_tool_chain(spark, sf_dir):
+    """Per-conversation ORDERED tool-invocation sequence over the
+    north-rule input table: the '>'-joined chain of tools in turn order
+    plus call counts — the agent-behavior signature a transcript pipeline
+    mines (which tool pipelines do agents actually run?). Exercises the
+    order-SENSITIVE aggregation contract: `collect_list` is not
+    order-stable under retries/partitioning, so determinism comes from
+    sorting by an embedded key — array_sort over (turn_idx, tool) structs,
+    then project the tool — mirrored by SQL-native
+    `string_agg(... ORDER BY turn_idx)` in the oracle.
+
+    Scale shape: ONE combinable groupBy on conv_id; per-group state is the
+    conversation's own tool turns (conversation-bounded, never
+    corpus-bounded); the struct sort is per-group and tiny."""
+    from ..datagen import transcripts_df
+
+    tr = (
+        transcripts_df(spark, sf_dir)
+        .where(F.col("tool") != "")
+        .select("conv_id", "turn_idx", "tool")
+    )
+    return tr.groupBy("conv_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "tool"))),
+                lambda st: st["tool"],
+            ),
+        ).alias("tool_chain"),
+        F.count("*").cast("long").alias("n_tool_calls"),
+        F.countDistinct("tool").cast("long").alias("n_distinct_tools"),
+    )
+
+
 def _kg_sqls() -> dict[str, str]:
     from .kg_oracle import (
         kg_entities_sql,
@@ -718,6 +752,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_bfs_distance_sql,
         kg_coreness_sql,
         kg_link_prediction_sql,
+        conv_tool_chain_sql,
         kg_temporal_facts_sql,
         nli_training_export_sql,
         transcript_turn_stats_sql,
@@ -730,6 +765,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         "kg_temporal_facts": kg_temporal_facts_sql(),
         "nli_training_export": nli_training_export_sql(),
         "transcript_turn_stats": transcript_turn_stats_sql(),
+        "conv_tool_chain": conv_tool_chain_sql(),
     }
 
 
@@ -753,6 +789,10 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
     "nli_training_export": (
         nli_training_export,
         _KG_EXTRA_SQLS["nli_training_export"],
+    ),
+    "conv_tool_chain": (
+        conv_tool_chain,
+        _KG_EXTRA_SQLS["conv_tool_chain"],
     ),
 }
 
@@ -914,6 +954,10 @@ _UNREGISTERED = {
     # registry-full rationale); hub-cap behavior pinned on crafted graphs
     # in tests/test_linkpred.py
     "kg_link_prediction",
+    # conv_tool_chain — per-conversation ORDERED tool sequence (the one
+    # order-sensitive aggregation; determinism via embedded-key sort,
+    # string_agg ORDER BY twin)
+    "conv_tool_chain",
     # retention_cohorts — first-seen-week cohort retention triangle
     # (exact integer week arithmetic; the min-agg/join/distinct shapes
     # are CORR-pinned elsewhere)
