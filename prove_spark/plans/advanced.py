@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 # shared table loader (single source: one place to change if the
 # path layout or a catalog integration ever changes)
 from .relational import _t  # noqa: E402
+from .textops import QUALITY_SQL  # single source of the quality-metric twin
 
 
 def asof_join_latest_order(spark, sf_dir):
@@ -868,14 +869,13 @@ def unpivot_quality_metrics(spark, sf_dir):
     )
 
 
-UNPIVOT_SQL = """
+UNPIVOT_SQL = f"""
 UNPIVOT (
   SELECT doc_id,
-         CAST(LENGTH(text) AS BIGINT) AS n_chars,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS BIGINT)
-           AS n_alpha
-  FROM documents)
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(n_words AS BIGINT) AS n_words,
+         CAST(n_alpha AS BIGINT) AS n_alpha
+  FROM ({QUALITY_SQL}))
 ON n_chars, n_words, n_alpha
 INTO NAME metric VALUE value
 """

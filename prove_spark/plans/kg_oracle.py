@@ -725,9 +725,12 @@ def nli_training_export_sql() -> str:
     finetune.py trains on exactly this shape), with a DETERMINISTIC
     80/10/10 split by portable md5 hash of the claim id — reproducible on
     any cluster size / retry / engine, never rand()."""
+    from .textops import PORTABLE_HASH_SQL  # single source of the hash twin
+
+    h = PORTABLE_HASH_SQL.format(x="CONCAT('split|', claim_id)")
     return (
         _kg_ctes()
-        + """
+        + f"""
 SELECT claim_id, conv_id,
        result_sentence AS premise,
        subj, pred, obj,
@@ -735,9 +738,7 @@ SELECT claim_id, conv_id,
        CASE WHEN h10 < 8 THEN 'train' WHEN h10 = 8 THEN 'val'
             ELSE 'test' END AS split
 FROM (
-  SELECT *,
-         CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('split|', claim_id)), 1, 15))
-              AS BIGINT) % 10 AS h10
+  SELECT *, {h} % 10 AS h10
   FROM triples)"""
     )
 

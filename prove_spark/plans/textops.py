@@ -399,59 +399,6 @@ FROM comp
 """
 
 
-def dedup_keep_best(spark, sf_dir):
-    """Near-dup survivor selection by QUALITY — the keep policy a real
-    training-data dedup applies after cluster resolution: within each LSH
-    near-dup cluster keep the highest-quality copy (alpha_ratio DESC, then
-    n_chars DESC, then doc_id ASC — a total order), not the arbitrary
-    min-id representative [dedup_lsh_clusters] emits. Every document is
-    labeled (cluster, size, quality, keep); downstream filters keep=true.
-
-    Scale shape: composes the two oracled stages on the doc_id spine (one
-    1:1 hash join — no fan-out), then ONE exchange keyed on cluster_rep for
-    the ranking window; the per-partition sort is bounded by the largest
-    cluster (banding caps bound that upstream), and singleton clusters
-    degenerate to pass-through partitions. A per-cluster max_by reduction
-    would cost the identical exchange, so the window is not a scale
-    liability here."""
-    clusters = dedup_lsh_clusters(spark, sf_dir)
-    q = quality_scores(spark, sf_dir).select(
-        "doc_id", "alpha_ratio", "n_chars"
-    )
-    joined = clusters.select("doc_id", "cluster_rep", "cluster_size").join(
-        q, "doc_id"
-    )
-    w = Window.partitionBy("cluster_rep").orderBy(
-        F.desc("alpha_ratio"), F.desc("n_chars"), F.asc("doc_id")
-    )
-    return joined.withColumn("rk", F.row_number().over(w)).select(
-        "doc_id",
-        "cluster_rep",
-        "cluster_size",
-        "alpha_ratio",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        (F.col("rk") == 1).alias("keep"),
-    )
-
-
-DEDUP_KEEP_BEST_SQL = f"""
-WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
-qual AS (
-  SELECT doc_id, LENGTH(text) AS n_chars,
-         CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE)
-           / LENGTH(text) AS alpha_ratio
-  FROM documents
-)
-SELECT c.doc_id, c.cluster_rep, c.cluster_size, q.alpha_ratio,
-       CAST(q.n_chars AS BIGINT) AS n_chars,
-       ROW_NUMBER() OVER (
-         PARTITION BY c.cluster_rep
-         ORDER BY q.alpha_ratio DESC, q.n_chars DESC, c.doc_id ASC
-       ) = 1 AS keep
-FROM clusters c JOIN qual q USING (doc_id)
-"""
-
-
 # ----------------------------------------------------------------- SimHash
 # 64 bits — the production width (a 16-bit space saturates at ~2^8 docs by
 # birthday collision; 64-bit SimHash is the standard near-dup fingerprint).
@@ -1182,6 +1129,56 @@ FROM scored GROUP BY doc_id
 """
 
 
+def dedup_keep_best(spark, sf_dir):
+    """Near-dup survivor selection by QUALITY — the keep policy a real
+    training-data dedup applies after cluster resolution: within each LSH
+    near-dup cluster keep the highest-quality copy (alpha_ratio DESC, then
+    n_chars DESC, then doc_id ASC — a total order), not the arbitrary
+    min-id representative [dedup_lsh_clusters] emits. Every document is
+    labeled (cluster, size, quality, keep); downstream filters keep=true.
+
+    Scale shape: composes the two oracled stages on the doc_id spine (one
+    1:1 hash join — no fan-out), then ONE exchange keyed on cluster_rep for
+    the ranking window; the per-partition sort is bounded by the largest
+    cluster (banding caps bound that upstream), and singleton clusters
+    degenerate to pass-through partitions. A per-cluster max_by reduction
+    would cost the identical exchange, so the window is not a scale
+    liability here."""
+    clusters = dedup_lsh_clusters(spark, sf_dir)
+    q = quality_scores(spark, sf_dir).select(
+        "doc_id", "alpha_ratio", "n_chars"
+    )
+    joined = clusters.select("doc_id", "cluster_rep", "cluster_size").join(
+        q, "doc_id"
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("alpha_ratio"), F.desc("n_chars"), F.asc("doc_id")
+    )
+    return joined.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        "alpha_ratio",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("rk") == 1).alias("keep"),
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+qual AS (
+  SELECT doc_id, n_chars, alpha_ratio FROM ({QUALITY_SQL})
+)
+SELECT c.doc_id, c.cluster_rep, c.cluster_size, q.alpha_ratio,
+       CAST(q.n_chars AS BIGINT) AS n_chars,
+       ROW_NUMBER() OVER (
+         PARTITION BY c.cluster_rep
+         ORDER BY q.alpha_ratio DESC, q.n_chars DESC, c.doc_id ASC
+       ) = 1 AS keep
+FROM clusters c JOIN qual q USING (doc_id)
+"""
+
+
 # RRF constants: the standard k=60 damping (Cormack et al. 2009) and a
 # fixed fusion depth (RRF is defined over top-k lists, not full rankings).
 RRF_K = 60
@@ -1206,8 +1203,12 @@ def rrf_hybrid_rank(spark, sf_dir):
     corpus-bounded. Ranks are coalesced to 0 (= absent) so the output is
     all-BIGINT + one double."""
     lex_order = [F.desc("bm25"), F.asc("doc_id")]
+    # the query's companion doc (vec_id == doc_id contract) is excluded
+    # from BOTH lists — it IS the query; leaving it in the lexical list
+    # only would under-score the one doc most similar to the semantic query
     lex = (
         bm25_rank(spark, sf_dir)
+        .where(F.col("doc_id") != RRF_QUERY_VEC)
         .orderBy(*lex_order)
         .limit(RRF_DEPTH)
         .withColumn("r_lex", F.row_number().over(Window.orderBy(*lex_order)))
@@ -1258,7 +1259,7 @@ lexr AS (
   SELECT doc_id, r_lex FROM (
     SELECT doc_id,
            ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
-    FROM bm) WHERE r_lex <= {RRF_DEPTH}),
+    FROM bm WHERE doc_id <> {RRF_QUERY_VEC}) WHERE r_lex <= {RRF_DEPTH}),
 ex AS (
   SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
          UNNEST(generate_series(1, len(embedding))) AS i
