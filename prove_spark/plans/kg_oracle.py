@@ -686,6 +686,50 @@ SELECT v AS entity, CAST(hop AS BIGINT) AS hop FROM bfs_r{BFS_ITERS}"""
     return sql
 
 
+def kg_connected_components_sql() -> str:
+    """Connected-components oracle over the KG entity graph: exact
+    min-reachable-label fixpoint via a recursive CTE (the DEDUP_CLUSTERS_SQL
+    pattern, textops.py), so — unlike the fixed-round unrolled oracles — it
+    has NO round-count coupling to the Spark side: the alternating-star
+    iteration (run to its own set-equality fixpoint) and the recursive label
+    propagation agree by construction at ANY component diameter. Working ids
+    are the numeric QIDs (regexp_extract '(\\d+)'), the exact rule entity
+    canonicalization applies (canonicalize._qnum), so the representative is
+    the component's min-numeric-QID member. The `r.lbl < e.dst` prune is
+    sound for the final MIN (a dropped label l >= dst is dominated by dst's
+    own smaller seed label); UNION (not ALL) bounds the recursion to the
+    finite (node, label) pair set. Edge-induced node domain (self-loops
+    dropped with the undirected derivation — kg_coreness posture)."""
+    base = _kg_ctes()
+    assert base.startswith("\nWITH ")
+    sql = base.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    return (
+        sql
+        + r""",
+cc_und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM triples WHERE subj <> obj),
+cc_edges AS MATERIALIZED (
+  SELECT CAST(regexp_extract(a, '(\d+)', 1) AS BIGINT) AS src,
+         CAST(regexp_extract(b, '(\d+)', 1) AS BIGINT) AS dst FROM cc_und
+  UNION ALL
+  SELECT CAST(regexp_extract(b, '(\d+)', 1) AS BIGINT) AS src,
+         CAST(regexp_extract(a, '(\d+)', 1) AS BIGINT) AS dst FROM cc_und),
+cc_nodes AS MATERIALIZED (SELECT DISTINCT src AS u FROM cc_edges),
+cc_reach(u, lbl) AS (
+  SELECT u, u FROM cc_nodes
+  UNION
+  SELECT e.dst, r.lbl FROM cc_reach r JOIN cc_edges e ON e.src = r.u
+  WHERE r.lbl < e.dst),
+cc_comp AS (SELECT u, MIN(lbl) AS root FROM cc_reach GROUP BY u)
+SELECT 'Q' || CAST(u AS VARCHAR) AS entity,
+       'Q' || CAST(root AS VARCHAR) AS component_rep,
+       CAST(COUNT(*) OVER (PARTITION BY root) AS BIGINT) AS component_size,
+       u = root AS is_rep
+FROM cc_comp"""
+    )
+
+
 def kg_temporal_facts_sql() -> str:
     """Temporal fact-scoping oracle: every verified triple joined back to
     its source turn's timestamp via the (conv_id, turn_idx) provenance it

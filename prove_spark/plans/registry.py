@@ -469,6 +469,53 @@ def kg_bfs_distance(spark, sf_dir):
     return _bfs_distance(und, BFS_ITERS, BFS_SEEDS)
 
 
+def kg_connected_components(spark, sf_dir):
+    """Connected components over the KG entity graph — the graph family's
+    IDENTITY signal, the one the sibling docstrings name next to
+    [kg_pagerank] (importance), [kg_triangles] (clustering),
+    [kg_label_propagation] (community), [kg_coreness] (density),
+    [kg_bfs_distance] (reachability), and [kg_link_prediction] (completion).
+    It exposes the pipeline's canonicalization core itself
+    (canonicalize.connected_components_long — alternating large-star/
+    small-star, Kiveris et al. 2014, O(log d) rounds, run to a set-equality
+    fixpoint with per-round lineage cuts) on the data-derived entity graph,
+    under the same min-numeric-QID representative rule entity
+    canonicalization applies (working ids via canonicalize._qnum's
+    '(\\d+)' extraction). Output mirrors [dedup_lsh_clusters]'s cluster
+    shape: (entity, component_rep, component_size, is_rep) over the
+    edge-induced node domain (kg_coreness posture).
+
+    Scale shape: every star round is one self-join + one min-aggregation on
+    the ENTITY-graph edge set, never the fact table; the size rollup is
+    component-count-sized and broadcast back. The oracle is the recursive
+    min-label-propagation CTE (kg_oracle.kg_connected_components_sql) — no
+    round-count coupling, so both engines agree at ANY component diameter,
+    not just the synthetic graph's. Reference parity: ProVe canonicalizes
+    entities to a single representative id before materializing triples
+    (north-star 'connected-components canonicalization'); crafted-graph
+    behavior of the CC core is pinned in tests/test_canonicalize.py."""
+    from ..pipeline.canonicalize import connected_components_long
+
+    triples = _kg_build(spark, sf_dir)
+    und = truncate_round(_kg_undirected_edges(triples), _KG_CACHES)
+
+    def qn(c):
+        return F.regexp_extract(F.col(c), r"(\d+)", 1).cast("long")
+
+    comp = connected_components_long(
+        und.select(qn("a").alias("u"), qn("b").alias("v"))
+    )
+    sizes = comp.groupBy("root").agg(F.count("*").alias("component_size"))
+    return comp.join(F.broadcast(sizes), "root").select(
+        F.concat(F.lit("Q"), F.col("u").cast("string")).alias("entity"),
+        F.concat(F.lit("Q"), F.col("root").cast("string")).alias(
+            "component_rep"
+        ),
+        F.col("component_size").cast("long").alias("component_size"),
+        (F.col("u") == F.col("root")).alias("is_rep"),
+    )
+
+
 def _link_prediction(und, hub_cap: int, min_cn: int, cache_registry: list | None = None):
     """Core common-neighbor link prediction over an undirected (a < b) edge
     relation: for every NON-adjacent pair with >= min_cn common neighbors
@@ -750,6 +797,7 @@ KG_QUERIES: dict[str, tuple] = {
 def _kg_extra_sqls() -> dict[str, str]:
     from .kg_oracle import (
         kg_bfs_distance_sql,
+        kg_connected_components_sql,
         kg_coreness_sql,
         kg_link_prediction_sql,
         conv_tool_chain_sql,
@@ -761,6 +809,7 @@ def _kg_extra_sqls() -> dict[str, str]:
     return {
         "kg_coreness": kg_coreness_sql(),
         "kg_bfs_distance": kg_bfs_distance_sql(),
+        "kg_connected_components": kg_connected_components_sql(),
         "kg_link_prediction": kg_link_prediction_sql(),
         "kg_temporal_facts": kg_temporal_facts_sql(),
         "nli_training_export": nli_training_export_sql(),
@@ -774,6 +823,10 @@ _KG_EXTRA_SQLS = _kg_extra_sqls()
 KG_EXTRA_QUERIES: dict[str, tuple] = {
     "kg_coreness": (kg_coreness, _KG_EXTRA_SQLS["kg_coreness"]),
     "kg_bfs_distance": (kg_bfs_distance, _KG_EXTRA_SQLS["kg_bfs_distance"]),
+    "kg_connected_components": (
+        kg_connected_components,
+        _KG_EXTRA_SQLS["kg_connected_components"],
+    ),
     "kg_link_prediction": (
         kg_link_prediction,
         _KG_EXTRA_SQLS["kg_link_prediction"],
@@ -949,6 +1002,14 @@ _UNREGISTERED = {
     # documented — with multi-hop discrimination pinned on crafted graphs
     # in tests/test_bfs.py
     "kg_bfs_distance",
+    # kg_connected_components — the graph family's identity signal: the
+    # pipeline's canonicalization CC core (alternating large-star/small-star
+    # run to fixpoint) exposed over the data-derived entity graph under the
+    # same min-numeric-QID representative rule; oracle is the recursive
+    # min-label CTE (no round-count coupling), crafted-graph behavior pinned
+    # in tests/test_canonicalize.py; same registry-full rationale as
+    # kg_coreness (dedup_lsh_clusters holds the CC machinery's CORR row)
+    "kg_connected_components",
     # kg_link_prediction — common-neighbor/Jaccard missing-edge inference
     # (the graph family's seventh signal, KG completion candidates; same
     # registry-full rationale); hub-cap behavior pinned on crafted graphs
