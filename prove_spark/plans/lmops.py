@@ -287,9 +287,74 @@ FROM scores s JOIN documents d USING (doc_id)
 """
 
 
+# ------------------------------------------- sliding-window chunking
+# Context-window chunking for RAG / LM pretraining prep: fixed W-token
+# windows every S tokens (W - S tokens of overlap so no boundary-spanning
+# phrase is lost to a hard cut). W/S are module constants, not config, so
+# the oracle literals cannot drift from the Spark plan.
+CHUNK_W = 64  # tokens per chunk (the retrieval-passage budget)
+CHUNK_S = 48  # stride; 64 - 48 = 16 tokens of overlap between neighbors
+
+
+def chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking — the passage-extraction step a RAG
+    index or a fixed-context pretraining feed runs ahead of embedding /
+    tokenization (the inverse reshape of [pack_sequences], which fuses short
+    docs UP to a context budget; this splits long docs DOWN to one). Chunk
+    k of a doc covers whitespace tokens [1 + k·S, 1 + k·S + W) (1-based),
+    for every start position <= the doc's token count — so the tail emits a
+    short final chunk rather than dropping text, and every token lands in
+    >= 1 chunk (the non-negotiable chunking invariant).
+
+    Scale shape: map-only — split once per doc (bound in its OWN projection;
+    the O(words²) re-split trap documented at [bigram_lm_score] applies),
+    then one generate+explode over the arithmetic start sequence and a
+    per-row slice/join — no shuffle, no window, whole-stage codegen
+    throughout; fan-out is ~n_tokens/S rows per doc, each carrying only its
+    own slice. Exactness: strings and integers only."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("ws"))
+    s = w.select(
+        "doc_id",
+        "ws",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("ws"), F.lit(CHUNK_S))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice("ws", F.col("start"), CHUNK_W)
+    return s.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+# range(a, b, s) excludes b (so starts run 1, 1+S, ... <= len(ws));
+# list_slice is 1-based end-INCLUSIVE (start .. start+W-1 = Spark's
+# slice(ws, start, W)); // is integer division (plain / returns DOUBLE in
+# DuckDB — the usual cross-engine trap).
+CHUNK_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, ws,
+         UNNEST(range(1, len(ws) + 1, {CHUNK_S})) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_S} AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(ws, start, start + {CHUNK_W} - 1), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(ws, start, start + {CHUNK_W} - 1)) AS BIGINT)
+         AS n_tokens
+FROM s
+"""
+
+
 LMOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "jl_project_embeddings": (jl_project_embeddings, JL_PROJECT_SQL),
     "bigram_lm_score": (bigram_lm_score, BIGRAM_LM_SQL),
     "curriculum_bins": (curriculum_bins, CURRICULUM_SQL),
+    "chunk_documents": (chunk_documents, CHUNK_SQL),
 }

@@ -962,6 +962,10 @@ _UNREGISTERED = {
     # quality-curriculum schedule input); composes bigram_lm_score, whose
     # arithmetic the LM rows pin
     "curriculum_bins",
+    # chunk_documents — sliding-window passage chunking (W=64/S=48 with
+    # overlap), the RAG/context-budget inverse of pack_sequences (which
+    # holds the family's CORR row); map-only explode, integers/strings only
+    "chunk_documents",
     # dq_report — Deequ/dbt-style declared-expectation validation report
     # (fused conditional counts + anti-join referential checks); the agg
     # and anti-join shapes it composes hold CORR rows elsewhere

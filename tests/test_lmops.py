@@ -203,3 +203,49 @@ def test_lm_score_survives_empty_and_singleton(spark, tmp_path):
         f"{tmp_path}/documents.parquet"
     )
     assert bigram_lm_score(spark, str(tmp_path)).count() == 0
+
+
+def test_chunk_documents_coverage_overlap_and_tail(spark, tmp_path):
+    """The chunking invariants on a crafted corpus: (1) every token of every
+    doc appears in >= 1 chunk and concatenating stride-aligned prefixes
+    reconstructs the doc exactly; (2) neighboring chunks overlap by W - S
+    tokens; (3) the tail chunk is short, never dropped; (4) a short doc
+    (< W tokens) yields exactly one chunk equal to the doc."""
+    from prove_spark.plans.lmops import CHUNK_S, CHUNK_W, chunk_documents
+
+    long_doc = " ".join(f"w{i}" for i in range(150))  # 150 > 2*S + W tail case
+    short_doc = "a b c"
+    docs = pd.DataFrame(
+        [[1, long_doc, "en", "s", len(long_doc)], [2, short_doc, "en", "s", 5]],
+        columns=DOC_COLS,
+    )
+    spark.createDataFrame(docs).write.parquet(f"{tmp_path}/documents.parquet")
+    got = (
+        chunk_documents(spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+    one = got[got.doc_id == 2]
+    assert len(one) == 1 and one.chunk_text.iloc[0] == short_doc
+    assert one.n_tokens.iloc[0] == 3
+
+    g = got[got.doc_id == 1].reset_index(drop=True)
+    words = long_doc.split(" ")
+    # starts 1, 1+S, ... <= 150 → ceil(150 / S) chunks
+    assert len(g) == (len(words) + CHUNK_S - 1) // CHUNK_S
+    for k, row in g.iterrows():
+        expect = words[k * CHUNK_S : k * CHUNK_S + CHUNK_W]
+        assert row.chunk_text == " ".join(expect)
+        assert row.n_tokens == len(expect)
+    # reconstruction: stride-aligned prefixes tile the doc exactly
+    prefixes = [c.split(" ")[:CHUNK_S] for c in g.chunk_text]
+    flat = [w for p in prefixes for w in p]
+    assert flat == words
+    # neighbor overlap: last W-S tokens of chunk k == first W-S of chunk k+1
+    for k in range(len(g) - 1):
+        a = g.chunk_text.iloc[k].split(" ")
+        b = g.chunk_text.iloc[k + 1].split(" ")
+        if len(a) == CHUNK_W:  # full window only (tail has no successor)
+            assert a[CHUNK_S:] == b[: CHUNK_W - CHUNK_S]
