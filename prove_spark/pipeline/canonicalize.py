@@ -82,6 +82,7 @@ def _small_star(directed: DataFrame) -> DataFrame:
 def connected_components_long(
     edges_uv: DataFrame,
     max_iterations: int = DEFAULT_CONFIG.max_cc_iterations,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Long-keyed CC core: edges (u, v long) → (u, root) for every node that
     appears in an edge, root = the component's minimum id.
@@ -91,7 +92,15 @@ def connected_components_long(
     ~20 rounds where min-label propagation needs 2^20. Each round is one
     self-join + one min-aggregation on the EDGE set (candidate-pair-sized,
     never the corpus), so this also serves data-derived edge sets like LSH
-    near-dup candidates (plans/textops.py:dedup_lsh_clusters)."""
+    near-dup candidates (plans/textops.py:dedup_lsh_clusters).
+
+    If the loop exhausts max_iterations before the set-equality fixpoint,
+    the min-aggregation still emits a label per node but components may be
+    FRAGMENTED (correct within, not across, the unresolved star forest).
+    require_converged=True turns that silent truncation into a ValueError —
+    callers whose contract is exactness against a fixpoint oracle
+    (plans/registry.py:kg_connected_components) set it; the pipeline default
+    stays lenient for parity with the previous behavior."""
     cur = (
         edges_uv.select("u", "v")
         .unionByName(
@@ -102,6 +111,7 @@ def connected_components_long(
         .localCheckpoint(eager=True)
     )
     prev = None
+    converged = False
     for _ in range(max_iterations):
         star = _large_star(
             cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -114,9 +124,16 @@ def connected_components_long(
             ).limit(1).count()
             if delta == 0:
                 cur = nxt
+                converged = True
                 break
         prev = nxt
         cur = nxt
+    if require_converged and not converged:
+        raise ValueError(
+            f"connected components did not reach the star-forest fixpoint "
+            f"in {max_iterations} iterations; raise max_iterations "
+            f"(O(log diameter) rounds suffice)"
+        )
     parent = cur.groupBy("u").agg(F.min("v").alias("root"))
     # at fixpoint the star forest has edges u→root only for u != root, so
     # the representative itself has no row — emit its self-row so every

@@ -476,6 +476,16 @@ FROM pr_r{PAGERANK_ITERS} r LEFT JOIN pr_out o ON o.src = r.entity"""
     return sql
 
 
+def _und_cte(p: str) -> str:
+    """The `{p}_und` CTE: canonical undirected (a < b) distinct edge set of
+    the entity graph — the SQL twin of registry._kg_undirected_edges, defined
+    ONCE here so the four graph oracles (lp/kc/bfs/cc) cannot drift from the
+    Spark-side derivation or from each other."""
+    return f"""{p}_und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM triples WHERE subj <> obj)"""
+
+
 def kg_triangles_sql() -> str:
     """Triangle-participation oracle over the KG entity graph: undirected
     distinct edge set, edges oriented from the (degree, id)-smaller endpoint
@@ -534,10 +544,8 @@ def kg_label_propagation_sql() -> str:
     # for the same reason (plans/iterstate.py).
     sql = (
         _kg_ctes()
-        + """,
-lp_und AS MATERIALIZED (
-  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
-  FROM triples WHERE subj <> obj),
+        + f""",
+{_und_cte("lp")},
 lp_nbr AS MATERIALIZED (SELECT a AS src, b AS dst FROM lp_und
            UNION ALL SELECT b AS src, a AS dst FROM lp_und),
 lp_nodes AS MATERIALIZED (SELECT subj AS entity FROM triples
@@ -615,10 +623,8 @@ def kg_coreness_sql() -> str:
     the undirected edge derivation, so isolated nodes don't appear)."""
     sql = (
         _kg_ctes()
-        + """,
-kc_und AS MATERIALIZED (
-  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
-  FROM triples WHERE subj <> obj),
+        + f""",
+{_und_cte("kc")},
 kc_nbr AS MATERIALIZED (SELECT a AS src, b AS dst FROM kc_und
            UNION ALL SELECT b AS src, a AS dst FROM kc_und),
 kc_deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM kc_nbr GROUP BY src),
@@ -660,9 +666,7 @@ def kg_bfs_distance_sql() -> str:
     sql = (
         _kg_ctes()
         + f""",
-bfs_und AS MATERIALIZED (
-  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
-  FROM triples WHERE subj <> obj),
+{_und_cte("bfs")},
 bfs_nbr AS MATERIALIZED (SELECT a AS src, b AS dst FROM bfs_und
             UNION ALL SELECT b AS src, a AS dst FROM bfs_und),
 bfs_deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM bfs_nbr GROUP BY src),
@@ -705,10 +709,8 @@ def kg_connected_components_sql() -> str:
     sql = base.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
     return (
         sql
+        + f",\n{_und_cte('cc')}"
         + r""",
-cc_und AS MATERIALIZED (
-  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
-  FROM triples WHERE subj <> obj),
 cc_edges AS MATERIALIZED (
   SELECT CAST(regexp_extract(a, '(\d+)', 1) AS BIGINT) AS src,
          CAST(regexp_extract(b, '(\d+)', 1) AS BIGINT) AS dst FROM cc_und

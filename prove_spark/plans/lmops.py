@@ -301,17 +301,22 @@ def chunk_documents(spark, sf_dir):
     index or a fixed-context pretraining feed runs ahead of embedding /
     tokenization (the inverse reshape of [pack_sequences], which fuses short
     docs UP to a context budget; this splits long docs DOWN to one). Chunk
-    k of a doc covers whitespace tokens [1 + k·S, 1 + k·S + W) (1-based),
-    for every start position <= the doc's token count — so the tail emits a
-    short final chunk rather than dropping text, and every token lands in
-    >= 1 chunk (the non-negotiable chunking invariant).
+    k of a doc covers whitespace tokens [1 + k·S, 1 + k·S + W) (1-based).
+    Grid starts run 1, 1+S, ... <= n, but a start > 1 is emitted only when
+    its PREDECESSOR did not already reach the doc's end (n >= start + W − S)
+    — otherwise the tail chunk is a pure suffix of the previous window and
+    would only duplicate passages in the index. The two chunking invariants
+    hold: every token lands in >= 1 chunk (a dropped start's tokens are, by
+    the drop condition, inside the predecessor), and no chunk is fully
+    contained in another; a short final chunk IS still emitted whenever it
+    carries tokens the previous window missed.
 
     Scale shape: map-only — split once per doc (bound in its OWN projection;
     the O(words²) re-split trap documented at [bigram_lm_score] applies),
-    then one generate+explode over the arithmetic start sequence and a
-    per-row slice/join — no shuffle, no window, whole-stage codegen
-    throughout; fan-out is ~n_tokens/S rows per doc, each carrying only its
-    own slice. Exactness: strings and integers only."""
+    then one generate+explode over the arithmetic start sequence, a per-row
+    emit filter, and a slice/join — no shuffle, no window, whole-stage
+    codegen throughout; fan-out is ~n_tokens/S rows per doc, each carrying
+    only its own slice. Exactness: strings and integers only."""
     d = _t(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", " ").alias("ws"))
     s = w.select(
@@ -320,6 +325,9 @@ def chunk_documents(spark, sf_dir):
         F.posexplode(
             F.sequence(F.lit(1), F.size("ws"), F.lit(CHUNK_S))
         ).alias("chunk_idx", "start"),
+    ).where(
+        (F.col("start") == 1)
+        | (F.size("ws") >= F.col("start") + F.lit(CHUNK_W - CHUNK_S))
     )
     chunk = F.slice("ws", F.col("start"), CHUNK_W)
     return s.select(
@@ -333,13 +341,19 @@ def chunk_documents(spark, sf_dir):
 # range(a, b, s) excludes b (so starts run 1, 1+S, ... <= len(ws));
 # list_slice is 1-based end-INCLUSIVE (start .. start+W-1 = Spark's
 # slice(ws, start, W)); // is integer division (plain / returns DOUBLE in
-# DuckDB — the usual cross-engine trap).
+# DuckDB — the usual cross-engine trap). The WHERE mirrors the Spark-side
+# contained-tail drop: emit a start > 1 only if the previous window did not
+# already reach the doc's end.
 CHUNK_SQL = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-s AS (
+s0 AS (
   SELECT doc_id, ws,
          UNNEST(range(1, len(ws) + 1, {CHUNK_S})) AS start
   FROM w
+),
+s AS (
+  SELECT * FROM s0
+  WHERE start = 1 OR len(ws) >= start + {CHUNK_W - CHUNK_S}
 )
 SELECT doc_id,
        CAST((start - 1) // {CHUNK_S} AS BIGINT) AS chunk_idx,

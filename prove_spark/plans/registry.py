@@ -489,21 +489,21 @@ def kg_connected_components(spark, sf_dir):
     the ENTITY-graph edge set, never the fact table; the size rollup is
     component-count-sized and broadcast back. The oracle is the recursive
     min-label-propagation CTE (kg_oracle.kg_connected_components_sql) — no
-    round-count coupling, so both engines agree at ANY component diameter,
-    not just the synthetic graph's. Reference parity: ProVe canonicalizes
-    entities to a single representative id before materializing triples
-    (north-star 'connected-components canonicalization'); crafted-graph
-    behavior of the CC core is pinned in tests/test_canonicalize.py."""
-    from ..pipeline.canonicalize import connected_components_long
+    round-count coupling on the ORACLE side, and require_converged=True on
+    the Spark side turns an exhausted iteration budget into a ValueError
+    instead of a silently fragmented star forest, so the engines either
+    agree or fail loudly at any component diameter. Reference parity: ProVe
+    canonicalizes entities to a single representative id before
+    materializing triples (north-star 'connected-components
+    canonicalization'); crafted-graph behavior of the CC core is pinned in
+    tests/test_canonicalize.py."""
+    from ..pipeline.canonicalize import _qnum, connected_components_long
 
     triples = _kg_build(spark, sf_dir)
     und = truncate_round(_kg_undirected_edges(triples), _KG_CACHES)
-
-    def qn(c):
-        return F.regexp_extract(F.col(c), r"(\d+)", 1).cast("long")
-
     comp = connected_components_long(
-        und.select(qn("a").alias("u"), qn("b").alias("v"))
+        und.select(_qnum("a").alias("u"), _qnum("b").alias("v")),
+        require_converged=True,
     )
     sizes = comp.groupBy("root").agg(F.count("*").alias("component_size"))
     return comp.join(F.broadcast(sizes), "root").select(

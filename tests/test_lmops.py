@@ -207,16 +207,25 @@ def test_lm_score_survives_empty_and_singleton(spark, tmp_path):
 
 def test_chunk_documents_coverage_overlap_and_tail(spark, tmp_path):
     """The chunking invariants on a crafted corpus: (1) every token of every
-    doc appears in >= 1 chunk and concatenating stride-aligned prefixes
-    reconstructs the doc exactly; (2) neighboring chunks overlap by W - S
-    tokens; (3) the tail chunk is short, never dropped; (4) a short doc
-    (< W tokens) yields exactly one chunk equal to the doc."""
+    doc appears in >= 1 chunk and the chunk set reconstructs the doc
+    exactly; (2) neighboring chunks overlap by W - S tokens; (3) a tail
+    chunk carrying new tokens is emitted short, but a tail FULLY CONTAINED
+    in the previous window is dropped (no duplicate passages); (4) a doc
+    that fits one window — even one longer than S — yields exactly one
+    chunk equal to the doc."""
     from prove_spark.plans.lmops import CHUNK_S, CHUNK_W, chunk_documents
 
-    long_doc = " ".join(f"w{i}" for i in range(150))  # 150 > 2*S + W tail case
+    long_doc = " ".join(f"w{i}" for i in range(150))  # tail 145.. contained
+    new_tail_doc = " ".join(f"t{i}" for i in range(70))  # tail 65-70 is new
     short_doc = "a b c"
+    fits_one = " ".join(f"f{i}" for i in range(50))  # S < 50 <= W: one chunk
     docs = pd.DataFrame(
-        [[1, long_doc, "en", "s", len(long_doc)], [2, short_doc, "en", "s", 5]],
+        [
+            [1, long_doc, "en", "s", len(long_doc)],
+            [2, short_doc, "en", "s", 5],
+            [3, fits_one, "en", "s", len(fits_one)],
+            [4, new_tail_doc, "en", "s", len(new_tail_doc)],
+        ],
         columns=DOC_COLS,
     )
     spark.createDataFrame(docs).write.parquet(f"{tmp_path}/documents.parquet")
@@ -231,21 +240,33 @@ def test_chunk_documents_coverage_overlap_and_tail(spark, tmp_path):
     assert len(one) == 1 and one.chunk_text.iloc[0] == short_doc
     assert one.n_tokens.iloc[0] == 3
 
+    # (4): 50 tokens > S but <= W — the grid start at 49 is a pure suffix of
+    # chunk 0 and must be dropped
+    fits = got[got.doc_id == 3]
+    assert len(fits) == 1 and fits.chunk_text.iloc[0] == fits_one
+
+    # (3): 70 tokens — tokens 65-70 are NOT in chunk 0 (1..64), so the short
+    # tail chunk at start 49 survives
+    nt = got[got.doc_id == 4].reset_index(drop=True)
+    assert len(nt) == 2
+    assert nt.chunk_text.iloc[1] == " ".join(new_tail_doc.split(" ")[CHUNK_S:])
+    assert nt.n_tokens.iloc[1] == 70 - CHUNK_S
+
     g = got[got.doc_id == 1].reset_index(drop=True)
     words = long_doc.split(" ")
-    # starts 1, 1+S, ... <= 150 → ceil(150 / S) chunks
-    assert len(g) == (len(words) + CHUNK_S - 1) // CHUNK_S
+    # starts 1, 49, 97 emitted; 145 dropped (chunk at 97 covers 97..150)
+    assert len(g) == 3
     for k, row in g.iterrows():
         expect = words[k * CHUNK_S : k * CHUNK_S + CHUNK_W]
         assert row.chunk_text == " ".join(expect)
         assert row.n_tokens == len(expect)
-    # reconstruction: stride-aligned prefixes tile the doc exactly
-    prefixes = [c.split(" ")[:CHUNK_S] for c in g.chunk_text]
-    flat = [w for p in prefixes for w in p]
+    # reconstruction: stride prefixes of all but the last chunk + the whole
+    # last chunk tile the doc exactly (coverage invariant (1))
+    flat = [w for c in g.chunk_text[:-1] for w in c.split(" ")[:CHUNK_S]]
+    flat += g.chunk_text.iloc[len(g) - 1].split(" ")
     assert flat == words
-    # neighbor overlap: last W-S tokens of chunk k == first W-S of chunk k+1
+    # (2) neighbor overlap: last W-S tokens of chunk k == first W-S of k+1
     for k in range(len(g) - 1):
         a = g.chunk_text.iloc[k].split(" ")
         b = g.chunk_text.iloc[k + 1].split(" ")
-        if len(a) == CHUNK_W:  # full window only (tail has no successor)
-            assert a[CHUNK_S:] == b[: CHUNK_W - CHUNK_S]
+        assert a[CHUNK_S:] == b[: CHUNK_W - CHUNK_S]
