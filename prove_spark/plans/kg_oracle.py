@@ -850,6 +850,78 @@ FROM tts WHERE tool <> '' GROUP BY conv_id"""
     )
 
 
+def sft_pairs_sql() -> str:
+    """SFT training-pair oracle: every (user turn → immediately following
+    assistant turn) adjacency in the north-rule input table, projected as
+    (prompt, response) with the same deterministic portable-hash 80/10/10
+    split the NLI export uses. LEAD over (conv_id, turn_idx) is the SQL
+    twin of the Spark window; the nidx = turn_idx + 1 adjacency guard makes
+    the contract correct on gappy turn sequences, not just dense ones."""
+    from .textops import PORTABLE_HASH_SQL  # single source of the hash twin
+
+    h = PORTABLE_HASH_SQL.format(
+        x="CONCAT('sft|', conv_id, '|', CAST(turn_idx AS VARCHAR))"
+    )
+    return (
+        _kg_ctes()
+        + _TTS_CTE
+        + f""",
+sft_led AS (
+  SELECT conv_id, turn_idx, role, turn_text,
+         LEAD(role) OVER w AS nrole,
+         LEAD(turn_text) OVER w AS ntext,
+         LEAD(turn_idx) OVER w AS nidx
+  FROM tts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id,
+       CAST(turn_idx AS BIGINT) AS prompt_turn_idx,
+       turn_text AS prompt,
+       ntext AS response,
+       CASE WHEN h10 < 8 THEN 'train' WHEN h10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT *, {h} % 10 AS h10
+      FROM sft_led
+      WHERE role = 'user' AND nrole = 'assistant'
+        AND nidx = turn_idx + 1)"""
+    )
+
+
+# Context-assembly token budget: the longest turn SUFFIX of each
+# conversation whose whitespace-token total stays <= this many tokens is
+# kept (the newest-first truncation every chat LM serving/training stack
+# applies). Module constant, not config, so the oracle literal cannot
+# drift from the Spark plan. 48 discriminates on the synthetic turns
+# (turns run ~1-31 tokens, median 15; conversations median 79 tokens over
+# ~5 turns — so roughly half the conversations get truncated).
+CONTEXT_BUDGET = 48
+
+
+def context_tail_sql() -> str:
+    """Context-window truncation oracle: per-turn whitespace token counts,
+    suffix-cumulative sum via SUM OVER (ORDER BY turn_idx DESC ROWS
+    UNBOUNDED PRECEDING), keep rows with suffix_tokens <= CONTEXT_BUDGET.
+    Integers/strings only — no float discipline needed."""
+    return (
+        _kg_ctes()
+        + _TTS_CTE
+        + f""",
+ctx_tok AS (
+  SELECT conv_id, turn_idx, role,
+         len(string_split(turn_text, ' ')) AS n_tokens
+  FROM tts),
+ctx_suf AS (
+  SELECT conv_id, turn_idx, role, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS suffix_tokens
+  FROM ctx_tok)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(suffix_tokens AS BIGINT) AS suffix_tokens
+FROM ctx_suf WHERE suffix_tokens <= {CONTEXT_BUDGET}"""
+    )
+
+
 # Wedge centers above this degree are excluded from common-neighbor
 # enumeration (a degree-d center emits d² wedge pairs — the classic hub
 # blow-up; the cap makes the capped CN a documented LOWER BOUND through

@@ -747,6 +747,103 @@ def conv_tool_chain(spark, sf_dir):
     )
 
 
+def sft_pairs(spark, sf_dir):
+    """SFT training-pair extraction from the north-rule input table: every
+    (user turn → immediately following assistant turn) adjacency becomes a
+    (prompt, response) row — the instruction-tuning twin of
+    [nli_training_export] (that one exports the VERIFIED-triple feed; this
+    one exports the raw conversational feed every chat fine-tune consumes),
+    with the same deterministic portable-hash 80/10/10 split (rand()/
+    randomSplit are partition-layout dependent; a training snapshot must
+    not be). The nidx == turn_idx + 1 adjacency guard makes the contract
+    correct on gappy turn sequences (tool turns, redacted spans), not just
+    the dense synthetic ones.
+
+    Scale shape: ONE window over (conv_id, turn_idx) — per-conversation
+    state, never corpus-bounded — then a map-only filter + projection;
+    the hash split is a pure projection riding the same stage."""
+    from ..datagen import transcripts_df
+    from .textops import _portable_hash
+
+    tr = transcripts_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    led = tr.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lead("role").over(w).alias("nrole"),
+        F.lead("text").over(w).alias("ntext"),
+        F.lead("turn_idx").over(w).alias("nidx"),
+    )
+    h10 = F.pmod(
+        _portable_hash(
+            F.concat(
+                F.lit("sft|"),
+                F.col("conv_id"),
+                F.lit("|"),
+                F.col("turn_idx").cast("string"),
+            )
+        ),
+        F.lit(10),
+    )
+    return led.where(
+        (F.col("role") == "user")
+        & (F.col("nrole") == "assistant")
+        & (F.col("nidx") == F.col("turn_idx") + 1)
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("prompt_turn_idx"),
+        F.col("text").alias("prompt"),
+        F.col("ntext").alias("response"),
+        F.when(h10 < 8, F.lit("train"))
+        .when(h10 == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def context_tail(spark, sf_dir):
+    """Token-budget context-window truncation over the north-rule input
+    table: per conversation, keep the longest turn SUFFIX whose whitespace
+    token total stays <= CONTEXT_BUDGET — the newest-first truncation every
+    chat LM serving/training stack applies before tokenization (the
+    per-conversation inverse of [pack_sequences], which fuses documents UP
+    to a budget; this trims one conversation DOWN to it). A turn is kept
+    iff its suffix-cumulative token count fits; the whole-suffix contract
+    means a single over-budget final turn yields an empty context for that
+    conversation (policy documented, mirrored exactly by the oracle).
+
+    Scale shape: ONE window over (conv_id, turn_idx DESC) with a running
+    ROWS frame — per-conversation state — then a map-only filter; token
+    counting is split() bound in its own projection (the O(words²)
+    re-split trap documented at [bigram_lm_score]). Integers/strings only."""
+    from ..datagen import transcripts_df
+    from .kg_oracle import CONTEXT_BUDGET
+
+    tr = transcripts_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", F.split("text", " ").alias("ws")
+    )
+    tok = tr.select(
+        "conv_id", "turn_idx", "role", F.size("ws").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    suf = tok.withColumn("suffix_tokens", F.sum("n_tokens").over(w))
+    return suf.where(F.col("suffix_tokens") <= CONTEXT_BUDGET).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("suffix_tokens").cast("long").alias("suffix_tokens"),
+    )
+
+
 def _kg_sqls() -> dict[str, str]:
     from .kg_oracle import (
         kg_entities_sql,
@@ -800,9 +897,11 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_connected_components_sql,
         kg_coreness_sql,
         kg_link_prediction_sql,
+        context_tail_sql,
         conv_tool_chain_sql,
         kg_temporal_facts_sql,
         nli_training_export_sql,
+        sft_pairs_sql,
         transcript_turn_stats_sql,
     )
 
@@ -815,6 +914,8 @@ def _kg_extra_sqls() -> dict[str, str]:
         "nli_training_export": nli_training_export_sql(),
         "transcript_turn_stats": transcript_turn_stats_sql(),
         "conv_tool_chain": conv_tool_chain_sql(),
+        "sft_pairs": sft_pairs_sql(),
+        "context_tail": context_tail_sql(),
     }
 
 
@@ -847,6 +948,8 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
         conv_tool_chain,
         _KG_EXTRA_SQLS["conv_tool_chain"],
     ),
+    "sft_pairs": (sft_pairs, _KG_EXTRA_SQLS["sft_pairs"]),
+    "context_tail": (context_tail, _KG_EXTRA_SQLS["context_tail"]),
 }
 
 # Intentionally unregistered to stay under the driver's 50-row sweep cap
@@ -1068,6 +1171,16 @@ _UNREGISTERED = {
     # (the keep policy composing dedup_lsh_clusters + quality_scores, both
     # of which hold the family's CORR rows)
     "dedup_keep_best",
+    # sft_pairs — (user → next-assistant) instruction-tuning pair export
+    # with the deterministic hash split (the conversational twin of
+    # nli_training_export, whose map-only-over-kg shape shares the lane);
+    # the window/lead machinery holds CORR rows elsewhere
+    # (latest_event_per_user, scd2's lag/lead)
+    "sft_pairs",
+    # context_tail — token-budget context-window truncation per
+    # conversation (suffix-running-sum window + filter); the running-frame
+    # window shape holds the CORR row via running_user_value
+    "context_tail",
     # token_pmi — PMI-style co-occurrence lift (collocation mining) beside
     # tfidf_top_terms/bm25_rank in the corpus-statistics family; the
     # df-band + bounded self-join shape mirrors dedup_ngram_jaccard's
