@@ -476,6 +476,65 @@ FROM pr_r{PAGERANK_ITERS} r LEFT JOIN pr_out o ON o.src = r.entity"""
     return sql
 
 
+HITS_ITERS = 6
+
+
+def kg_hits_sql() -> str:
+    """HITS (Kleinberg 1999) oracle over the constructed triple graph: the
+    Spark side's HITS_ITERS mutual-recursion rounds unrolled as a CTE chain
+    (hub_{t-1} → auth_t → hub_t). L1 normalization by the exact DECIMAL
+    total deliberately replaces the textbook L2 norm — sqrt() is a libm
+    call and NOT bit-identical across engines, while sum-normalization is
+    one correctly-rounded IEEE division of two exactly-computed values
+    (same reason kg_link_prediction scores Jaccard, not Adamic-Adar).
+    Arithmetic discipline mirrors kg_pagerank: per-node sums through
+    DECIMAL(28,14), every iteration's scores quantized to the 1e-12 grid."""
+    sql = (
+        _kg_ctes()
+        + """,
+ht_edges AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM triples WHERE subj <> obj),
+ht_nodes AS MATERIALIZED (SELECT subj AS entity FROM triples UNION SELECT obj AS entity FROM triples),
+ht_h0 AS MATERIALIZED (SELECT entity, CAST(1.0 AS DOUBLE) AS hub FROM ht_nodes)"""
+    )
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # half-round references its raw-sum CTE twice (total + per-node join)
+    # — inlined, the documents→triples chain re-expands ~2^(2·ITERS) times
+    # and the planner exhausts file handles before it exhausts memory
+    for t in range(1, HITS_ITERS + 1):
+        sql += f""",
+ht_ar{t} AS MATERIALIZED (
+  SELECT e.dst, SUM(CAST(h.hub AS DECIMAL(28,14))) AS s
+  FROM ht_edges e JOIN ht_h{t - 1} h ON h.entity = e.src GROUP BY e.dst),
+ht_a{t} AS MATERIALIZED (
+  SELECT n.entity,
+         {_pr_qz('COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE))'
+                 f' / CAST(x.tot AS DOUBLE)')} AS auth
+  FROM ht_nodes n
+  CROSS JOIN (SELECT SUM(s) AS tot FROM ht_ar{t}) x
+  LEFT JOIN ht_ar{t} c ON c.dst = n.entity),
+ht_hr{t} AS MATERIALIZED (
+  SELECT e.src, SUM(CAST(a.auth AS DECIMAL(28,14))) AS s
+  FROM ht_edges e JOIN ht_a{t} a ON a.entity = e.dst GROUP BY e.src),
+ht_h{t} AS MATERIALIZED (
+  SELECT n.entity,
+         {_pr_qz('COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE))'
+                 f' / CAST(x.tot AS DOUBLE)')} AS hub
+  FROM ht_nodes n
+  CROSS JOIN (SELECT SUM(s) AS tot FROM ht_hr{t}) x
+  LEFT JOIN ht_hr{t} c ON c.src = n.entity)"""
+    sql += f"""
+SELECT a.entity, a.auth AS authority, h.hub AS hub_score,
+       CAST(COALESCE(i.ideg, 0) AS BIGINT) AS in_degree,
+       CAST(COALESCE(o.odeg, 0) AS BIGINT) AS out_degree
+FROM ht_a{HITS_ITERS} a
+JOIN ht_h{HITS_ITERS} h ON h.entity = a.entity
+LEFT JOIN (SELECT dst, COUNT(*) AS ideg FROM ht_edges GROUP BY dst) i
+  ON i.dst = a.entity
+LEFT JOIN (SELECT src, COUNT(*) AS odeg FROM ht_edges GROUP BY src) o
+  ON o.src = a.entity"""
+    return sql
+
+
 def _und_cte(p: str) -> str:
     """The `{p}_und` CTE: canonical undirected (a < b) distinct edge set of
     the entity graph — the SQL twin of registry._kg_undirected_edges, defined

@@ -171,6 +171,99 @@ def kg_pagerank(spark, sf_dir):
     )
 
 
+def kg_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the constructed KG —
+    the graph family's eighth signal (role separation: entities that POINT
+    AT important things vs entities important things point at — a mutual
+    two-vector recursion PageRank's single vector cannot express; on a KG
+    the hub side surfaces aggregator entities, the authority side
+    canonical referents). HITS_ITERS synchronous rounds, each
+    hub_{t-1} → auth_t → hub_t, mirrored round-for-round by the DuckDB
+    oracle's unrolled CTE chain (kg_oracle.kg_hits_sql).
+
+    L1 normalization by the exact DECIMAL total replaces the textbook L2
+    norm deliberately: sqrt() is a libm call and not bit-identical across
+    engines, while sum-normalization is one correctly-rounded IEEE
+    division of two exactly-computed values (the kg_link_prediction
+    Jaccard-not-Adamic-Adar reason). Fixpoint direction is unaffected —
+    both normalizations are positive scalings of the same linear maps.
+
+    Scale shape: the edge relation is pre-partitioned and persisted ONCE
+    (eager — the measured sibling-stage cache race); each half-round is
+    one edge-scale join reusing that partitioning + one node-scale
+    map-side-combinable DECIMAL sum; the normalization total rides as a
+    1-row broadcast (never a driver collect). Per-node sums go through
+    DECIMAL(28,14), every round's scores are quantized to the 1e-12 grid
+    (the kg_pagerank discipline). Round state (auth and hub) is
+    lineage-truncated via plans/iterstate.py."""
+    from .kg_oracle import HITS_ITERS
+
+    triples = _kg_build(spark, sf_dir)
+    edges = (
+        triples.where(F.col("subj") != F.col("obj"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = _kg_node_set(triples).persist()
+    _KG_CACHES.extend([edges, nodes])
+    edges.count()
+    nodes.count()
+
+    def qz(col):
+        # HALF_UP quantization to the 1e-12 grid — same floor trick both engines
+        return F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+
+    def normalize(raw, key, out):
+        # raw: (key, s DECIMAL(38,14)) — exact; total is an exact DECIMAL
+        # sum of those partials, so score = qz(s/total) is one cast pair +
+        # one correctly-rounded IEEE division + the grid floor, identical
+        # expression tree in the oracle
+        tot = raw.agg(F.sum("s").alias("tot"))  # 1 row
+        return (
+            nodes.crossJoin(F.broadcast(tot))
+            .join(raw, nodes.entity == raw[key], "left")
+            .select(
+                "entity",
+                qz(
+                    F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                    / F.col("tot").cast("double")
+                ).alias(out),
+            )
+        )
+
+    hub = nodes.select("entity", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            edges.join(hub, edges.src == hub.entity)
+            .groupBy("dst")
+            .agg(F.sum(F.col("hub").cast("decimal(28,14)")).alias("s"))
+        )
+        auth = truncate_round(normalize(araw, "dst", "auth"), _KG_CACHES)
+        hraw = (
+            edges.join(auth, edges.dst == auth.entity)
+            .groupBy("src")
+            .agg(F.sum(F.col("auth").cast("decimal(28,14)")).alias("s"))
+        )
+        hub = truncate_round(normalize(hraw, "src", "hub"), _KG_CACHES)
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("ideg"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+    return (
+        auth.join(hub, "entity")
+        .join(indeg, auth.entity == indeg.dst, "left")
+        .join(outdeg, auth.entity == outdeg.src, "left")
+        .select(
+            "entity",
+            F.col("auth").alias("authority"),
+            F.col("hub").alias("hub_score"),
+            F.coalesce("ideg", F.lit(0)).cast("long").alias("in_degree"),
+            F.coalesce("odeg", F.lit(0)).cast("long").alias("out_degree"),
+        )
+    )
+
+
 def kg_entities(spark, sf_dir):
     """The entities dimension table (canonical id, label, members, stats)."""
     from ..pipeline.run import build_entities
@@ -896,6 +989,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_bfs_distance_sql,
         kg_connected_components_sql,
         kg_coreness_sql,
+        kg_hits_sql,
         kg_link_prediction_sql,
         context_tail_sql,
         conv_tool_chain_sql,
@@ -910,6 +1004,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         "kg_bfs_distance": kg_bfs_distance_sql(),
         "kg_connected_components": kg_connected_components_sql(),
         "kg_link_prediction": kg_link_prediction_sql(),
+        "kg_hits": kg_hits_sql(),
         "kg_temporal_facts": kg_temporal_facts_sql(),
         "nli_training_export": nli_training_export_sql(),
         "transcript_turn_stats": transcript_turn_stats_sql(),
@@ -932,6 +1027,7 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
         kg_link_prediction,
         _KG_EXTRA_SQLS["kg_link_prediction"],
     ),
+    "kg_hits": (kg_hits, _KG_EXTRA_SQLS["kg_hits"]),
     "transcript_turn_stats": (
         transcript_turn_stats,
         _KG_EXTRA_SQLS["transcript_turn_stats"],
@@ -1171,6 +1267,11 @@ _UNREGISTERED = {
     # (the keep policy composing dedup_lsh_clusters + quality_scores, both
     # of which hold the family's CORR rows)
     "dedup_keep_best",
+    # kg_hits — HITS hubs/authorities (the graph family's eighth signal,
+    # role separation via two-vector mutual recursion; same registry-full
+    # rationale as kg_coreness — kg_pagerank holds the iterative-ranking
+    # CORR row); L1-normalized for cross-engine exactness (sqrt is libm)
+    "kg_hits",
     # sft_pairs — (user → next-assistant) instruction-tuning pair export
     # with the deterministic hash split (the conversational twin of
     # nli_training_export, whose map-only-over-kg shape shares the lane);
