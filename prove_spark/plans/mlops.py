@@ -539,10 +539,94 @@ FROM assign a LEFT JOIN dups d ON d.vb = a.vec_id
 """
 
 
+# ----------------------------------------- int8 scalar vector quantization
+def quantize_embeddings(spark, sf_dir):
+    """Int8 scalar quantization of every embedding — the vector-compression
+    step an ANN index applies before sharding at 100 TB (4 bytes/dim →
+    1 byte/dim; FAISS SQ8 / Lucene scalar quantization shape): per-vector
+    min/max affine grid, q = floor((x − vmin)/((vmax − vmin)/255) + 0.5)
+    in [0, 255], emitted long-form as (vec_id, i, q, vmin, vmax) — a row is
+    self-contained for dequantization — plus the per-element reconstruction
+    error |vmin + q·scale − x| the recall-impact analysis consumes.
+    Constant vectors (vmax = vmin) quantize to 0 with zero error.
+
+    Scale shape: map-only — one scan, array min/max bound in their own
+    projection, one posexplode; no shuffle at all, whole-stage codegen
+    throughout. Exactness: float→double widening is exact; q and the error
+    are FIXED TREES of correctly-rounded IEEE ops (sub/div/mul/add/abs —
+    no reductions, no libm), so both engines produce bit-identical values
+    with no DECIMAL detour needed; the only rounding is the HALF_UP floor."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    st = e.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("vmin"),
+        F.array_max("v").alias("vmax"),
+    )
+    ex = st.select(
+        "vec_id", "vmin", "vmax", F.posexplode("v").alias("i", "x")
+    )
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(255.0)
+    qx = ex.select(
+        "vec_id",
+        "i",
+        "x",
+        "vmin",
+        "vmax",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.floor((F.col("x") - F.col("vmin")) / scale + F.lit(0.5)).cast(
+                "int"
+            )
+        )
+        .alias("q"),
+    )
+    return qx.select(
+        "vec_id",
+        F.col("i").cast("long").alias("i"),
+        "q",
+        "vmin",
+        "vmax",
+        F.abs(F.col("vmin") + F.col("q") * scale - F.col("x")).alias(
+            "recon_err"
+        ),
+    )
+
+
+# the parallel UNNESTs zip positionally (the jl_project idiom); i is 0-based
+# to match posexplode
+QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+st AS (
+  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM v),
+ex AS (
+  SELECT vec_id, vmin, vmax,
+         UNNEST(v) AS x,
+         UNNEST(generate_series(0, len(v) - 1)) AS i
+  FROM st),
+qx AS (
+  SELECT vec_id, i, x, vmin, vmax,
+         CASE WHEN vmax = vmin THEN 0
+              ELSE CAST(FLOOR((x - vmin)
+                              / ((vmax - vmin) / CAST(255.0 AS DOUBLE))
+                              + CAST(0.5 AS DOUBLE)) AS INT) END AS q
+  FROM ex)
+SELECT vec_id, CAST(i AS BIGINT) AS i, q, vmin, vmax,
+       ABS(vmin + q * ((vmax - vmin) / CAST(255.0 AS DOUBLE)) - x)
+         AS recon_err
+FROM qx
+"""
+
+
 MLOPS_QUERIES: dict[str, tuple] = {
     "kmeans_centroids": (kmeans_centroids, KMEANS_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
+    "quantize_embeddings": (quantize_embeddings, QUANTIZE_SQL),
 }

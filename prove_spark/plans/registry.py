@@ -1267,6 +1267,11 @@ _UNREGISTERED = {
     # (the keep policy composing dedup_lsh_clusters + quality_scores, both
     # of which hold the family's CORR rows)
     "dedup_keep_best",
+    # quantize_embeddings — int8 scalar vector quantization (FAISS-SQ8
+    # shape) with per-element reconstruction error; joins the embedding
+    # family's pytest lane (kmeans_centroids / ann_ivf_topk hold the CORR
+    # rows); map-only, fixed-IEEE-tree exact (no DECIMAL detour needed)
+    "quantize_embeddings",
     # kg_hits — HITS hubs/authorities (the graph family's eighth signal,
     # role separation via two-vector mutual recursion; same registry-full
     # rationale as kg_coreness — kg_pagerank holds the iterative-ranking
