@@ -365,10 +365,175 @@ FROM s
 """
 
 
+# ------------------------------------------------- BPE tokenizer training
+# Byte-pair-encoding merge learning (Sennrich et al. 2016) — the tokenizer-
+# TRAINING step of an LM data pipeline, word-level as in the original BPE /
+# SentencePiece's word-based mode: pair statistics are weighted by word
+# frequency over the DISTINCT-word vocabulary, so after ONE corpus-scale
+# counting pass every merge round runs on a Zipf-bounded vocab relation.
+BPE_ROUNDS = 8
+
+# Symbol-string representation invariant: one leading + one trailing space,
+# exactly TWO spaces between adjacent symbols (' a  b  c '). Under it, the
+# left-to-right non-overlapping semantics of plain string replace() —
+# identical in Spark, DuckDB, and Python — implement the BPE merge exactly:
+# pattern ' a  b ' consumes ONE space from each neighboring gap and the
+# replacement ' ab ' restores both, so back-to-back occurrences
+# (' c  a  b  a  b  c ') and self-adjacent runs (' a  a  a ' → ' aa  a ')
+# merge left-to-right without lookaround (which DuckDB's RE2 lacks).
+
+
+def bpe_merges(spark, sf_dir):
+    """Learn the first BPE_ROUNDS BPE merges from the corpus: each round
+    counts adjacent symbol pairs (weighted by word frequency), picks the
+    global argmax pair (ties: lexicographic min — deterministic, unlike
+    dict-order implementations), and rewrites the vocabulary with the
+    merged symbol. Emits the merge table — (round, sym_a, sym_b, merged,
+    pair_count) plus that round's distinct-pair and total-pair mass so the
+    oracle pins the whole pair distribution, not just the argmax.
+
+    Scale shape: ONE corpus-scale pass (word counting); every round after
+    runs on the distinct-word vocabulary (Zipf-bounded — orders of
+    magnitude smaller than the corpus), with pair counting a combinable
+    groupBy, the best pair a 1-row TakeOrderedAndProject broadcast (never
+    a driver collect), and the merge a map-only replace(). Round state
+    (the vocab relation) is lineage-truncated via plans/iterstate.py.
+    Integers/strings only — no float discipline needed."""
+    from .iterstate import truncate_round
+
+    caches: list = []
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(word)), k -> substring(word, k, 1))"
+    )
+    vocab = truncate_round(
+        wc.select(
+            F.concat(
+                F.lit(" "), F.array_join(chars, "  "), F.lit(" ")
+            ).alias("rep"),
+            "n",
+        ),
+        caches,
+    )
+    rounds = []
+    for t in range(1, BPE_ROUNDS + 1):
+        syms = vocab.select(
+            F.split(F.trim("rep"), "  ").alias("syms"), "n"
+        )
+        pairs = (
+            syms.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " k -> struct(syms[k - 1] AS a, syms[k] AS b))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        pairs = truncate_round(pairs, caches)  # best + stats + merge consume it
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1)
+        stats = pairs.agg(
+            F.count("*").alias("n_distinct_pairs"),
+            F.sum("cnt").alias("total_pairs"),
+        )
+        rounds.append(
+            best.crossJoin(F.broadcast(stats)).select(
+                F.lit(t).alias("round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").cast("long").alias("pair_count"),
+                F.col("n_distinct_pairs").cast("long").alias(
+                    "n_distinct_pairs"
+                ),
+                F.col("total_pairs").cast("long").alias("total_pairs"),
+            )
+        )
+        vocab = truncate_round(
+            vocab.crossJoin(F.broadcast(best)).select(
+                F.replace(
+                    F.col("rep"),
+                    F.concat(
+                        F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")
+                    ),
+                    F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+                ).alias("rep"),
+                "n",
+            ),
+            caches,
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    for df in caches:
+        # round caches are superseded once the merge table is assembled;
+        # the final unions read only the tiny per-round best/stats rows
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out
+
+
+def _bpe_sql() -> str:
+    # MATERIALIZED is load-bearing (the kg_hits lesson): each round's pair
+    # CTE is referenced three times (best, stats, merge) and each vocab CTE
+    # twice — plain CTEs would re-expand the chain exponentially.
+    sql = """
+WITH bp_wc AS MATERIALIZED (
+  SELECT w AS word, COUNT(*) AS n
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w),
+bp_v0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(
+           list_transform(range(1, length(word) + 1), k -> word[k]), '  ')
+         || ' ' AS rep, n
+  FROM bp_wc)"""
+    for t in range(1, BPE_ROUNDS + 1):
+        sql += f""",
+bp_y{t} AS (SELECT string_split(trim(rep), '  ') AS syms, n FROM bp_v{t - 1}),
+bp_p{t} AS MATERIALIZED (
+  SELECT syms[k] AS a, syms[k + 1] AS b, SUM(n) AS cnt
+  FROM bp_y{t}, UNNEST(generate_series(1, len(syms) - 1)) AS tt(k)
+  GROUP BY 1, 2),
+bp_b{t} AS MATERIALIZED (
+  SELECT a, b, cnt FROM bp_p{t} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+bp_s{t} AS MATERIALIZED (
+  SELECT COUNT(*) AS n_distinct_pairs, SUM(cnt) AS total_pairs FROM bp_p{t}),
+bp_v{t} AS MATERIALIZED (
+  SELECT replace(rep, ' ' || b.a || '  ' || b.b || ' ',
+                 ' ' || b.a || b.b || ' ') AS rep, n
+  FROM bp_v{t - 1} CROSS JOIN bp_b{t} b)"""
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"""SELECT {t} AS round, b.a AS sym_a, b.b AS sym_b,
+       b.a || b.b AS merged, CAST(b.cnt AS BIGINT) AS pair_count,
+       CAST(s.n_distinct_pairs AS BIGINT) AS n_distinct_pairs,
+       CAST(s.total_pairs AS BIGINT) AS total_pairs
+FROM bp_b{t} b CROSS JOIN bp_s{t} s"""
+        for t in range(1, BPE_ROUNDS + 1)
+    )
+    return sql
+
+
+BPE_SQL = _bpe_sql()
+
+
 LMOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "jl_project_embeddings": (jl_project_embeddings, JL_PROJECT_SQL),
     "bigram_lm_score": (bigram_lm_score, BIGRAM_LM_SQL),
     "curriculum_bins": (curriculum_bins, CURRICULUM_SQL),
     "chunk_documents": (chunk_documents, CHUNK_SQL),
+    "bpe_merges": (bpe_merges, BPE_SQL),
 }

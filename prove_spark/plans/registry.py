@@ -1267,6 +1267,12 @@ _UNREGISTERED = {
     # (the keep policy composing dedup_lsh_clusters + quality_scores, both
     # of which hold the family's CORR rows)
     "dedup_keep_best",
+    # bpe_merges — BPE tokenizer-training merge rounds (Sennrich 2016,
+    # word-level): one corpus-scale counting pass, then Zipf-bounded
+    # vocab-relation rounds with 1-row-broadcast argmax picks; joins the
+    # LM-ops pytest lane (bigram_lm_score / pack_sequences hold the
+    # family's CORR rows)
+    "bpe_merges",
     # quantize_embeddings — int8 scalar vector quantization (FAISS-SQ8
     # shape) with per-element reconstruction error; joins the embedding
     # family's pytest lane (kmeans_centroids / ann_ivf_topk hold the CORR

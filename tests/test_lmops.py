@@ -167,6 +167,116 @@ def test_bigram_lm_duckdb_oracle_on_fixture(spark, lm_dir):
     assert (got.lm_score.values == want.lm_score.values).all()  # bit-identical
 
 
+# ---------------------------------------------------------------- BPE
+BPE_TEXTS = [
+    # self-adjacent run: 'aaa' = (a,a) twice per word, merges left-to-right
+    # to [aa, a] (NOT [a, aa] or [aa, aa])
+    [1, "aaa aaa aaa xy xy xy", "en", "s", 20],
+    # back-to-back occurrences of the merged pair: 'abab' -> [ab, ab],
+    # which then feeds a multi-char (ab, ab) merge in a later round
+    [2, "abab abab", "en", "s", 9],
+    # tie at equal count: (c,d) and (c,e) both 4 -> lexicographic min wins
+    [3, "cd cd cd cd ce ce ce ce", "en", "s", 23],
+]
+
+
+def _py_bpe(word_counts: dict, rounds: int) -> list[tuple]:
+    """Independent list-based BPE reference (no string-replace tricks):
+    count all adjacent pairs weighted by word frequency, pick (count DESC,
+    a ASC, b ASC), merge left-to-right non-overlapping."""
+    vocab = {}
+    for w, n in word_counts.items():
+        k = tuple(w)
+        vocab[k] = vocab.get(k, 0) + n
+    merges = []
+    for t in range(1, rounds + 1):
+        pairs: dict = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append(
+            (t, a, b, a + b, cnt, len(pairs), sum(pairs.values()))
+        )
+        new: dict = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new[k] = new.get(k, 0) + n
+        vocab = new
+    return merges
+
+
+@pytest.fixture(scope="module")
+def bpe_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bpe_sf")
+    docs = pd.DataFrame(BPE_TEXTS, columns=DOC_COLS)
+    spark.createDataFrame(docs).write.parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_bpe_merges_vs_python_reference(spark, bpe_dir):
+    from collections import Counter
+
+    from prove_spark.plans.lmops import BPE_ROUNDS, bpe_merges
+
+    got = (
+        bpe_merges(spark, bpe_dir)
+        .toPandas()
+        .sort_values("round")
+        .reset_index(drop=True)
+    )
+    words = Counter(" ".join(r[1] for r in BPE_TEXTS).split())
+    want = _py_bpe(dict(words), BPE_ROUNDS)
+    assert len(want) >= 5, "fixture must sustain several merge rounds"
+    assert len(got) == len(want)
+    for row, w in zip(got.itertuples(index=False), want):
+        assert (
+            row.round,
+            row.sym_a,
+            row.sym_b,
+            row.merged,
+            row.pair_count,
+            row.n_distinct_pairs,
+            row.total_pairs,
+        ) == w
+    # the crafted edges actually fired: a self-adjacent (a, a) merge and a
+    # later multi-char merge both appear
+    assert ("a", "a") in {(w[1], w[2]) for w in want}
+    assert any(len(w[1]) > 1 or len(w[2]) > 1 for w in want)
+
+
+def test_bpe_merges_duckdb_oracle_on_fixture(spark, bpe_dir):
+    from prove_spark.plans.lmops import BPE_SQL, bpe_merges
+
+    got = (
+        bpe_merges(spark, bpe_dir)
+        .toPandas()
+        .sort_values("round")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{bpe_dir}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(BPE_SQL).df().sort_values("round").reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert (got[c].values == want[c].values).all(), c
+
+
 def test_curriculum_bins_quartiles_and_oracle(spark, lm_dir):
     from prove_spark.plans.lmops import CURRICULUM_SQL, curriculum_bins
 
