@@ -945,6 +945,93 @@ FROM cells c JOIN sizes s ON s.cohort_day = c.cohort_day
 """
 
 
+# number of price-range buckets for the skyline prefix scan; a fixed small
+# constant so the cross-bucket carry relation stays driver/broadcast-trivial
+# at ANY corpus size (the per-bucket work is what scales out)
+PARETO_BUCKETS = 64
+
+
+def pareto_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
+    """2-D skyline core: rows of `df` not dominated under (minimize
+    `min_col`, maximize `max_col`); dominance = ≤ on min_col AND ≥ on
+    max_col, strict in at least one. Same-pair ties are mutually
+    non-dominating and all kept.
+
+    Scale shape: the naive formulation is an all-pairs NOT EXISTS
+    (quadratic — the DuckDB oracle uses it, correct at oracle scale only).
+    Here the skyline is re-expressed as a distributed prefix-max
+    staircase, everything bounded:
+      1. group by min_col → per-value max of max_col (ONE combinable
+         shuffle);
+      2. deterministic width_bucket over a broadcast 1-row (min,max) range
+         splits values into PARETO_BUCKETS ranges; per-bucket maxima form a
+         ≤64-row relation whose strict prefix-max (the cross-bucket carry)
+         is computed with a constant-size global window and broadcast back;
+      3. within each bucket a PARTITIONED window takes the strict
+         running max — so no window ever orders more than one bucket's
+         share of DISTINCT values, and no stage is quadratic.
+    A value group survives iff its max strictly exceeds every
+    strictly-smaller group's max (carry ⊔ in-bucket prefix); the row-level
+    frontier is the equi-join back on (min_col, max_col=gmax). No
+    arithmetic anywhere — comparisons over raw input values, so output is
+    trivially exact cross-engine."""
+    x, y = F.col(min_col), F.col(max_col)
+    lohi = df.agg(F.min(x).alias("lo"), F.max(x).alias("hi"))  # 1 row
+    pb = df.join(F.broadcast(lohi)).withColumn(
+        "bkt",
+        F.when(F.col("lo") == F.col("hi"), F.lit(1)).otherwise(
+            F.width_bucket(x, F.col("lo"), F.col("hi"), F.lit(PARETO_BUCKETS))
+        ),
+    )
+    grp = pb.groupBy("bkt", min_col).agg(F.max(y).alias("gmax"))
+    bmax = grp.groupBy("bkt").agg(F.max("gmax").alias("bmax"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    pre = bmax.withColumn("carry", F.max("bmax").over(wb)).select(
+        "bkt", "carry"
+    )
+    wp = (
+        Window.partitionBy("bkt")
+        .orderBy(min_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = (
+        grp.join(F.broadcast(pre), "bkt")
+        .withColumn("wmax", F.max("gmax").over(wp))
+        # greatest() skips NULLs; NULL best_below = nothing smaller exists
+        .withColumn("best_below", F.greatest("wmax", "carry"))
+        .where(
+            F.col("best_below").isNull()
+            | (F.col("gmax") > F.col("best_below"))
+        )
+        .select(F.col(min_col).alias("kx"), "gmax")
+    )
+    return pb.join(
+        kept, (x == F.col("kx")) & (y == F.col("gmax"))
+    ).select(*df.columns)
+
+
+def pareto_frontier_parts(spark, sf_dir):
+    """Skyline / Pareto-frontier query over `part`: the parts no other part
+    dominates (dominance = cheaper-or-equal price AND larger-or-equal size,
+    strict in at least one). The classic OLAP skyline operator (Börzsönyi
+    et al., ICDE'01) — neither Spark nor the reference has it natively; see
+    pareto_2d for the distributed staircase shape."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_2d(p, "p_retailprice", "p_size")
+
+
+PARETO_SQL = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part u
+  WHERE u.p_retailprice <= p.p_retailprice AND u.p_size >= p.p_size
+    AND (u.p_retailprice < p.p_retailprice OR u.p_size > p.p_size))
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -969,4 +1056,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "cumulative_unique_users": (cumulative_unique_users, CUM_UNIQUE_SQL),
     "unpivot_quality_metrics": (unpivot_quality_metrics, UNPIVOT_SQL),
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
+    "pareto_frontier_parts": (pareto_frontier_parts, PARETO_SQL),
 }

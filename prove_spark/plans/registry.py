@@ -1293,6 +1293,11 @@ _UNREGISTERED = {
     # conversation (suffix-running-sum window + filter); the running-frame
     # window shape holds the CORR row via running_user_value
     "context_tail",
+    # pareto_frontier_parts — 2-D skyline via distributed bucketed
+    # prefix-max staircase (the quadratic NOT-EXISTS form is oracle-only);
+    # a classic OLAP operator neither engine has natively; the window
+    # shapes it composes hold CORR rows elsewhere (running_user_value)
+    "pareto_frontier_parts",
     # token_pmi — PMI-style co-occurrence lift (collocation mining) beside
     # tfidf_top_terms/bm25_rank in the corpus-statistics family; the
     # df-band + bounded self-join shape mirrors dedup_ngram_jaccard's

@@ -63,6 +63,11 @@ ALLOWED: dict[str, tuple[str, int]] = {
     # 1-row per-table aggregate + anti-join-count relations assembled into
     # the report via scalar crossJoins
     "dq_report": ("BroadcastNestedLoopJoin", 4),
+    # 1-row (min,max) price-range broadcast feeding width_bucket; the
+    # bucketed relation is consumed by the group pass AND the row-level
+    # join-back, so the one logical crossJoin prints as three physical
+    # instances in the re-expanded plan string
+    "pareto_frontier_parts": ("BroadcastNestedLoopJoin", 3),
 }
 
 
