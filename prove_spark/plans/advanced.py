@@ -1032,6 +1032,79 @@ WHERE NOT EXISTS (
 """
 
 
+def gapfill_user_days(spark, sf_dir):
+    """Time-series gap fill + forward fill (the timeseries-DB `time_bucket
+    gapfill / locf` operator): per user, the observed per-day value total on
+    a DENSE daily grid from the user's first to last active day — missing
+    days materialized and carried forward from the most recent observed day
+    (last-observation-carried-forward), with an is_observed flag separating
+    real from filled cells.
+
+    Scale shape: per-(user, day) totals = ONE combinable shuffle; the
+    per-user (min, max) span is a combinable agg on the same key; the grid
+    is a map-only sequence-explode bounded by the user's day SPAN (a time
+    dimension, not corpus-bounded); the fill is a single window PARTITIONED
+    by user (never global) using last(ignorenulls) over a running frame —
+    the standard distributed LOCF. Days in exact integer epoch-seconds //
+    86400 (no calendar semantics to diverge cross-engine); day totals go
+    through DECIMAL(28,14) partial sums (exact, layout-independent), the
+    forward fill only COPIES those values."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("d"),
+        "value",
+    )
+    obs = e.groupBy("user_id", "d").agg(
+        F.sum(F.col("value").cast("decimal(28,14)"))
+        .cast("double")
+        .alias("day_value")
+    )
+    span = e.groupBy("user_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi")).alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.col("d").alias("day"),
+            F.col("day_value").isNotNull().alias("is_observed"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+GAPFILL_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d, value
+  FROM events),
+obs AS (
+  SELECT user_id, d,
+         CAST(SUM(CAST(value AS DECIMAL(28,14))) AS DOUBLE) AS day_value
+  FROM e GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM e GROUP BY 1),
+grid AS (
+  SELECT s.user_id, gs.d
+  FROM span s, UNNEST(generate_series(s.lo, s.hi)) AS gs(d))
+SELECT g.user_id, g.d AS day,
+       o.day_value IS NOT NULL AS is_observed,
+       LAST_VALUE(o.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.d
+         ROWS UNBOUNDED PRECEDING) AS filled_value
+FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.d = g.d
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -1057,4 +1130,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "unpivot_quality_metrics": (unpivot_quality_metrics, UNPIVOT_SQL),
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "pareto_frontier_parts": (pareto_frontier_parts, PARETO_SQL),
+    "gapfill_user_days": (gapfill_user_days, GAPFILL_SQL),
 }

@@ -1298,6 +1298,11 @@ _UNREGISTERED = {
     # a classic OLAP operator neither engine has natively; the window
     # shapes it composes hold CORR rows elsewhere (running_user_value)
     "pareto_frontier_parts",
+    # gapfill_user_days — dense daily-grid gap fill + forward fill (LOCF),
+    # the timeseries time_bucket-gapfill/locf operator; span-bounded
+    # sequence explode + user-partitioned last(ignorenulls) window; the
+    # running-frame window shape holds the CORR row via running_user_value
+    "gapfill_user_days",
     # token_pmi — PMI-style co-occurrence lift (collocation mining) beside
     # tfidf_top_terms/bm25_rank in the corpus-statistics family; the
     # df-band + bounded self-join shape mirrors dedup_ngram_jaccard's
