@@ -749,6 +749,54 @@ SELECT v AS entity, CAST(hop AS BIGINT) AS hop FROM bfs_r{BFS_ITERS}"""
     return sql
 
 
+RW_STEPS = 4  # walk length (steps beyond the start node)
+RW_WALKS = 2  # walks started per node
+
+
+def kg_random_walks_sql() -> str:
+    """Deterministic random-walk corpus oracle over the KG entity graph
+    (the DeepWalk/node2vec sampling step): the Spark side's fixed-step
+    transition loop unrolled as a CTE chain. The "random" next hop from the
+    walk's current node is the neighbor minimizing (portable_hash('rw|' ||
+    start || '|' || walk || '|' || step || '|' || neighbor), neighbor) —
+    pairwise-independent per (walk, step) like a seeded RNG draw, but a
+    pure expression both engines evaluate bit-identically (the JL-matrix
+    idiom, plans/lmops.py). Integer/string only — no float parity
+    concerns. Edge-induced node domain (kg_coreness posture); the dense
+    synthetic graph has no dead ends, and a dead-end walk would simply end
+    early on BOTH sides (inner join against the neighbor relation)."""
+    from .textops import PORTABLE_HASH_SQL  # single source of the hash twin
+
+    sql = (
+        _kg_ctes()
+        + f""",
+{_und_cte("rw")},
+rw_nbr AS MATERIALIZED (SELECT a AS src, b AS dst FROM rw_und
+            UNION ALL SELECT b AS src, a AS dst FROM rw_und),
+rw_s0 AS MATERIALIZED (
+  SELECT n.u AS start, ww.w, n.u AS cur
+  FROM (SELECT DISTINCT src AS u FROM rw_nbr) n,
+       UNNEST(generate_series(0, {RW_WALKS - 1})) AS ww(w))"""
+    )
+    for t in range(1, RW_STEPS + 1):
+        h = PORTABLE_HASH_SQL.format(
+            x=f"CONCAT('rw|', s.start, '|', s.w, '|', {t}, '|', n.dst)"
+        )
+        sql += f""",
+rw_c{t} AS (
+  SELECT s.start, s.w, n.dst, {h} AS h
+  FROM rw_s{t - 1} s JOIN rw_nbr n ON n.src = s.cur),
+rw_s{t} AS MATERIALIZED (
+  SELECT start, w, dst AS cur FROM rw_c{t}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY start, w ORDER BY h, dst) = 1)"""
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"""SELECT start AS start_entity, CAST(w AS INT) AS walk_id,
+       CAST({t} AS INT) AS step, cur AS node FROM rw_s{t}"""
+        for t in range(0, RW_STEPS + 1)
+    )
+    return sql
+
+
 def kg_connected_components_sql() -> str:
     """Connected-components oracle over the KG entity graph: exact
     min-reachable-label fixpoint via a recursive CTE (the DEDUP_CLUSTERS_SQL

@@ -264,6 +264,97 @@ def kg_hits(spark, sf_dir):
     )
 
 
+def kg_random_walks(spark, sf_dir):
+    """Deterministic random-walk sampling over the KG entity graph — the
+    graph family's ninth signal (the DeepWalk/node2vec corpus-generation
+    step that turns a graph into training sequences for embedding models;
+    Perozzi et al., KDD'14): RW_WALKS walks of RW_STEPS steps from every
+    node, emitted long-form as (start_entity, walk_id, step, node).
+
+    "Random" is the repo's seeded-draw idiom (the JL sign-matrix rule,
+    plans/lmops.py): the next hop is the neighbor minimizing
+    (portable_hash('rw|' || start || walk || step || neighbor), neighbor) —
+    pairwise-independent across (walk, step) draws like an RNG, but a pure
+    expression, so any engine and any partition layout reproduces the walk
+    corpus bit-identically; the oracle (kg_oracle.kg_random_walks_sql)
+    unrolls the same transitions as a CTE chain.
+
+    Scale shape: the neighbor relation is pre-partitioned on src and
+    persisted ONCE (eager — every round's join probes it); each step is ONE
+    edge-scale equi-join (frontier.cur = nbr.src, reusing that
+    partitioning) followed by ONE map-side-combinable min(struct(h, dst))
+    aggregation per (start, walk) — no window over anything bigger than a
+    node's neighbor list, nothing all-pairs, and the frontier stays at
+    exactly nodes × RW_WALKS rows every round. Round state is
+    lineage-truncated (plans/iterstate.py). Integer/string only. Dead ends
+    would end a walk early on BOTH engines (inner join); the undirected
+    derivation guarantees min-degree ≥ 1 on the edge-induced domain."""
+    from .kg_oracle import RW_STEPS, RW_WALKS
+    from .textops import _portable_hash
+
+    triples = _kg_build(spark, sf_dir)
+    und = _kg_undirected_edges(triples)
+    nbr = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+    _KG_CACHES.append(nbr)
+    nbr.count()  # all RW_STEPS round-joins probe it (sibling-stage race)
+    state = (
+        nbr.select(F.col("src").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.explode(F.sequence(F.lit(0), F.lit(RW_WALKS - 1))).alias("w"),
+        )
+        .select("start", F.col("w").cast("int").alias("w"))
+        .withColumn("cur", F.col("start"))
+    )
+    steps = [
+        state.select(
+            F.col("start").alias("start_entity"),
+            F.col("w").alias("walk_id"),
+            F.lit(0).cast("int").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    for t in range(1, RW_STEPS + 1):
+        h = _portable_hash(
+            F.concat(
+                F.lit("rw|"),
+                F.col("start"),
+                F.lit("|"),
+                F.col("w").cast("string"),
+                F.lit("|"),
+                F.lit(str(t)),
+                F.lit("|"),
+                F.col("dst"),
+            )
+        )
+        state = truncate_round(
+            state.join(nbr, state.cur == nbr.src)
+            .select("start", "w", "dst", h.alias("h"))
+            .groupBy("start", "w")
+            .agg(F.min(F.struct("h", "dst")).alias("m"))
+            .select("start", "w", F.col("m.dst").alias("cur")),
+            _KG_CACHES,
+        )
+        steps.append(
+            state.select(
+                F.col("start").alias("start_entity"),
+                F.col("w").alias("walk_id"),
+                F.lit(t).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.union(s)
+    return out
+
+
 def kg_entities(spark, sf_dir):
     """The entities dimension table (canonical id, label, members, stats)."""
     from ..pipeline.run import build_entities
@@ -991,6 +1082,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_coreness_sql,
         kg_hits_sql,
         kg_link_prediction_sql,
+        kg_random_walks_sql,
         context_tail_sql,
         conv_tool_chain_sql,
         kg_temporal_facts_sql,
@@ -1004,6 +1096,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         "kg_bfs_distance": kg_bfs_distance_sql(),
         "kg_connected_components": kg_connected_components_sql(),
         "kg_link_prediction": kg_link_prediction_sql(),
+        "kg_random_walks": kg_random_walks_sql(),
         "kg_hits": kg_hits_sql(),
         "kg_temporal_facts": kg_temporal_facts_sql(),
         "nli_training_export": nli_training_export_sql(),
@@ -1028,6 +1121,7 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
         _KG_EXTRA_SQLS["kg_link_prediction"],
     ),
     "kg_hits": (kg_hits, _KG_EXTRA_SQLS["kg_hits"]),
+    "kg_random_walks": (kg_random_walks, _KG_EXTRA_SQLS["kg_random_walks"]),
     "transcript_turn_stats": (
         transcript_turn_stats,
         _KG_EXTRA_SQLS["transcript_turn_stats"],
@@ -1278,6 +1372,12 @@ _UNREGISTERED = {
     # family's pytest lane (kmeans_centroids / ann_ivf_topk hold the CORR
     # rows); map-only, fixed-IEEE-tree exact (no DECIMAL detour needed)
     "quantize_embeddings",
+    # kg_random_walks — deterministic DeepWalk-style walk sampling (the
+    # graph family's ninth signal: the graph→training-sequence corpus
+    # generator; same registry-full rationale as kg_coreness); "random"
+    # draws via the portable-hash seeded-draw idiom so the walk corpus is
+    # bit-identical across engines and partition layouts
+    "kg_random_walks",
     # kg_hits — HITS hubs/authorities (the graph family's eighth signal,
     # role separation via two-vector mutual recursion; same registry-full
     # rationale as kg_coreness — kg_pagerank holds the iterative-ranking
