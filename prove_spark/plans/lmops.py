@@ -383,25 +383,22 @@ BPE_ROUNDS = 8
 # merge left-to-right without lookaround (which DuckDB's RE2 lacks).
 
 
-def bpe_merges(spark, sf_dir):
-    """Learn the first BPE_ROUNDS BPE merges from the corpus: each round
-    counts adjacent symbol pairs (weighted by word frequency), picks the
-    global argmax pair (ties: lexicographic min — deterministic, unlike
-    dict-order implementations), and rewrites the vocabulary with the
-    merged symbol. Emits the merge table — (round, sym_a, sym_b, merged,
-    pair_count) plus that round's distinct-pair and total-pair mass so the
-    oracle pins the whole pair distribution, not just the argmax.
-
-    Scale shape: ONE corpus-scale pass (word counting); every round after
-    runs on the distinct-word vocabulary (Zipf-bounded — orders of
-    magnitude smaller than the corpus), with pair counting a combinable
-    groupBy, the best pair a 1-row TakeOrderedAndProject broadcast (never
-    a driver collect), and the merge a map-only replace(). Round state
-    (the vocab relation) is lineage-truncated via plans/iterstate.py.
-    Integers/strings only — no float discipline needed."""
+def _bpe_chain(spark, sf_dir, caches: list):
+    """Shared BPE training chain (single source for bpe_merges and
+    bpe_encode_tokens — the SQL twin is _bpe_chain_sql, shared the same
+    way): one corpus-scale word-count pass, then BPE_ROUNDS vocabulary
+    rounds, each counting adjacent symbol pairs (weighted by word
+    frequency), picking the global argmax pair (ties: lexicographic min)
+    as a 1-row TakeOrderedAndProject broadcast, and rewriting the vocab
+    with the merged symbol. The vocab relation carries the WORD key
+    through every round so the final vocabulary is usable as an encoder
+    lookup (the column is never touched by the rewrite, so the emitted
+    merge rounds are unaffected). Returns (rounds, vocab): `rounds` =
+    per-round merge rows (round, sym_a, sym_b, merged, pair_count,
+    n_distinct_pairs, total_pairs), `vocab` = final (word, rep, n). Round
+    state is lineage-truncated via plans/iterstate.py."""
     from .iterstate import truncate_round
 
-    caches: list = []
     d = _t(spark, sf_dir, "documents")
     wc = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -413,6 +410,7 @@ def bpe_merges(spark, sf_dir):
     )
     vocab = truncate_round(
         wc.select(
+            "word",
             F.concat(
                 F.lit(" "), F.array_join(chars, "  "), F.lit(" ")
             ).alias("rep"),
@@ -462,6 +460,7 @@ def bpe_merges(spark, sf_dir):
         )
         vocab = truncate_round(
             vocab.crossJoin(F.broadcast(best)).select(
+                "word",
                 F.replace(
                     F.col("rep"),
                     F.concat(
@@ -473,6 +472,29 @@ def bpe_merges(spark, sf_dir):
             ),
             caches,
         )
+    return rounds, vocab
+
+
+def bpe_merges(spark, sf_dir):
+    """Learn the first BPE_ROUNDS BPE merges from the corpus: each round
+    counts adjacent symbol pairs (weighted by word frequency), picks the
+    global argmax pair (ties: lexicographic min — deterministic, unlike
+    dict-order implementations), and rewrites the vocabulary with the
+    merged symbol. Emits the merge table — (round, sym_a, sym_b, merged,
+    pair_count) plus that round's distinct-pair and total-pair mass so the
+    oracle pins the whole pair distribution, not just the argmax.
+
+    Scale shape: ONE corpus-scale pass (word counting); every round after
+    runs on the distinct-word vocabulary (Zipf-bounded — orders of
+    magnitude smaller than the corpus), with pair counting a combinable
+    groupBy, the best pair a 1-row TakeOrderedAndProject broadcast (never
+    a driver collect), and the merge a map-only replace(). Round state
+    (the vocab relation) is lineage-truncated via plans/iterstate.py.
+    Integers/strings only — no float discipline needed. The training chain
+    itself is the shared _bpe_chain (bpe_encode_tokens replays the same
+    one to ENCODE the corpus with the learned vocabulary)."""
+    caches: list = []
+    rounds, _vocab = _bpe_chain(spark, sf_dir, caches)
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionByName(r)
@@ -486,7 +508,51 @@ def bpe_merges(spark, sf_dir):
     return out
 
 
-def _bpe_sql() -> str:
+def bpe_encode_tokens(spark, sf_dir):
+    """ENCODE the corpus with the trained BPE vocabulary — the train→apply
+    composition (the ann_ivf/kmeans wiring pattern): replay the shared
+    _bpe_chain to its final word→subword vocabulary, then tokenize every
+    document against it, emitting per-doc (n_words, n_bpe_tokens,
+    tokens_per_word) — the sequence-length accounting a training pipeline
+    runs before packing (plans/mlops.pack_sequences consumes exactly this
+    kind of token count).
+
+    Scale shape: the chain's rounds run on the Zipf-bounded vocabulary
+    (see _bpe_chain); encoding is ONE equi-join of the exploded corpus
+    words against that vocabulary (word-keyed — broadcastable when the
+    vocab fits, shuffle-hash otherwise; Spark picks by size) plus ONE
+    combinable per-doc aggregation. Token counts are exact integers
+    (size of the double-space symbol split); tokens_per_word is the one
+    final IEEE division of two exact integers."""
+    caches: list = []
+    _rounds, vocab = _bpe_chain(spark, sf_dir, caches)
+    wtok = vocab.select(
+        "word", F.size(F.split(F.trim("rep"), "  ")).alias("n_tok")
+    )
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    agg = words.join(wtok, "word").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
+def _bpe_chain_sql() -> str:
+    """Shared WITH-chain twin of _bpe_chain (no final SELECT — _bpe_sql and
+    _bpe_encode_sql both build on it, the same single-source discipline as
+    the Spark side): the vocab CTEs carry the word key so the encoder can
+    use bp_v{BPE_ROUNDS} as a lookup; the merge-table selects never read
+    it."""
     # MATERIALIZED is load-bearing (the kg_hits lesson): each round's pair
     # CTE is referenced three times (best, stats, merge) and each vocab CTE
     # twice — plain CTEs would re-expand the chain exponentially.
@@ -496,7 +562,7 @@ WITH bp_wc AS MATERIALIZED (
   FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
   GROUP BY w),
 bp_v0 AS MATERIALIZED (
-  SELECT ' ' || array_to_string(
+  SELECT word, ' ' || array_to_string(
            list_transform(range(1, length(word) + 1), k -> word[k]), '  ')
          || ' ' AS rep, n
   FROM bp_wc)"""
@@ -512,9 +578,14 @@ bp_b{t} AS MATERIALIZED (
 bp_s{t} AS MATERIALIZED (
   SELECT COUNT(*) AS n_distinct_pairs, SUM(cnt) AS total_pairs FROM bp_p{t}),
 bp_v{t} AS MATERIALIZED (
-  SELECT replace(rep, ' ' || b.a || '  ' || b.b || ' ',
+  SELECT word, replace(rep, ' ' || b.a || '  ' || b.b || ' ',
                  ' ' || b.a || b.b || ' ') AS rep, n
   FROM bp_v{t - 1} CROSS JOIN bp_b{t} b)"""
+    return sql
+
+
+def _bpe_sql() -> str:
+    sql = _bpe_chain_sql()
     sql += "\n" + "\nUNION ALL\n".join(
         f"""SELECT {t} AS round, b.a AS sym_a, b.b AS sym_b,
        b.a || b.b AS merged, CAST(b.cnt AS BIGINT) AS pair_count,
@@ -529,6 +600,27 @@ FROM bp_b{t} b CROSS JOIN bp_s{t} s"""
 BPE_SQL = _bpe_sql()
 
 
+def _bpe_encode_sql() -> str:
+    return (
+        _bpe_chain_sql()
+        + f""",
+bp_tok AS MATERIALIZED (
+  SELECT word, CAST(len(string_split(trim(rep), '  ')) AS BIGINT) AS n_tok
+  FROM bp_v{BPE_ROUNDS}),
+bp_dw AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(t.n_tok) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(t.n_tok) AS DOUBLE) / COUNT(*) AS tokens_per_word
+FROM bp_dw d JOIN bp_tok t ON t.word = d.word
+GROUP BY d.doc_id"""
+    )
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
 LMOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "jl_project_embeddings": (jl_project_embeddings, JL_PROJECT_SQL),
@@ -536,4 +628,5 @@ LMOPS_QUERIES: dict[str, tuple] = {
     "curriculum_bins": (curriculum_bins, CURRICULUM_SQL),
     "chunk_documents": (chunk_documents, CHUNK_SQL),
     "bpe_merges": (bpe_merges, BPE_SQL),
+    "bpe_encode_tokens": (bpe_encode_tokens, BPE_ENCODE_SQL),
 }

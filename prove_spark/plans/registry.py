@@ -1367,6 +1367,11 @@ _UNREGISTERED = {
     # LM-ops pytest lane (bigram_lm_score / pack_sequences hold the
     # family's CORR rows)
     "bpe_merges",
+    # bpe_encode_tokens — the train→apply composition for the tokenizer:
+    # replay the shared _bpe_chain to its final vocabulary and ENCODE the
+    # corpus (per-doc word/BPE-token counts); joins bpe_merges in the
+    # LM-ops pytest lane
+    "bpe_encode_tokens",
     # quantize_embeddings — int8 scalar vector quantization (FAISS-SQ8
     # shape) with per-element reconstruction error; joins the embedding
     # family's pytest lane (kmeans_centroids / ann_ivf_topk hold the CORR
