@@ -1105,6 +1105,117 @@ FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.d = g.d
 """
 
 
+# Bloom-filter sizing: BLOOM_BITS bits as BLOOM_BITS/64 packed longs,
+# BLOOM_K independent hash probes per key. At ~1k build keys the fill ratio
+# stays under ~25%, so the false-positive rate is a few percent — the probe
+# side sheds >90% of its non-matching rows BEFORE the join shuffle.
+BLOOM_BITS = 8192
+BLOOM_K = 2
+
+
+def _bloom_pos(key: F.Column, seed: int) -> F.Column:
+    from .textops import _portable_hash
+
+    return F.pmod(
+        _portable_hash(F.concat(F.lit(f"bf{seed}|"), key.cast("string"))),
+        F.lit(BLOOM_BITS),
+    )
+
+
+def bloom_prefilter(probe: DataFrame, probe_key: str, build: DataFrame,
+                    build_key: str) -> DataFrame:
+    """Bloom-filter semi-join PUSHDOWN core: filter `probe` down to rows
+    whose key MIGHT appear in `build` — a guaranteed superset of the true
+    matches (no false negatives: every build key sets exactly the bits its
+    probes test), with false positives bounded by the fill ratio. The 100 TB
+    point: the bloom bitset is a fixed BLOOM_BITS/64-long array riding as a
+    1-row broadcast, so the probe side is pruned MAP-SIDE before any join
+    shuffle — the distributed form of the runtime bloom-join pushdown
+    (Spark's spark.sql.optimizer.runtime.bloomFilter), built from
+    first-class relational ops so the construction is portable and
+    testable.
+
+    Construction: per build key × BLOOM_K seeds, position = portable-hash
+    mod BLOOM_BITS (the seeded-draw idiom — deterministic across engines
+    and layouts); slot masks bit_or-combined per 64-bit slot (map-side
+    combinable), densified onto a sequence-exploded slot spine, and folded
+    to ONE array<long> row via sort_array(collect_list) over the ≤
+    BLOOM_BITS/64 slots (constant-size — never corpus data). Membership =
+    all BLOOM_K tested bits set, pure JVM bit algebra."""
+    nslots = BLOOM_BITS // 64
+    bk = build.select(F.col(build_key).alias("k")).distinct()
+    marks = None
+    for s in range(BLOOM_K):
+        pos = _bloom_pos(F.col("k"), s)
+        m = bk.select(
+            (pos / 64).cast("int").alias("slot"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+            ).alias("mask"),
+        )
+        marks = m if marks is None else marks.union(m)
+    slots = marks.groupBy("slot").agg(F.bit_or("mask").alias("bits"))
+    spine = (
+        probe.sparkSession.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(nslots - 1))).alias("slot"))
+        .select(F.col("slot").cast("int").alias("slot"))
+    )
+    bloom = (
+        spine.join(slots, "slot", "left")
+        .select("slot", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("slot", "bits"))),
+                lambda x: x.bits,
+            ).alias("arr")
+        )
+    )  # 1 row: array<long> of length nslots
+    out = probe.crossJoin(F.broadcast(bloom))
+    cond = F.lit(True)
+    for s in range(BLOOM_K):
+        pos = _bloom_pos(F.col(probe_key), s)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        word = F.element_at(F.col("arr"), (pos / 64).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return out.where(cond).drop("arr")
+
+
+BLOOM_PRICE_THRESHOLD = 450_000.0
+
+
+def bloom_semi_join(spark, sf_dir):
+    """Lineitems of high-value orders via a bloom-prefiltered semi join:
+    the bloom bitset of qualifying order keys prunes the lineitem scan
+    map-side (see bloom_prefilter), then the exact LEFT SEMI join removes
+    the bloom's false positives — so the OUTPUT is exactly the plain semi
+    join (the oracle), while the join shuffle carries only the bloom
+    survivors instead of the full fact table."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    )
+    hi = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > BLOOM_PRICE_THRESHOLD)
+        .select("o_orderkey")
+    )
+    pre = bloom_prefilter(li, "l_orderkey", hi, "o_orderkey")
+    return pre.join(
+        hi, pre.l_orderkey == hi.o_orderkey, "left_semi"
+    )
+
+
+BLOOM_SEMI_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey
+    AND o.o_totalprice > {BLOOM_PRICE_THRESHOLD})
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -1131,4 +1242,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "pareto_frontier_parts": (pareto_frontier_parts, PARETO_SQL),
     "gapfill_user_days": (gapfill_user_days, GAPFILL_SQL),
+    "bloom_semi_join": (bloom_semi_join, BLOOM_SEMI_SQL),
 }

@@ -1408,6 +1408,12 @@ _UNREGISTERED = {
     # sequence explode + user-partitioned last(ignorenulls) window; the
     # running-frame window shape holds the CORR row via running_user_value
     "gapfill_user_days",
+    # bloom_semi_join — bloom-filter semi-join pushdown (the runtime
+    # bloom-join technique built from first-class ops): probe side pruned
+    # map-side by a 1-row broadcast bitset BEFORE the join shuffle; output
+    # == the plain semi join (semi_join_high_value holds the family's
+    # CORR row), superset/pruning pinned in tests/test_bloom.py
+    "bloom_semi_join",
     # token_pmi — PMI-style co-occurrence lift (collocation mining) beside
     # tfidf_top_terms/bm25_rank in the corpus-statistics family; the
     # df-band + bounded self-join shape mirrors dedup_ngram_jaccard's

@@ -68,6 +68,13 @@ ALLOWED: dict[str, tuple[str, int]] = {
     # join-back, so the one logical crossJoin prints as three physical
     # instances in the re-expanded plan string
     "pareto_frontier_parts": ("BroadcastNestedLoopJoin", 3),
+    # per-round 1-row best-pair × 1-row round-stats crossJoin assembling
+    # the emitted merge table (one instance per BPE round; the vocab-chain
+    # crossJoins are lineage-truncated away and never reach the final plan)
+    "bpe_merges": ("BroadcastNestedLoopJoin", 8),
+    # the 1-row bloom-bitset broadcast crossJoin — the operator's entire
+    # point (map-side probe pruning before the join shuffle)
+    "bloom_semi_join": ("BroadcastNestedLoopJoin", 1),
 }
 
 
