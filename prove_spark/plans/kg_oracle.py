@@ -1003,6 +1003,44 @@ FROM (SELECT *, {h} % 10 AS h10
 CONTEXT_BUDGET = 48
 
 
+DPO_BATCH = 8  # in-batch negative-sampling batch size
+
+
+def dpo_pairs_sql() -> str:
+    """DPO preference-pair oracle: the SFT pair relation (reused VERBATIM
+    as a wrapped CTE — single source with sft_pairs_sql, so the pair
+    derivation cannot drift) plus a deterministic in-batch negative: pairs
+    are hash-bucketed into batches of ~DPO_BATCH, and each pair's
+    `rejected` is the NEXT pair's chosen response in the hash-shuffled
+    bucket ring (cyclic LEAD → FIRST_VALUE). Rows whose sampled negative
+    equals the chosen response (singleton buckets, duplicate responses)
+    are dropped on BOTH sides. Integer/string only."""
+    from .textops import PORTABLE_HASH_SQL  # single source of the hash twin
+
+    h = PORTABLE_HASH_SQL.format(
+        x="CONCAT('dpo|', conv_id, '|', CAST(prompt_turn_idx AS VARCHAR))"
+    )
+    return f"""
+WITH sftp AS MATERIALIZED ({sft_pairs_sql()}),
+dpo_n AS (SELECT COUNT(*) AS n_pairs FROM sftp),
+dpo_h AS (
+  SELECT s.*, {h} AS h,
+         {h} % GREATEST((n.n_pairs + {DPO_BATCH - 1}) // {DPO_BATCH}, 1)
+           AS bucket
+  FROM sftp s CROSS JOIN dpo_n n),
+dpo_r AS (
+  SELECT conv_id, prompt_turn_idx, prompt, response AS chosen, split,
+         COALESCE(
+           LEAD(response) OVER w,
+           FIRST_VALUE(response) OVER (
+             PARTITION BY bucket ORDER BY h, conv_id, prompt_turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ) AS rejected
+  FROM dpo_h
+  WINDOW w AS (PARTITION BY bucket ORDER BY h, conv_id, prompt_turn_idx))
+SELECT * FROM dpo_r WHERE rejected <> chosen"""
+
+
 def context_tail_sql() -> str:
     """Context-window truncation oracle: per-turn whitespace token counts,
     suffix-cumulative sum via SUM OVER (ORDER BY turn_idx DESC ROWS

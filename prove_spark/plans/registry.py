@@ -989,6 +989,73 @@ def sft_pairs(spark, sf_dir):
     )
 
 
+def dpo_pairs(spark, sf_dir):
+    """DPO preference-pair export with deterministic in-batch negative
+    sampling — the preference-optimization twin of [sft_pairs] (whose
+    relation is reused VERBATIM as the source, so the pair derivation is
+    single-sourced): each (prompt, chosen) pair gets a `rejected` response
+    sampled from the rest of the corpus the way contrastive/DPO trainers
+    sample in-batch negatives — pairs are hash-bucketed into batches of
+    ~DPO_BATCH and each pair's rejected is the NEXT pair's chosen response
+    in the hash-shuffled bucket ring (cyclic lead → first_value). The
+    sampling is the portable-hash seeded-draw idiom: no RNG state, so the
+    export is bit-identical across engines and partition layouts. Rows
+    whose sampled negative equals the chosen response (singleton buckets,
+    duplicate responses) are dropped on both sides.
+
+    Scale shape: batch count = ceil(n_pairs / DPO_BATCH) rides as a 1-row
+    broadcast (integer `div` arithmetic — never a double division); the
+    ring windows are PARTITIONED by bucket (~DPO_BATCH rows each — batch
+    count grows with the corpus, bucket size stays constant, so no window
+    ever orders more than a batch); everything else is map-only
+    projection."""
+    from .kg_oracle import DPO_BATCH
+    from .textops import _portable_hash
+
+    base = sft_pairs(spark, sf_dir)
+    h = _portable_hash(
+        F.concat(
+            F.lit("dpo|"),
+            F.col("conv_id"),
+            F.lit("|"),
+            F.col("prompt_turn_idx").cast("string"),
+        )
+    )
+    n = base.agg(F.count("*").alias("n_pairs"))  # 1 row
+    b = base.crossJoin(F.broadcast(n)).select(
+        "conv_id",
+        "prompt_turn_idx",
+        "prompt",
+        F.col("response").alias("chosen"),
+        "split",
+        h.alias("h"),
+        F.pmod(
+            h,
+            F.greatest(
+                F.expr(f"(n_pairs + {DPO_BATCH - 1}) div {DPO_BATCH}"),
+                F.lit(1).cast("long"),
+            ),
+        ).alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket").orderBy(
+        "h", "conv_id", "prompt_turn_idx"
+    )
+    wfull = wb.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = b.select(
+        "conv_id",
+        "prompt_turn_idx",
+        "prompt",
+        "chosen",
+        "split",
+        F.coalesce(
+            F.lead("chosen").over(wb), F.first("chosen").over(wfull)
+        ).alias("rejected"),
+    )
+    return out.where(F.col("rejected") != F.col("chosen"))
+
+
 def context_tail(spark, sf_dir):
     """Token-budget context-window truncation over the north-rule input
     table: per conversation, keep the longest turn SUFFIX whose whitespace
@@ -1084,6 +1151,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_link_prediction_sql,
         kg_random_walks_sql,
         context_tail_sql,
+        dpo_pairs_sql,
         conv_tool_chain_sql,
         kg_temporal_facts_sql,
         nli_training_export_sql,
@@ -1103,6 +1171,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         "transcript_turn_stats": transcript_turn_stats_sql(),
         "conv_tool_chain": conv_tool_chain_sql(),
         "sft_pairs": sft_pairs_sql(),
+        "dpo_pairs": dpo_pairs_sql(),
         "context_tail": context_tail_sql(),
     }
 
@@ -1139,6 +1208,7 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
         _KG_EXTRA_SQLS["conv_tool_chain"],
     ),
     "sft_pairs": (sft_pairs, _KG_EXTRA_SQLS["sft_pairs"]),
+    "dpo_pairs": (dpo_pairs, _KG_EXTRA_SQLS["dpo_pairs"]),
     "context_tail": (context_tail, _KG_EXTRA_SQLS["context_tail"]),
 }
 
@@ -1394,6 +1464,11 @@ _UNREGISTERED = {
     # the window/lead machinery holds CORR rows elsewhere
     # (latest_event_per_user, scd2's lag/lead)
     "sft_pairs",
+    # dpo_pairs — DPO preference-pair export: sft_pairs reused verbatim as
+    # the source plus a deterministic in-batch negative (hash-bucketed
+    # ring sampling — constant bucket size, batch count scales with the
+    # corpus); joins sft_pairs in the training-export pytest lane
+    "dpo_pairs",
     # context_tail — token-budget context-window truncation per
     # conversation (suffix-running-sum window + filter); the running-frame
     # window shape holds the CORR row via running_user_value
