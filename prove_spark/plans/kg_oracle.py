@@ -749,6 +749,61 @@ SELECT v AS entity, CAST(hop AS BIGINT) AS hop FROM bfs_r{BFS_ITERS}"""
     return sql
 
 
+WSP_ITERS = 8  # Bellman-Ford relaxation rounds; the dense synthetic entity
+# graph converges in ~2-3 (extra rounds are no-op relaxations), same
+# fixed-round posture as BFS_ITERS
+WSP_SEEDS = 3
+
+
+def _wsp_cost_sql(cnt: str) -> str:
+    """Integer inverse-support edge cost: strongly-supported edges are
+    cheap (cost 1 at >=3 supporting facts), weak ones expensive — the SQL
+    twin of registry._wsp_cost. Pure integer CASE, no float."""
+    return (
+        f"CASE WHEN {cnt} >= 3 THEN 1 WHEN {cnt} = 2 THEN 2 ELSE 3 END"
+    )
+
+
+def kg_weighted_paths_sql() -> str:
+    """Weighted shortest-path oracle over the KG entity graph: the Spark
+    side's fixed-round Bellman-Ford relaxation unrolled as a CTE chain.
+    Edge costs are integer inverse-support (see _wsp_cost_sql) over the
+    UNDEDUPED fact multiplicity — computed BEFORE the distinct step the
+    other graph oracles apply, because multiplicity IS the weight signal.
+    Seeds = the WSP_SEEDS highest-degree entities (ties: min entity id),
+    the kg_bfs_distance posture. Integer-only — no float parity concerns.
+    Unreached nodes are absent (edge-induced domain)."""
+    sql = (
+        _kg_ctes()
+        + f""",
+wsp_cnt AS MATERIALIZED (
+  SELECT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b,
+         COUNT(*) AS cnt
+  FROM triples WHERE subj <> obj GROUP BY 1, 2),
+wsp_edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst, {_wsp_cost_sql('cnt')} AS w FROM wsp_cnt
+  UNION ALL
+  SELECT b AS src, a AS dst, {_wsp_cost_sql('cnt')} AS w FROM wsp_cnt),
+wsp_deg AS MATERIALIZED (
+  SELECT src AS v, COUNT(*) AS deg FROM wsp_edges GROUP BY src),
+wsp_seeds AS MATERIALIZED (
+  SELECT v FROM wsp_deg ORDER BY deg DESC, v ASC LIMIT {WSP_SEEDS}),
+wsp_d0 AS MATERIALIZED (SELECT v, 0 AS dist FROM wsp_seeds)"""
+    )
+    for t in range(1, WSP_ITERS + 1):
+        sql += f""",
+wsp_c{t} AS (
+  SELECT e.dst AS v, d.dist + e.w AS dist
+  FROM wsp_d{t - 1} d JOIN wsp_edges e ON e.src = d.v
+  UNION ALL
+  SELECT v, dist FROM wsp_d{t - 1}),
+wsp_d{t} AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM wsp_c{t} GROUP BY v)"""
+    sql += f"""
+SELECT v AS entity, CAST(dist AS BIGINT) AS dist FROM wsp_d{WSP_ITERS}"""
+    return sql
+
+
 RW_STEPS = 4  # walk length (steps beyond the start node)
 RW_WALKS = 2  # walks started per node
 

@@ -355,6 +355,100 @@ def kg_random_walks(spark, sf_dir):
     return out
 
 
+def _wsp_cost(cnt):
+    """Integer inverse-support edge cost (SQL twin: kg_oracle._wsp_cost_sql):
+    strongly-supported edges cheap (cost 1 at >= 3 supporting facts), weak
+    ones expensive. Pure integer CASE — no float."""
+    return (
+        F.when(cnt >= 3, F.lit(1))
+        .when(cnt == 2, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+
+
+def kg_weighted_paths(spark, sf_dir):
+    """Weighted shortest paths over the KG entity graph — the graph
+    family's tenth signal (weighted reachability: how CHEAPLY an entity is
+    reached through well-supported facts, where [kg_bfs_distance] counts
+    hops as if every edge were equal): multi-source Bellman-Ford from the
+    WSP_SEEDS highest-degree entities, with integer inverse-support edge
+    costs computed from the UNDEDUPED fact multiplicity (multiplicity IS
+    the weight signal, so the cost agg runs before the distinct step the
+    other graph derivations apply).
+
+    Scale shape: the weighted edge relation is pre-partitioned on src and
+    persisted ONCE (eager — every relaxation round probes it); each round
+    is ONE edge-scale equi-join reusing that partitioning + ONE node-scale
+    map-side-combinable min-aggregation (the Pregel relax step as plain
+    DataFrame ops); the frontier never exceeds the node set. Fixed
+    WSP_ITERS rounds mirrored exactly by the oracle's unrolled CTE chain
+    (kg_oracle.kg_weighted_paths_sql) — the dense synthetic graph reaches
+    its fixpoint in ~2-3 rounds and the rest are no-op relaxations, the
+    kg_bfs_distance posture. Round state is lineage-truncated
+    (plans/iterstate.py). Integer-only."""
+    from .kg_oracle import WSP_ITERS, WSP_SEEDS
+
+    triples = _kg_build(spark, sf_dir)
+    cnt = (
+        triples.where(F.col("subj") != F.col("obj"))
+        .groupBy(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    edges = (
+        cnt.select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            _wsp_cost(F.col("cnt")).alias("w"),
+        )
+        .union(
+            cnt.select(
+                F.col("b").alias("src"),
+                F.col("a").alias("dst"),
+                _wsp_cost(F.col("cnt")).alias("w"),
+            )
+        )
+        .repartition("src")
+        .persist()
+    )
+    _KG_CACHES.append(edges)
+    edges.count()  # every relaxation round probes it (sibling-stage race)
+    return _wsp_distance(edges, WSP_ITERS, WSP_SEEDS, _KG_CACHES)
+
+
+def _wsp_distance(edges, iters: int, n_seeds: int, caches: list):
+    """Bellman-Ford relaxation core over a weighted directed edge relation
+    (src, dst, w): multi-source distances from the n_seeds highest-degree
+    vertices (ties: min id). Factored out so tests can drive crafted
+    weighted graphs directly (the synthetic entity graph is dense enough
+    that cheap-multi-hop-beats-expensive-direct never arises there)."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("src"))
+        .limit(n_seeds)
+        .select(F.col("src").alias("v"))
+    )
+    dist = truncate_round(
+        seeds.select("v", F.lit(0).cast("long").alias("dist")), caches
+    )
+    for _ in range(iters):
+        relaxed = dist.join(edges, dist.v == edges.src).select(
+            edges.dst.alias("v"),
+            (dist.dist + edges.w).cast("long").alias("dist"),
+        )
+        dist = truncate_round(
+            relaxed.union(dist.select("v", "dist"))
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist")),
+            caches,
+        )
+    return dist.select(
+        F.col("v").alias("entity"), F.col("dist").cast("long").alias("dist")
+    )
+
+
 def kg_entities(spark, sf_dir):
     """The entities dimension table (canonical id, label, members, stats)."""
     from ..pipeline.run import build_entities
@@ -1150,6 +1244,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_hits_sql,
         kg_link_prediction_sql,
         kg_random_walks_sql,
+        kg_weighted_paths_sql,
         context_tail_sql,
         dpo_pairs_sql,
         conv_tool_chain_sql,
@@ -1165,6 +1260,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         "kg_connected_components": kg_connected_components_sql(),
         "kg_link_prediction": kg_link_prediction_sql(),
         "kg_random_walks": kg_random_walks_sql(),
+        "kg_weighted_paths": kg_weighted_paths_sql(),
         "kg_hits": kg_hits_sql(),
         "kg_temporal_facts": kg_temporal_facts_sql(),
         "nli_training_export": nli_training_export_sql(),
@@ -1191,6 +1287,10 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
     ),
     "kg_hits": (kg_hits, _KG_EXTRA_SQLS["kg_hits"]),
     "kg_random_walks": (kg_random_walks, _KG_EXTRA_SQLS["kg_random_walks"]),
+    "kg_weighted_paths": (
+        kg_weighted_paths,
+        _KG_EXTRA_SQLS["kg_weighted_paths"],
+    ),
     "transcript_turn_stats": (
         transcript_turn_stats,
         _KG_EXTRA_SQLS["transcript_turn_stats"],
@@ -1453,6 +1553,11 @@ _UNREGISTERED = {
     # draws via the portable-hash seeded-draw idiom so the walk corpus is
     # bit-identical across engines and partition layouts
     "kg_random_walks",
+    # kg_weighted_paths — multi-source Bellman-Ford weighted shortest
+    # paths with integer inverse-support edge costs (the graph family's
+    # tenth signal: weighted reachability vs BFS's hop count; same
+    # registry-full rationale as kg_coreness)
+    "kg_weighted_paths",
     # kg_hits — HITS hubs/authorities (the graph family's eighth signal,
     # role separation via two-vector mutual recursion; same registry-full
     # rationale as kg_coreness — kg_pagerank holds the iterative-ranking
