@@ -1569,6 +1569,11 @@ _UNREGISTERED = {
     # the window/lead machinery holds CORR rows elsewhere
     # (latest_event_per_user, scd2's lag/lead)
     "sft_pairs",
+    # dedup_pr_eval — precision/recall of the LSH candidate generator vs
+    # the exact-Jaccard ground truth (the banding-config acceptance test;
+    # the dedup family's CORR rows pin both inputs); one pair-scale full
+    # outer join + one conditional-count agg
+    "dedup_pr_eval",
     # dpo_pairs — DPO preference-pair export: sft_pairs reused verbatim as
     # the source plus a deterministic in-batch negative (hash-bucketed
     # ring sampling — constant bucket size, batch count scales with the

@@ -1845,6 +1845,83 @@ HAVING COUNT(*) * {HH_K} > tot.n
 """
 
 
+def dedup_pr_eval(spark, sf_dir):
+    """Precision/recall evaluation of the LSH candidate generator against
+    the exact Jaccard ground truth — the dedup-pipeline twin of the north
+    rule's own P/R >= 0.95 acceptance gate: `lsh_candidate_pairs` is the
+    PREDICTION, `dedup_ngram_jaccard` (exact shingle-Jaccard >= 0.5 over
+    the df-capped shingle universe — the cap is shared by both sides, so
+    the eval is apples-to-apples) is the TRUTH, and the report is one row
+    of (tp, fp, fn, prec, recall). This is the measurement a corpus team
+    runs before trusting a banding config at scale: r/b tuning moves the
+    s-curve, and this query prices it.
+
+    Scale shape: both inputs are candidate-PAIR-scale relations (already
+    bounded by the df-cap / bucket-cap disciplines of their own CORR'd
+    plans); the eval is ONE full-outer equi-join on the pair key + ONE
+    combinable conditional-count aggregate. prec/recall are single IEEE
+    divisions of exact integers, NULL when undefined (zero denominator)
+    on both engines."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    pred = lsh_candidate_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("p")
+    )
+    j = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("tp"),
+        F.sum(F.when(F.col("t").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        ).alias("prec"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+        ).alias("recall"),
+    )
+
+
+DEDUP_PR_SQL = f"""
+WITH pr_truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({DEDUP_JACCARD_SQL})),
+pr_pred AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({LSH_SQL})),
+pr_j AS (
+  SELECT CASE
+           WHEN t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL THEN 'tp'
+           WHEN p.doc_a IS NOT NULL THEN 'fp'
+           ELSE 'fn' END AS cls
+  FROM pr_truth t FULL OUTER JOIN pr_pred p
+    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+pr_c AS (
+  SELECT CAST(SUM(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN cls = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN cls = 'fn' THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM pr_j)
+SELECT tp, fp, fn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+FROM pr_c
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
@@ -1865,6 +1942,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "redact_pii": (redact_pii, REDACT_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_SQL),
     "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_SQL),
+    "dedup_pr_eval": (dedup_pr_eval, DEDUP_PR_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "bm25_rank": (bm25_rank, BM25_SQL),
     "repetition_flags": (repetition_flags, REPETITION_SQL),

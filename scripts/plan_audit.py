@@ -75,6 +75,8 @@ ALLOWED: dict[str, tuple[str, int]] = {
     # the 1-row bloom-bitset broadcast crossJoin — the operator's entire
     # point (map-side probe pruning before the join shuffle)
     "bloom_semi_join": ("BroadcastNestedLoopJoin", 1),
+    # 1-row pair-count broadcast feeding the in-batch bucket arithmetic
+    "dpo_pairs": ("BroadcastNestedLoopJoin", 1),
 }
 
 
