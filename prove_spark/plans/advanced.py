@@ -1216,6 +1216,64 @@ WHERE EXISTS (
 """
 
 
+def mad_outliers(spark, sf_dir):
+    """Robust per-group outlier tagging by median absolute deviation — the
+    data-quality screen that survives the heavy tails a mean/stddev z-score
+    does not: per event_type, median(value), MAD = median(|value - med|),
+    and is_outlier = |value - med| > 3 * MAD. The two-level exact-median
+    structure (a percentile OF a percentile-derived column) is the part
+    plain aggregation cannot express in one pass.
+
+    Scale shape: two exact percentile aggregates on the same group key
+    (ONE partitioning serves both; exact percentile is the semantic pin —
+    the GK/KLL sketches in this repo are the mergeable 100 TB path, same
+    division of labor as percentile_event_values) with the tiny per-group
+    stats broadcast back; everything else is map-only. Float discipline:
+    value is a raw input double; |v - med| and 3*MAD are single
+    correctly-rounded IEEE ops of values both engines computed identically
+    (percentile_cont parity is pinned by the percentile CORR row), and the
+    flag is a comparison, not arithmetic."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        "mad",
+        (F.col("ad") > F.lit(3.0) * F.col("mad")).alias("is_outlier"),
+    )
+
+
+MAD_SQL = """
+WITH m_med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+m_dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS ad
+  FROM events e JOIN m_med m ON m.event_type = e.event_type),
+m_mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  FROM m_dev GROUP BY 1)
+SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+       d.ad > 3.0 * m.mad AS is_outlier
+FROM m_dev d JOIN m_mad m ON m.event_type = d.event_type
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -1243,4 +1301,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "pareto_frontier_parts": (pareto_frontier_parts, PARETO_SQL),
     "gapfill_user_days": (gapfill_user_days, GAPFILL_SQL),
     "bloom_semi_join": (bloom_semi_join, BLOOM_SEMI_SQL),
+    "mad_outliers": (mad_outliers, MAD_SQL),
 }

@@ -1599,6 +1599,11 @@ _UNREGISTERED = {
     # == the plain semi join (semi_join_high_value holds the family's
     # CORR row), superset/pruning pinned in tests/test_bloom.py
     "bloom_semi_join",
+    # mad_outliers — robust per-group outlier tagging (median/MAD, the
+    # heavy-tail-safe z-score twin); two exact percentile aggs on one
+    # group key + broadcast stats back (percentile_event_values holds the
+    # family's CORR row; GK/KLL sketches are the 100 TB path)
+    "mad_outliers",
     # token_pmi — PMI-style co-occurrence lift (collocation mining) beside
     # tfidf_top_terms/bm25_rank in the corpus-statistics family; the
     # df-band + bounded self-join shape mirrors dedup_ngram_jaccard's
