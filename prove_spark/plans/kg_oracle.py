@@ -749,6 +749,52 @@ SELECT v AS entity, CAST(hop AS BIGINT) AS hop FROM bfs_r{BFS_ITERS}"""
     return sql
 
 
+def kg_modularity_sql() -> str:
+    """Per-community Newman modularity oracle: the LPA oracle reused
+    VERBATIM as a wrapped CTE (single source — the community assignment
+    cannot drift from kg_label_propagation's), the undirected edge set
+    re-derived through a second wrapped _kg_ctes chain (MATERIALIZED
+    internally, so the double expansion costs two linear passes, not an
+    exponential blow-up), then q_c = in_c/m − (deg_c/(2m))² as the same
+    fixed 4-op IEEE tree the Spark side evaluates over exactly-computed
+    integers."""
+    und = (
+        _kg_ctes()
+        + """
+SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+FROM triples WHERE subj <> obj"""
+    )
+    return f"""
+WITH md_lpa AS MATERIALIZED (
+  SELECT entity, community FROM ({kg_label_propagation_sql()})),
+md_base AS MATERIALIZED ({und}),
+md_m AS (SELECT COUNT(*) AS m FROM md_base),
+md_nbr AS (SELECT a AS v FROM md_base UNION ALL SELECT b AS v FROM md_base),
+md_deg AS (SELECT v, COUNT(*) AS deg FROM md_nbr GROUP BY v),
+md_in AS (
+  SELECT ca.community AS community, COUNT(*) AS in_edges
+  FROM md_base e
+  JOIN md_lpa ca ON ca.entity = e.a
+  JOIN md_lpa cb ON cb.entity = e.b
+  WHERE ca.community = cb.community
+  GROUP BY 1),
+md_grp AS (
+  SELECT l.community, COUNT(*) AS n_members,
+         SUM(COALESCE(d.deg, 0)) AS deg_sum
+  FROM md_lpa l LEFT JOIN md_deg d ON d.v = l.entity
+  GROUP BY 1)
+SELECT g.community,
+       CAST(g.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(i.in_edges, 0) AS BIGINT) AS in_edges,
+       CAST(g.deg_sum AS BIGINT) AS deg_sum,
+       (COALESCE(i.in_edges, 0) / m.m)
+         - ((g.deg_sum / (2 * m.m)) * (g.deg_sum / (2 * m.m)))
+         AS q_contrib
+FROM md_grp g
+LEFT JOIN md_in i ON i.community = g.community
+CROSS JOIN md_m m"""
+
+
 WSP_ITERS = 8  # Bellman-Ford relaxation rounds; the dense synthetic entity
 # graph converges in ~2-3 (extra rounds are no-op relaxations), same
 # fixed-round posture as BFS_ITERS

@@ -355,6 +355,83 @@ def kg_random_walks(spark, sf_dir):
     return out
 
 
+def kg_modularity(spark, sf_dir):
+    """Newman modularity contributions per LPA community — the clustering
+    QUALITY evaluation over the graph family's own community detector (the
+    eval-op pairing of [dedup_pr_eval]: detect, then price the detection):
+    per community c, q_c = in_c/m − (deg_c/(2m))², the standard modularity
+    summand over the undirected entity graph. Per-community rows (no
+    cross-community float reduction — the only arithmetic is a fixed
+    4-op IEEE tree of exactly-computed integers, bit-identical across
+    engines: two divisions, one multiply, one subtract).
+
+    Scale shape: communities come from the shared _label_propagation core
+    (round state lineage-truncated); the in-community edge count is the
+    edge relation joined to the community map on EACH endpoint (two
+    node-scale equi-joins, never all-pairs); degrees one combinable agg;
+    m rides as a 1-row broadcast. The community map is lineage-truncated
+    before its three consumers (both endpoint joins + the membership
+    rollup)."""
+    from .kg_oracle import LPA_ITERS
+
+    triples = _kg_build(spark, sf_dir)
+    und = _kg_undirected_edges(triples)
+    nodes = _kg_node_set(triples)
+    comm = truncate_round(
+        _label_propagation(nodes, und, LPA_ITERS).select(
+            "entity", "community"
+        ),
+        _KG_CACHES,
+    )
+    return _modularity_contributions(comm, und)
+
+
+def _modularity_contributions(comm, und):
+    """Modularity core over a community map (entity, community) and an
+    undirected (a < b) edge relation — factored out so tests can drive
+    crafted partitions directly (LPA collapses the dense synthetic graph
+    to ONE community, where q = 1 − 1 = 0 exactly — documented; the
+    crafted two-community graph in tests/test_modularity.py pins the
+    discrimination)."""
+    m_df = und.agg(F.count("*").alias("m"))  # 1 row
+    nbr = und.select(F.col("a").alias("v")).union(
+        und.select(F.col("b").alias("v"))
+    )
+    deg = nbr.groupBy("v").agg(F.count("*").alias("deg"))
+    ca = comm.select(F.col("entity").alias("a"), F.col("community").alias("ca"))
+    cb = comm.select(F.col("entity").alias("b"), F.col("community").alias("cb"))
+    inn = (
+        und.join(ca, "a")
+        .join(cb, "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("in_edges"))
+    )
+    grp = (
+        comm.join(deg, comm.entity == deg.v, "left")
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.coalesce("deg", F.lit(0))).alias("deg_sum"),
+        )
+    )
+    half = F.col("deg_sum") / (F.lit(2) * F.col("m"))
+    return (
+        grp.join(inn, "community", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.coalesce("in_edges", F.lit(0)).cast("long").alias("in_edges"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            (
+                F.coalesce("in_edges", F.lit(0)) / F.col("m")
+                - half * half
+            ).alias("q_contrib"),
+        )
+    )
+
+
 def _wsp_cost(cnt):
     """Integer inverse-support edge cost (SQL twin: kg_oracle._wsp_cost_sql):
     strongly-supported edges cheap (cost 1 at >= 3 supporting facts), weak
@@ -1245,6 +1322,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_link_prediction_sql,
         kg_random_walks_sql,
         kg_weighted_paths_sql,
+        kg_modularity_sql,
         context_tail_sql,
         dpo_pairs_sql,
         conv_tool_chain_sql,
@@ -1261,6 +1339,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         "kg_link_prediction": kg_link_prediction_sql(),
         "kg_random_walks": kg_random_walks_sql(),
         "kg_weighted_paths": kg_weighted_paths_sql(),
+        "kg_modularity": kg_modularity_sql(),
         "kg_hits": kg_hits_sql(),
         "kg_temporal_facts": kg_temporal_facts_sql(),
         "nli_training_export": nli_training_export_sql(),
@@ -1291,6 +1370,7 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
         kg_weighted_paths,
         _KG_EXTRA_SQLS["kg_weighted_paths"],
     ),
+    "kg_modularity": (kg_modularity, _KG_EXTRA_SQLS["kg_modularity"]),
     "transcript_turn_stats": (
         transcript_turn_stats,
         _KG_EXTRA_SQLS["transcript_turn_stats"],
@@ -1553,6 +1633,10 @@ _UNREGISTERED = {
     # draws via the portable-hash seeded-draw idiom so the walk corpus is
     # bit-identical across engines and partition layouts
     "kg_random_walks",
+    # kg_modularity — Newman modularity contributions per LPA community
+    # (the clustering-quality eval of the family's own detector; the
+    # dedup_pr_eval pairing); fixed 4-op IEEE tree over exact integers
+    "kg_modularity",
     # kg_weighted_paths — multi-source Bellman-Ford weighted shortest
     # paths with integer inverse-support edge costs (the graph family's
     # tenth signal: weighted reachability vs BFS's hop count; same

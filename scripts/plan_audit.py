@@ -77,6 +77,8 @@ ALLOWED: dict[str, tuple[str, int]] = {
     "bloom_semi_join": ("BroadcastNestedLoopJoin", 1),
     # 1-row pair-count broadcast feeding the in-batch bucket arithmetic
     "dpo_pairs": ("BroadcastNestedLoopJoin", 1),
+    # 1-row edge-count (m) broadcast in the modularity summand
+    "kg_modularity": ("BroadcastNestedLoopJoin", 1),
 }
 
 
