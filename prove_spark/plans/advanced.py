@@ -1274,6 +1274,56 @@ FROM m_dev d JOIN m_mad m ON m.event_type = d.event_type
 """
 
 
+BURST_WINDOW_S = 3600  # trailing window width (seconds)
+BURST_K = 3  # events within the window (incl. current) that flag a burst
+
+
+def burst_detection(spark, sf_dir):
+    """Sliding-window burst / rate-limit audit: for every event, the count
+    of the SAME USER's events in the trailing BURST_WINDOW_S seconds
+    (current row included) via a RANGE window frame over the epoch-second
+    order key — the frame type the rest of the inventory doesn't exercise
+    (ROWS frames count a fixed number of rows; a RANGE frame is
+    value-bounded, so ties and irregular spacing are handled by the frame
+    itself, not by pre-bucketing). Events with >= BURST_K window events are
+    flagged — the abuse/rate-limit screen an event pipeline runs.
+
+    Scale shape: ONE window PARTITIONED by user (never global) ordered by
+    the integer epoch second; the RANGE frame is evaluated inside the
+    window operator with no self-join and no explode — contrast
+    range_join_cooccur, which needs the bucketed self-join because its
+    band is BETWEEN two different relations' rows. Integer-only."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-(BURST_WINDOW_S - 1), 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("s").alias("epoch_s"),
+        F.count("*").over(w).cast("long").alias("n_in_window"),
+        (F.count("*").over(w) >= BURST_K).alias("is_burst"),
+    )
+
+
+BURST_SQL = f"""
+SELECT event_id, user_id, epoch_s,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+       COUNT(*) OVER w >= {BURST_K} AS is_burst
+FROM (SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN {BURST_WINDOW_S - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -1302,4 +1352,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "gapfill_user_days": (gapfill_user_days, GAPFILL_SQL),
     "bloom_semi_join": (bloom_semi_join, BLOOM_SEMI_SQL),
     "mad_outliers": (mad_outliers, MAD_SQL),
+    "burst_detection": (burst_detection, BURST_SQL),
 }

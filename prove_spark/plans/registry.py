@@ -1683,6 +1683,10 @@ _UNREGISTERED = {
     # == the plain semi join (semi_join_high_value holds the family's
     # CORR row), superset/pruning pinned in tests/test_bloom.py
     "bloom_semi_join",
+    # burst_detection — sliding-window rate-limit audit via a RANGE
+    # (value-bounded) window frame — the frame type the ROWS-frame rows
+    # don't exercise; one user-partitioned window, integer-only
+    "burst_detection",
     # mad_outliers — robust per-group outlier tagging (median/MAD, the
     # heavy-tail-safe z-score twin); two exact percentile aggs on one
     # group key + broadcast stats back (percentile_event_values holds the
