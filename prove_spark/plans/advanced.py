@@ -1324,6 +1324,82 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
 """
 
 
+def snapshot_diff(spark, sf_dir):
+    """Snapshot diff — the INVERSE of CDC apply (cdc_apply_changes replays
+    a changelog onto a snapshot; this derives the changelog FROM two
+    snapshots, the table-format time-travel diff a lakehouse exposes as
+    `table_changes(v1, v2)`): emit one row per changed key with op I/U/D
+    and the before/after values. Snapshot B is synthesized from A inside
+    the query by deterministic integer-key rules (delete every 13th key,
+    double every 7th surviving value, insert a +10M-offset copy of every
+    17th row) so both engines diff IDENTICAL snapshot pairs with no stored
+    state.
+
+    Scale shape: ONE full-outer equi-join on the key + a map-only
+    classification — no windows, no secondary shuffles; unchanged keys are
+    dropped by VALUE comparison (value*2 == value when value == 0 is a
+    non-change by definition, both engines agree exactly: *2.0 and +1.0
+    are single correctly-rounded IEEE ops)."""
+    a = _t(spark, sf_dir, "events").select("event_id", "value")
+    surv = a.where(F.col("event_id") % 13 != 0)
+    b = surv.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") * F.lit(2.0))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    ).union(
+        a.where(F.col("event_id") % 17 == 0).select(
+            (F.col("event_id") + F.lit(10_000_000)).alias("event_id"),
+            (F.col("value") + F.lit(1.0)).alias("value"),
+        )
+    )
+    j = a.select(
+        F.col("event_id").alias("k"), F.col("value").alias("before_value")
+    ).join(
+        b.select(
+            F.col("event_id").alias("k"), F.col("value").alias("after_value")
+        ),
+        "k",
+        "full_outer",
+    )
+    return j.select(
+        F.col("k").alias("event_id"),
+        F.when(F.col("after_value").isNull(), F.lit("D"))
+        .when(F.col("before_value").isNull(), F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "before_value",
+        "after_value",
+    ).where(
+        F.col("before_value").isNull()
+        | F.col("after_value").isNull()
+        | (F.col("before_value") != F.col("after_value"))
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH sd_a AS (SELECT event_id, value FROM events),
+sd_b AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN value * 2.0 ELSE value END AS value
+  FROM sd_a WHERE event_id % 13 <> 0
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, value + 1.0 AS value
+  FROM sd_a WHERE event_id % 17 = 0),
+sd_j AS (
+  SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+         a.value AS before_value, b.value AS after_value,
+         a.event_id IS NOT NULL AS in_a, b.event_id IS NOT NULL AS in_b
+  FROM sd_a a FULL OUTER JOIN sd_b b ON b.event_id = a.event_id)
+SELECT event_id,
+       CASE WHEN NOT in_b THEN 'D' WHEN NOT in_a THEN 'I'
+            ELSE 'U' END AS op,
+       before_value, after_value
+FROM sd_j
+WHERE NOT in_a OR NOT in_b OR before_value <> after_value
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -1353,4 +1429,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "bloom_semi_join": (bloom_semi_join, BLOOM_SEMI_SQL),
     "mad_outliers": (mad_outliers, MAD_SQL),
     "burst_detection": (burst_detection, BURST_SQL),
+    "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
 }

@@ -1683,6 +1683,11 @@ _UNREGISTERED = {
     # == the plain semi join (semi_join_high_value holds the family's
     # CORR row), superset/pruning pinned in tests/test_bloom.py
     "bloom_semi_join",
+    # snapshot_diff — table-format time-travel diff (changelog FROM two
+    # snapshots — the inverse of cdc_apply_changes): one full-outer
+    # equi-join + map-only classification; snapshot B synthesized by
+    # deterministic integer-key rules so both engines diff identical pairs
+    "snapshot_diff",
     # burst_detection — sliding-window rate-limit audit via a RANGE
     # (value-bounded) window frame — the frame type the ROWS-frame rows
     # don't exercise; one user-partitioned window, integer-only
