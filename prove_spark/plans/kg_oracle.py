@@ -1142,6 +1142,29 @@ dpo_r AS (
 SELECT * FROM dpo_r WHERE rejected <> chosen"""
 
 
+def tool_transitions_sql() -> str:
+    """Markov tool-transition oracle: LEAD over the tool-filtered turn
+    sequence of the shared tts CTE, combinable pair counts, row-stochastic
+    probability = one IEEE division of exact counts."""
+    return (
+        _kg_ctes()
+        + _TTS_CTE
+        + """,
+mk_p AS (
+  SELECT tool, LEAD(tool) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+  FROM tts WHERE tool <> ''),
+mk_c AS (
+  SELECT tool, next_tool, COUNT(*) AS n_transitions
+  FROM mk_p WHERE next_tool IS NOT NULL GROUP BY 1, 2),
+mk_t AS (SELECT tool, SUM(n_transitions) AS n_total FROM mk_c GROUP BY 1)
+SELECT c.tool, c.next_tool,
+       CAST(c.n_transitions AS BIGINT) AS n_transitions,
+       CAST(c.n_transitions AS DOUBLE) / t.n_total AS prob
+FROM mk_c c JOIN mk_t t ON t.tool = c.tool"""
+    )
+
+
 def context_tail_sql() -> str:
     """Context-window truncation oracle: per-turn whitespace token counts,
     suffix-cumulative sum via SUM OVER (ORDER BY turn_idx DESC ROWS

@@ -1227,6 +1227,53 @@ def dpo_pairs(spark, sf_dir):
     return out.where(F.col("rejected") != F.col("chosen"))
 
 
+def tool_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over tool invocations — the
+    agent-behavior analytics the north-rule input table exists to answer
+    (which tool follows which?): per conversation, consecutive TOOL-BEARING
+    turns form (tool → next_tool) transitions; the output is the count and
+    the row-stochastic probability per source tool. The estimation twin of
+    [conv_tool_chain] (that one exports the ordered sequence; this one fits
+    the chain model on it).
+
+    Scale shape: ONE conv-partitioned window (lead over turn order on the
+    tool-filtered rows — per-conversation state, never corpus-bounded), a
+    combinable (tool, next_tool) count, and a broadcast-sized per-tool
+    total join (the tool vocabulary is a dimension). prob = one IEEE
+    division of exact counts."""
+    from ..datagen import transcripts_df
+
+    tr = transcripts_df(spark, sf_dir).select("conv_id", "turn_idx", "tool")
+    return _transition_matrix(tr)
+
+
+def _transition_matrix(tr):
+    """Markov transition-estimation core over (conv_id, turn_idx, tool) —
+    factored out so tests can drive crafted sequences directly (the
+    synthetic corpus's tool pattern is CYCLIC, so its matrix degenerates
+    to single-destination rows; tests/test_transitions.py pins the
+    multi-destination probabilities)."""
+    tb = tr.where(F.col("tool") != "")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = tb.select(
+        "tool", F.lead("tool").over(w).alias("next_tool")
+    ).where(F.col("next_tool").isNotNull())
+    cnt = pairs.groupBy("tool", "next_tool").agg(
+        F.count("*").alias("n_transitions")
+    )
+    tot = cnt.groupBy("tool").agg(
+        F.sum("n_transitions").alias("n_total")
+    )
+    return cnt.join(F.broadcast(tot), "tool").select(
+        "tool",
+        "next_tool",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        (
+            F.col("n_transitions").cast("double") / F.col("n_total")
+        ).alias("prob"),
+    )
+
+
 def context_tail(spark, sf_dir):
     """Token-budget context-window truncation over the north-rule input
     table: per conversation, keep the longest turn SUFFIX whose whitespace
@@ -1325,6 +1372,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_modularity_sql,
         context_tail_sql,
         dpo_pairs_sql,
+        tool_transitions_sql,
         conv_tool_chain_sql,
         kg_temporal_facts_sql,
         nli_training_export_sql,
@@ -1347,6 +1395,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         "conv_tool_chain": conv_tool_chain_sql(),
         "sft_pairs": sft_pairs_sql(),
         "dpo_pairs": dpo_pairs_sql(),
+        "tool_transitions": tool_transitions_sql(),
         "context_tail": context_tail_sql(),
     }
 
@@ -1389,6 +1438,10 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
     ),
     "sft_pairs": (sft_pairs, _KG_EXTRA_SQLS["sft_pairs"]),
     "dpo_pairs": (dpo_pairs, _KG_EXTRA_SQLS["dpo_pairs"]),
+    "tool_transitions": (
+        tool_transitions,
+        _KG_EXTRA_SQLS["tool_transitions"],
+    ),
     "context_tail": (context_tail, _KG_EXTRA_SQLS["context_tail"]),
 }
 
@@ -1663,6 +1716,11 @@ _UNREGISTERED = {
     # ring sampling — constant bucket size, batch count scales with the
     # corpus); joins sft_pairs in the training-export pytest lane
     "dpo_pairs",
+    # tool_transitions — first-order Markov transition matrix over tool
+    # invocations (the estimation twin of conv_tool_chain); one
+    # conv-partitioned lead window + combinable pair counts + broadcast
+    # per-tool totals
+    "tool_transitions",
     # context_tail — token-budget context-window truncation per
     # conversation (suffix-running-sum window + filter); the running-frame
     # window shape holds the CORR row via running_user_value
