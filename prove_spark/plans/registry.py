@@ -1590,6 +1590,11 @@ _UNREGISTERED = {
     # universe and LSH approximates); its brute-force oracle doubles as a
     # recall proof, and tests/test_simops.py pins the pruning claim
     "jaccard_prefix_join",
+    # mmr_rerank — MMR diversified re-ranking (Carbonell/Goldstein) after
+    # the pure-relevance ANN ranking; candidate-pool-bounded greedy rounds,
+    # exact-cosine discipline; the retrieval family's CORR rows are the
+    # ANN pair
+    "mmr_rerank",
     # kg_coreness — per-entity k-core number via the h-index iteration (the
     # graph family's fifth signal; registry is full at 50, and the four
     # registered kg graph rows already pin the iterative-join machinery);

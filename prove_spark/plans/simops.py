@@ -187,7 +187,271 @@ WHERE inter * {THETA_DEN} >= {THETA_NUM} * (sa.n + sb.n - inter)
 """
 
 
+# ------------------------------------------------- MMR diversified re-rank
+MMR_N = 8  # relevance-ranked candidate pool per query
+MMR_K = 4  # diversified results selected per query
+# λ = 0.5: score = 0.5·rel − 0.5·max-sim-to-selected. Written as the literal
+# 0.5 in BOTH engines so the expression tree is identical.
+
+
+def mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the retrieval family's DIVERSIFICATION step after
+    [ann_topk_cosine]'s pure-relevance ranking: per query, greedily select
+    MMR_K of the MMR_N most-relevant candidates, each round picking the
+    candidate maximizing 0.5·rel − 0.5·max_{s∈selected} sim(cand, s), so
+    near-duplicate hits stop crowding the result list.
+
+    Scale shape: relevance uses the exact-cosine discipline
+    (DECIMAL(28,14) partial dot/norm sums → one double division over a
+    correctly-rounded sqrt — the textops._cosine_pairs_base contract);
+    the candidate pool bounds EVERYTHING after: pairwise sims are
+    candidates-of-the-same-query only (≤ N² per query, via one equi-join
+    on (query, dim)), each greedy round is one anti-join + one combinable
+    max + one query-partitioned ROW_NUMBER over ≤ N rows. Nothing
+    corpus×corpus; round state is lineage-truncated. Ties (float score
+    equality) break on candidate id — deterministic. The oracle unrolls
+    the same K−1 greedy rounds as a CTE chain."""
+    from .iterstate import truncate_round
+    from .relational import _t
+
+    _release_caches()
+    dec = "decimal(28,14)"
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    ).persist()
+    _SIM_CACHES.append(ex)
+    ex.count()  # norms + query dots + candidate sims all scan it
+    norms = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("nsq")
+    )
+    a = ex.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "i", F.col("x").alias("xa")
+    )
+    b = ex.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cand_id"), "i", F.col("x").alias("xb")
+    )
+    dots = (
+        a.join(b, "i")
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum((F.col("xa") * F.col("xb")).cast(dec)).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("query_id"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("vec_id").alias("cand_id"), F.col("nsq").alias("nsq_b"))
+    rel = (
+        dots.join(na, "query_id")
+        .join(nb, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("nsq_a").cast("double")
+                    * F.col("nsq_b").cast("double")
+                )
+            ).alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("cand_id")
+    )
+    cands = truncate_round(
+        rel.withColumn("rnk", F.row_number().over(wq)).where(
+            F.col("rnk") <= MMR_N
+        ),
+        _SIM_CACHES,
+    )
+    cex = cands.select("query_id", "cand_id").join(
+        ex, ex.vec_id == F.col("cand_id")
+    ).select("query_id", "cand_id", "i", "x")
+    ca = cex.select("query_id", F.col("cand_id").alias("ca"), "i", F.col("x").alias("xa"))
+    cb = cex.select(F.col("query_id").alias("qb"), F.col("cand_id").alias("cb"), F.col("i").alias("ib"), F.col("x").alias("xb"))
+    sdots = (
+        ca.join(
+            cb,
+            (ca.query_id == cb.qb) & (ca.i == cb.ib) & (ca.ca < cb.cb),
+        )
+        .groupBy("query_id", "ca", "cb")
+        .agg(F.sum((F.col("xa") * F.col("xb")).cast(dec)).alias("dot"))
+    )
+    sna = norms.select(F.col("vec_id").alias("ca"), F.col("nsq").alias("nsq_a"))
+    snb = norms.select(F.col("vec_id").alias("cb"), F.col("nsq").alias("nsq_b"))
+    sims0 = (
+        sdots.join(sna, "ca")
+        .join(snb, "cb")
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("nsq_a").cast("double")
+                    * F.col("nsq_b").cast("double")
+                )
+            ).alias("sim"),
+        )
+    )
+    sym = truncate_round(
+        sims0.union(
+            sims0.select("query_id", F.col("cb").alias("ca"), F.col("ca").alias("cb"), "sim")
+        ),
+        _SIM_CACHES,
+    )
+    selected = truncate_round(
+        cands.where(F.col("rnk") == 1).select(
+            "query_id",
+            "cand_id",
+            "rel",
+            F.lit(1).cast("int").alias("mmr_rank"),
+        ),
+        _SIM_CACHES,
+    )
+    for t in range(2, MMR_K + 1):
+        sel_keys = selected.select("query_id", F.col("cand_id").alias("s"))
+        rem = cands.join(
+            sel_keys.withColumnRenamed("s", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+        pen = (
+            sym.join(
+                sel_keys,
+                (sym.query_id == sel_keys.query_id) & (sym.cb == sel_keys.s),
+            )
+            .groupBy(sym.query_id, sym.ca)
+            .agg(F.max("sim").alias("pen"))
+            .select(
+                sym.query_id.alias("query_id"),
+                sym.ca.alias("cand_id"),
+                "pen",
+            )
+        )
+        scored = rem.join(pen, ["query_id", "cand_id"]).select(
+            "query_id",
+            "cand_id",
+            "rel",
+            (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("pen")).alias(
+                "score"
+            ),
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("cand_id")
+        )
+        pick = (
+            scored.withColumn("prn", F.row_number().over(ws))
+            .where(F.col("prn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                "rel",
+                F.lit(t).cast("int").alias("mmr_rank"),
+            )
+        )
+        selected = truncate_round(selected.union(pick), _SIM_CACHES)
+    return selected.select(
+        "query_id",
+        F.col("cand_id").alias("neighbor_id"),
+        "rel",
+        "mmr_rank",
+    )
+
+
+def _mmr_sql() -> str:
+    sql = """
+WITH mm_ex AS MATERIALIZED (
+  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+         UNNEST(generate_series(1, len(embedding))) AS i
+  FROM embeddings),
+mm_norms AS MATERIALIZED (
+  SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS nsq
+  FROM mm_ex GROUP BY vec_id),
+mm_dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         SUM(CAST(a.x * b.x AS DECIMAL(28,14))) AS dot
+  FROM mm_ex a JOIN mm_ex b ON b.i = a.i
+  WHERE a.vec_id < 5 AND b.vec_id >= 5
+  GROUP BY 1, 2),
+mm_cands AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT d.query_id, d.cand_id,
+           CAST(d.dot AS DOUBLE)
+             / SQRT(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) AS rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.query_id
+             ORDER BY CAST(d.dot AS DOUBLE)
+               / SQRT(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) DESC,
+               d.cand_id) AS rnk
+    FROM mm_dots d
+    JOIN mm_norms na ON na.vec_id = d.query_id
+    JOIN mm_norms nb ON nb.vec_id = d.cand_id)
+  WHERE rnk <= {N}),
+mm_cex AS MATERIALIZED (
+  SELECT c.query_id, c.cand_id, e.i, e.x
+  FROM mm_cands c JOIN mm_ex e ON e.vec_id = c.cand_id),
+mm_sdots AS (
+  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         SUM(CAST(a.x * b.x AS DECIMAL(28,14))) AS dot
+  FROM mm_cex a
+  JOIN mm_cex b ON b.query_id = a.query_id AND b.i = a.i
+              AND a.cand_id < b.cand_id
+  GROUP BY 1, 2, 3),
+mm_sims0 AS (
+  SELECT s.query_id, s.ca, s.cb,
+         CAST(s.dot AS DOUBLE)
+           / SQRT(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) AS sim
+  FROM mm_sdots s
+  JOIN mm_norms na ON na.vec_id = s.ca
+  JOIN mm_norms nb ON nb.vec_id = s.cb),
+mm_sym AS MATERIALIZED (
+  SELECT query_id, ca, cb, sim FROM mm_sims0
+  UNION ALL
+  SELECT query_id, cb AS ca, ca AS cb, sim FROM mm_sims0),
+mm_all1 AS MATERIALIZED (
+  SELECT query_id, cand_id, rel, 1 AS mmr_rank
+  FROM mm_cands WHERE rnk = 1)""".replace("{N}", str(MMR_N))
+    for t in range(2, MMR_K + 1):
+        sql += f""",
+mm_rem{t} AS (
+  SELECT c.query_id, c.cand_id, c.rel FROM mm_cands c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM mm_all{t - 1} s
+    WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)),
+mm_pen{t} AS (
+  SELECT y.query_id, y.ca AS cand_id, MAX(y.sim) AS pen
+  FROM mm_sym y JOIN mm_all{t - 1} s
+    ON s.query_id = y.query_id AND s.cand_id = y.cb
+  GROUP BY 1, 2),
+mm_pick{t} AS (
+  SELECT query_id, cand_id, rel, {t} AS mmr_rank FROM (
+    SELECT r.query_id, r.cand_id, r.rel,
+           0.5 * r.rel - 0.5 * p.pen AS score
+    FROM mm_rem{t} r
+    JOIN mm_pen{t} p
+      ON p.query_id = r.query_id AND p.cand_id = r.cand_id)
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, cand_id) = 1),
+mm_all{t} AS MATERIALIZED (
+  SELECT query_id, cand_id, rel, mmr_rank FROM mm_all{t - 1}
+  UNION ALL
+  SELECT query_id, cand_id, rel, mmr_rank FROM mm_pick{t})"""
+    sql += f"""
+SELECT query_id, cand_id AS neighbor_id, rel,
+       CAST(mmr_rank AS INT) AS mmr_rank
+FROM mm_all{MMR_K}"""
+    return sql
+
+
+MMR_SQL = _mmr_sql()
+
+
 SIMOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "jaccard_prefix_join": (jaccard_prefix_join, JACCARD_PREFIX_SQL),
+    "mmr_rerank": (mmr_rerank, MMR_SQL),
 }
