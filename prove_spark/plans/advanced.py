@@ -1400,6 +1400,98 @@ WHERE NOT in_a OR NOT in_b OR before_value <> after_value
 """
 
 
+def user_value_trend(spark, sf_dir):
+    """Per-user OLS trend: slope and intercept of value over time (the
+    grouped linear-regression aggregate — REGR_SLOPE/REGR_INTERCEPT
+    semantics — that turns an event stream into per-entity drift/trend
+    features). Groups with a degenerate design (fewer than 2 points, or
+    zero time variance) emit NULL slope/intercept on both engines.
+
+    Scale shape: ONE combinable aggregation per user computing the five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) — the textbook
+    map-side-combinable form of regression; no window, no second pass.
+    Exactness: x is the epoch second RE-BASED to the user's first event
+    (one exact integer subtract — slope is shift-invariant, and rebasing
+    keeps x ≤ days-in-seconds so x² stays integer-exact), x·y is ONE IEEE
+    multiply of an exact int by a raw double; Σ goes through DECIMAL
+    partials (x², an exact integer, through DECIMAL(38,0); x·y through
+    DECIMAL(28,12)); the closed form
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx),
+    intercept = (Σy − slope·Σx) / n
+    is then a FIXED tree of IEEE ops over the exactly-computed sums —
+    identical expression both engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("s"),
+        F.col("value").alias("y"),
+    )
+    base = e.groupBy("user_id").agg(F.min("s").alias("s0"))
+    xy = e.join(base, "user_id").select(
+        "user_id", (F.col("s") - F.col("s0")).alias("x"), "y"
+    )
+    stats = xy.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,12)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(den != 0.0, (n * sxy - sx * sy) / den)
+    return stats.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        slope.alias("slope"),
+        F.when(den != 0.0, (sy - ((n * sxy - sx * sy) / den) * sx) / n).alias(
+            "intercept"
+        ),
+    )
+
+
+TREND_SQL = """
+WITH tr_e AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, value AS y
+  FROM events),
+tr_b AS (SELECT user_id, MIN(s) AS s0 FROM tr_e GROUP BY 1),
+tr_xy AS (
+  SELECT e.user_id, e.s - b.s0 AS x, e.y
+  FROM tr_e e JOIN tr_b b ON b.user_id = e.user_id),
+tr_s AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         SUM(x) AS sx,
+         SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+  FROM tr_xy GROUP BY 1)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       END AS slope,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+            THEN (CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+       END AS intercept
+FROM tr_s
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -1430,4 +1522,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "mad_outliers": (mad_outliers, MAD_SQL),
     "burst_detection": (burst_detection, BURST_SQL),
     "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "user_value_trend": (user_value_trend, TREND_SQL),
 }

@@ -1746,6 +1746,11 @@ _UNREGISTERED = {
     # == the plain semi join (semi_join_high_value holds the family's
     # CORR row), superset/pruning pinned in tests/test_bloom.py
     "bloom_semi_join",
+    # user_value_trend — per-entity OLS slope/intercept (REGR_SLOPE
+    # semantics) via the five combinable sufficient statistics; DECIMAL
+    # partial sums + a fixed IEEE closed-form tree; rebased-x keeps the
+    # integer arithmetic exact
+    "user_value_trend",
     # snapshot_diff — table-format time-travel diff (changelog FROM two
     # snapshots — the inverse of cdc_apply_changes): one full-outer
     # equi-join + map-only classification; snapshot B synthesized by
