@@ -164,7 +164,132 @@ FROM (
 """
 
 
+DRIFT_BINS = 10
+
+
+def drift_report(spark, sf_dir):
+    """Distribution-drift report — the ML-monitoring screen a feature/
+    training pipeline runs between a BASELINE window and the CURRENT
+    window (PSI-family; the per-bin statistic here is the chi-square term
+    (obs − exp)²/exp rather than PSI's (p−q)·ln(p/q) because ln() is libm
+    and not bit-portable — the repo's token_pmi/jaccard-not-Adamic-Adar
+    rule): events are split at the midpoint of the corpus time range,
+    values binned into DRIFT_BINS equal-width bins over the global value
+    range, and each (event_type, bin) cell reports baseline/current
+    counts, the expected current count under the baseline distribution,
+    and its chi-square contribution. Bins unseen in the baseline get a
+    NULL term and an is_new_bin flag (exp = 0 — the division is undefined
+    and the right answer is a flag, not infinity) on BOTH engines.
+
+    Scale shape: the (lo, hi, split) frame is ONE 1-row broadcast from a
+    global min/max agg; binning is map-only width_bucket; the cell rollup
+    is ONE combinable pivot-style conditional-count agg; per-type totals
+    are a dimension-sized broadcast join. All counts exact integers; the
+    expected count and chi-square term are a fixed 4-op IEEE tree."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("s"),
+        F.col("value").alias("v"),
+    )
+    frame = e.agg(
+        F.min("s").alias("s_lo"),
+        F.max("s").alias("s_hi"),
+        F.min("v").alias("v_lo"),
+        F.max("v").alias("v_hi"),
+    )  # 1 row
+    # bin formula written out explicitly (NOT width_bucket: its internal
+    # FP expression is engine-specific, so a value within 1 ulp of a bin
+    # boundary could land differently; this fixed tree is evaluated
+    # identically by both engines). LEAST clamp folds v == v_hi into the
+    # top bin.
+    binx = (
+        F.floor(
+            (F.col("v") - F.col("v_lo"))
+            / (F.col("v_hi") - F.col("v_lo"))
+            * F.lit(float(DRIFT_BINS))
+        )
+        + 1
+    )
+    binned = e.join(F.broadcast(frame)).select(
+        "event_type",
+        # midpoint split: baseline = strictly-before-midpoint
+        (
+            F.col("s")
+            < (F.col("s_lo") + (F.col("s_hi") - F.col("s_lo")) / 2)
+        ).alias("is_base"),
+        F.when(F.col("v_lo") == F.col("v_hi"), F.lit(1))
+        .otherwise(F.least(binx, F.lit(DRIFT_BINS)))
+        .cast("int")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+        .cast("long")
+        .alias("base_n"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1))
+        .cast("long")
+        .alias("cur_n"),
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("base_n").cast("long").alias("base_tot"),
+        F.sum("cur_n").cast("long").alias("cur_tot"),
+    )
+    j = cells.join(F.broadcast(tots), "event_type")
+    exp = (F.col("base_n") / F.col("base_tot")) * F.col("cur_tot")
+    return j.select(
+        "event_type",
+        F.col("bin").cast("int").alias("bin"),
+        "base_n",
+        "cur_n",
+        F.when(F.col("base_n") > 0, exp).alias("expected_n"),
+        F.when(
+            F.col("base_n") > 0,
+            ((F.col("cur_n") - exp) * (F.col("cur_n") - exp)) / exp,
+        ).alias("chi2_term"),
+        (F.col("base_n") == 0).alias("is_new_bin"),
+    )
+
+
+DRIFT_SQL = f"""
+WITH dr_e AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, value AS v
+  FROM events),
+dr_f AS (
+  SELECT MIN(s) AS s_lo, MAX(s) AS s_hi, MIN(v) AS v_lo, MAX(v) AS v_hi
+  FROM dr_e),
+dr_b AS (
+  SELECT event_type,
+         s < (s_lo + (s_hi - s_lo) / 2) AS is_base,
+         CASE WHEN v_lo = v_hi THEN 1
+              ELSE LEAST(FLOOR((v - v_lo) / (v_hi - v_lo)
+                               * {float(DRIFT_BINS)}) + 1,
+                         {DRIFT_BINS}) END AS bin
+  FROM dr_e CROSS JOIN dr_f),
+dr_c AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+         CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+  FROM dr_b GROUP BY 1, 2),
+dr_t AS (
+  SELECT event_type,
+         CAST(SUM(base_n) AS BIGINT) AS base_tot,
+         CAST(SUM(cur_n) AS BIGINT) AS cur_tot
+  FROM dr_c GROUP BY 1)
+SELECT c.event_type, CAST(c.bin AS INT) AS bin, c.base_n, c.cur_n,
+       CASE WHEN c.base_n > 0
+            THEN (c.base_n / t.base_tot) * t.cur_tot END AS expected_n,
+       CASE WHEN c.base_n > 0
+            THEN ((c.cur_n - (c.base_n / t.base_tot) * t.cur_tot)
+                  * (c.cur_n - (c.base_n / t.base_tot) * t.cur_tot))
+                 / ((c.base_n / t.base_tot) * t.cur_tot)
+       END AS chi2_term,
+       c.base_n = 0 AS is_new_bin
+FROM dr_c c JOIN dr_t t ON t.event_type = c.event_type
+"""
+
+
 DQOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "dq_report": (dq_report, DQ_REPORT_SQL),
+    "drift_report": (drift_report, DRIFT_SQL),
 }

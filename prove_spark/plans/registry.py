@@ -1746,6 +1746,11 @@ _UNREGISTERED = {
     # == the plain semi join (semi_join_high_value holds the family's
     # CORR row), superset/pruning pinned in tests/test_bloom.py
     "bloom_semi_join",
+    # drift_report — baseline-vs-current distribution drift (PSI-family;
+    # chi-square terms instead of ln-based PSI for bit-portability);
+    # map-only explicit binning + combinable cell counts + broadcast
+    # totals; dq_report holds the family's pytest lane seat
+    "drift_report",
     # user_value_trend — per-entity OLS slope/intercept (REGR_SLOPE
     # semantics) via the five combinable sufficient statistics; DECIMAL
     # partial sums + a fixed IEEE closed-form tree; rebased-x keeps the

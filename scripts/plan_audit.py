@@ -79,6 +79,9 @@ ALLOWED: dict[str, tuple[str, int]] = {
     "dpo_pairs": ("BroadcastNestedLoopJoin", 1),
     # 1-row edge-count (m) broadcast in the modularity summand
     "kg_modularity": ("BroadcastNestedLoopJoin", 1),
+    # 1-row (time range, value range) frame broadcast; the binned relation
+    # feeds both count lanes, so the one crossJoin prints twice
+    "drift_report": ("BroadcastNestedLoopJoin", 2),
 }
 
 
