@@ -1492,6 +1492,67 @@ FROM tr_s
 """
 
 
+def weighted_median_price(spark, sf_dir):
+    """Grouped WEIGHTED median — the aggregate neither engine ships
+    (percentile/quantile_cont weight every row equally; here each part's
+    price carries its size as mass): per brand, the lower weighted median
+    = the smallest price whose cumulative weight reaches half the brand's
+    total weight. The inventory/pricing form of the classic
+    order-statistics-with-mass problem.
+
+    Scale shape: ONE brand-partitioned window (cumulative weight in price
+    order — per-group state, never global), the group total riding the
+    SAME window with an unbounded frame (one partitioning serves both),
+    then a combinable min-aggregate over the qualifying rows. The
+    qualifying test is pure integer arithmetic (2·cumw >= total — no
+    float half-total), and the reported median is a raw input value —
+    nothing to round, trivially exact cross-engine."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_retailprice").alias("v"),
+        F.col("p_size").cast("long").alias("w"),
+    )
+    wo = (
+        Window.partitionBy("p_brand")
+        .orderBy("v", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = p.select(
+        "p_brand",
+        "v",
+        F.sum("w").over(wo).alias("cumw"),
+        F.sum("w").over(wall).alias("totw"),
+    )
+    return (
+        c.where(F.lit(2) * F.col("cumw") >= F.col("totw"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("totw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH wm_c AS (
+  SELECT p_brand, p_retailprice AS v,
+         SUM(CAST(p_size AS BIGINT)) OVER (
+           PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+           ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(CAST(p_size AS BIGINT)) OVER (
+           PARTITION BY p_brand) AS totw
+  FROM part)
+SELECT p_brand, MIN(v) AS weighted_median,
+       CAST(MAX(totw) AS BIGINT) AS total_weight
+FROM wm_c WHERE 2 * cumw >= totw
+GROUP BY p_brand
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -1523,4 +1584,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "burst_detection": (burst_detection, BURST_SQL),
     "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
     "user_value_trend": (user_value_trend, TREND_SQL),
+    "weighted_median_price": (weighted_median_price, WEIGHTED_MEDIAN_SQL),
 }

@@ -1746,6 +1746,10 @@ _UNREGISTERED = {
     # == the plain semi join (semi_join_high_value holds the family's
     # CORR row), superset/pruning pinned in tests/test_bloom.py
     "bloom_semi_join",
+    # weighted_median_price — grouped WEIGHTED median (mass-carrying order
+    # statistic neither engine ships); one group-partitioned cumulative
+    # window + integer qualifying test + combinable min
+    "weighted_median_price",
     # drift_report — baseline-vs-current distribution drift (PSI-family;
     # chi-square terms instead of ln-based PSI for bit-portability);
     # map-only explicit binning + combinable cell counts + broadcast
