@@ -172,41 +172,54 @@ def kmeans_centroids(spark, sf_dir):
     )
 
 
-def _kmeans_cte_chain() -> str:
+def _kmeans_cte_chain(p: str = "", ex_where: str | None = None) -> str:
     """Unrolled Lloyd iterations as a DuckDB CTE chain fragment (ex/seeds →
     c0 → d1/a1/m1/c1 → … → c4), mirroring the Spark _train_centroids rounds
-    expression for expression. Shared by KMEANS_SQL (trainer output) and
-    ANN_IVF_SQL (the IVF search composed on top of the trained c4)."""
+    expression for expression. Shared by KMEANS_SQL (trainer output),
+    ANN_IVF_SQL (the IVF search composed on top of the trained c4), and
+    PQ_SQL (which instantiates the chain TWICE — `p` prefixes every CTE
+    name so two chains coexist in one query, and `ex_where` restricts the
+    exploded relation to one dimension subspace)."""
     mean = _qz_sql(
         "CAST(SUM(CAST(e.x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)"
     )
-    sql = f"""ex AS (
+    base_ex = """
   SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
          UNNEST(generate_series(0, len(embedding) - 1)) AS i
   FROM embeddings
-),
-seeds AS ({SEED_IDS_SQL_TMPL.format(k=KMEANS_K)}),
-c0 AS (
-  SELECT s.cent_id, e.i, e.x AS cx FROM ex e JOIN seeds s USING (vec_id)
+"""
+    if ex_where is None:
+        ex_cte = f"{p}ex AS ({base_ex})"
+    else:
+        ex_cte = (
+            f"{p}ex AS (\n  SELECT * FROM ({base_ex}  )"
+            f" WHERE {ex_where})"
+        )
+    sql = f"""{ex_cte},
+{p}seeds AS ({SEED_IDS_SQL_TMPL.format(k=KMEANS_K)}),
+{p}c0 AS (
+  SELECT s.cent_id, e.i, e.x AS cx
+  FROM {p}ex e JOIN {p}seeds s USING (vec_id)
 )"""  # noqa: the chain fragment opens no WITH — composers prepend it
     for t in range(1, KMEANS_ITERS + 1):
         sql += f""",
-d{t} AS (
+{p}d{t} AS (
   SELECT e.vec_id, c.cent_id,
          SUM(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(28,14))) AS dsq
-  FROM ex e JOIN c{t - 1} c USING (i) GROUP BY e.vec_id, c.cent_id),
-a{t} AS (
+  FROM {p}ex e JOIN {p}c{t - 1} c USING (i) GROUP BY e.vec_id, c.cent_id),
+{p}a{t} AS (
   SELECT vec_id, cent_id FROM (
     SELECT vec_id, cent_id,
            ROW_NUMBER() OVER (PARTITION BY vec_id
                               ORDER BY dsq ASC, cent_id ASC) AS rn
-    FROM d{t}) WHERE rn = 1),
-m{t} AS (
+    FROM {p}d{t}) WHERE rn = 1),
+{p}m{t} AS (
   SELECT a.cent_id, e.i, {mean} AS mx
-  FROM a{t} a JOIN ex e USING (vec_id) GROUP BY a.cent_id, e.i),
-c{t} AS (
+  FROM {p}a{t} a JOIN {p}ex e USING (vec_id) GROUP BY a.cent_id, e.i),
+{p}c{t} AS (
   SELECT p.cent_id, p.i, COALESCE(m.mx, p.cx) AS cx
-  FROM c{t - 1} p LEFT JOIN m{t} m ON m.cent_id = p.cent_id AND m.i = p.i)"""
+  FROM {p}c{t - 1} p LEFT JOIN {p}m{t} m
+    ON m.cent_id = p.cent_id AND m.i = p.i)"""
     return sql
 
 
@@ -622,6 +635,115 @@ FROM qx
 """
 
 
+# ------------------------------------------------ product quantization (PQ)
+PQ_HALF_EXPR = "max(size(embedding)) div 2"  # subspace split point (1 row)
+
+
+def _pq_assign(ex_sub: DataFrame, cent: DataFrame, code_col: str, d_col: str):
+    """Nearest trained sub-centroid per vector over one subspace: the same
+    DECIMAL-exact squared-L2 + (dsq, cent_id) ROW_NUMBER argmin the
+    training rounds use."""
+    diff = F.col("x") - F.col("cx")
+    dist = (
+        ex_sub.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum((diff * diff).cast("decimal(28,14)")).alias("dsq"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dsq"), F.asc("cent_id"))
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cent_id").cast("int").alias(code_col),
+            F.col("dsq").alias(d_col),
+        )
+    )
+
+
+def pq_codes(spark, sf_dir):
+    """Product quantization (Jégou et al., TPAMI'11 — the FAISS workhorse):
+    the embedding is split into two dimension subspaces, an independent
+    k=KMEANS_K codebook is TRAINED per subspace (the same in-plan Lloyd's
+    loop the IVF quantizer uses — _train_centroids on the
+    subspace-restricted exploded relation), and every vector is encoded as
+    its two nearest-sub-centroid codes plus the exact squared
+    reconstruction error. Two codes over k=8 compress 64 doubles to 6
+    bits — the memory shape that makes billion-vector ANN feasible; the
+    scalar-quantization twin is [quantize_embeddings], the coarse
+    quantizer [kmeans_centroids].
+
+    Scale shape: the split point is a 1-row broadcast (`max dim div 2` —
+    never a collect); each subspace trains on ITS half of the exploded
+    relation (persisted per training call, centroid state
+    lineage-truncated per round); encoding is one broadcast-centroid join
+    + combinable DECIMAL distance sum + a vec-partitioned argmin per
+    subspace. recon_err = d0 + d1 is an exact DECIMAL add cast to double
+    ONCE. The oracle instantiates the shared unrolled Lloyd chain twice
+    (prefixes q0/q1) over the same subspace predicates."""
+    e = _t(spark, sf_dir, "embeddings")
+    hdf = e.agg(F.expr(PQ_HALF_EXPR).alias("h"))  # 1 row
+    ex = _exploded(e)
+
+    def sub(pred):
+        return (
+            ex.join(F.broadcast(hdf))
+            .where(pred)
+            .select("vec_id", "i", "x")
+        )
+
+    lo = F.col("i") < F.col("h")
+    hi = F.col("i") >= F.col("h")
+    ex0 = sub(lo).persist()
+    cent0, _ = _train_centroids(e, ex0)  # takes ownership of ex0
+    ex1 = sub(hi).persist()
+    # clears the previous call's caches (ex0's persist) — safe: cent0 is a
+    # lineage-truncated leaf, and the final assignment below re-derives the
+    # subspace slice as a cheap map over the scan
+    cent1, _ = _train_centroids(e, ex1)
+    a0 = _pq_assign(sub(lo), cent0, "code0", "d0")
+    a1 = _pq_assign(sub(hi), cent1, "code1", "d1")
+    return a0.join(a1, "vec_id").select(
+        "vec_id",
+        "code0",
+        "code1",
+        (F.col("d0") + F.col("d1")).cast("double").alias("recon_err"),
+    )
+
+
+def _pq_sql() -> str:
+    half = "(SELECT MAX(len(embedding)) // 2 FROM embeddings)"
+    chains = (
+        _kmeans_cte_chain("q0", f"i < {half}")
+        + ",\n"
+        + _kmeans_cte_chain("q1", f"i >= {half}")
+    )
+    T = KMEANS_ITERS
+
+    def assign(p, code, d):
+        return f"""{p}fd AS (
+  SELECT e.vec_id, c.cent_id,
+         SUM(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(28,14))) AS dsq
+  FROM {p}ex e JOIN {p}c{T} c USING (i) GROUP BY e.vec_id, c.cent_id),
+{p}fa AS (
+  SELECT vec_id, CAST(cent_id AS INT) AS {code}, dsq AS {d} FROM (
+    SELECT vec_id, cent_id, dsq,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dsq ASC, cent_id ASC) AS rn
+    FROM {p}fd) WHERE rn = 1)"""
+
+    return f"""
+WITH {chains},
+{assign("q0", "code0", "d0")},
+{assign("q1", "code1", "d1")}
+SELECT a.vec_id, a.code0, b.code1,
+       CAST(a.d0 + b.d1 AS DOUBLE) AS recon_err
+FROM q0fa a JOIN q1fa b ON b.vec_id = a.vec_id"""
+
+
+PQ_SQL = _pq_sql()
+
+
 MLOPS_QUERIES: dict[str, tuple] = {
     "kmeans_centroids": (kmeans_centroids, KMEANS_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
@@ -629,4 +751,5 @@ MLOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
     "quantize_embeddings": (quantize_embeddings, QUANTIZE_SQL),
+    "pq_codes": (pq_codes, PQ_SQL),
 }

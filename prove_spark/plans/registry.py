@@ -1685,6 +1685,10 @@ _UNREGISTERED = {
     # family's pytest lane (kmeans_centroids / ann_ivf_topk hold the CORR
     # rows); map-only, fixed-IEEE-tree exact (no DECIMAL detour needed)
     "quantize_embeddings",
+    # pq_codes — product quantization (two per-subspace TRAINED codebooks
+    # via the shared Lloyd chain; codes + exact reconstruction error); the
+    # embedding family's CORR rows are kmeans_centroids / ann_ivf_topk
+    "pq_codes",
     # kg_random_walks — deterministic DeepWalk-style walk sampling (the
     # graph family's ninth signal: the graph→training-sequence corpus
     # generator; same registry-full rationale as kg_coreness); "random"

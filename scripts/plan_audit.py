@@ -82,6 +82,9 @@ ALLOWED: dict[str, tuple[str, int]] = {
     # 1-row (time range, value range) frame broadcast; the binned relation
     # feeds both count lanes, so the one crossJoin prints twice
     "drift_report": ("BroadcastNestedLoopJoin", 2),
+    # 1-row subspace-split-point broadcast feeding each encoder slice (the
+    # two final assignment slices re-expand it in the plan string)
+    "pq_codes": ("BroadcastNestedLoopJoin", 3),
 }
 
 
