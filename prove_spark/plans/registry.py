@@ -1734,22 +1734,20 @@ _UNREGISTERED = {
     # conversation (suffix-running-sum window + filter); the running-frame
     # window shape holds the CORR row via running_user_value
     "context_tail",
-    # pareto_frontier_parts — 2-D skyline via distributed bucketed
-    # prefix-max staircase (the quadratic NOT-EXISTS form is oracle-only);
-    # a classic OLAP operator neither engine has natively; the window
-    # shapes it composes hold CORR rows elsewhere (running_user_value)
-    "pareto_frontier_parts",
+    # q3_shipping_priority — the second of two J1/J2 join+agg+topN rows
+    # (region_revenue keeps the family's CORR row, topk_per_group the
+    # limit shape); rotated out r5 in favor of pareto_frontier_parts (the
+    # skyline — a genuinely new operator class in the sweep)
+    "q3_shipping_priority",
+    # pivot_event_counts — the second of two A6 pivot rows
+    # (kg_entity_rollup keeps the family's CORR row); rotated out r5 in
+    # favor of bloom_semi_join (the bloom join-pushdown scale technique)
+    "pivot_event_counts",
     # gapfill_user_days — dense daily-grid gap fill + forward fill (LOCF),
     # the timeseries time_bucket-gapfill/locf operator; span-bounded
     # sequence explode + user-partitioned last(ignorenulls) window; the
     # running-frame window shape holds the CORR row via running_user_value
     "gapfill_user_days",
-    # bloom_semi_join — bloom-filter semi-join pushdown (the runtime
-    # bloom-join technique built from first-class ops): probe side pruned
-    # map-side by a 1-row broadcast bitset BEFORE the join shuffle; output
-    # == the plain semi join (semi_join_high_value holds the family's
-    # CORR row), superset/pruning pinned in tests/test_bloom.py
-    "bloom_semi_join",
     # weighted_median_price — grouped WEIGHTED median (mass-carrying order
     # statistic neither engine ships); one group-partitioned cumulative
     # window + integer qualifying test + combinable min
