@@ -427,7 +427,12 @@ def kg_subprocess(
 
 
 def main() -> None:
-    from prove_spark.plans.registry import ALL_QUERIES
+    from prove_spark.plans.registry import ALL_QUERIES, UNREGISTERED_QUERIES
+
+    # the headline set is FIXED across rounds for comparability; resolve
+    # names from the whole registry so a registered<->sweep-capped rotation
+    # (e.g. pivot_event_counts, rotated out r5) cannot break the bench
+    registry = {**UNREGISTERED_QUERIES, **ALL_QUERIES}
     from prove_spark.session import get_spark
 
     import shutil
@@ -534,7 +539,7 @@ def main() -> None:
     queries: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn, _sql = ALL_QUERIES[name]
+        fn, _sql = registry[name]
         t0 = time.time()
         fn(spark, SF_DIR).count()
         dt = time.time() - t0
@@ -548,7 +553,7 @@ def main() -> None:
     # warm pass shows the steady-state a long-running session would see.
     queries_warm: dict[str, float] = {}
     for name in HEADLINE:
-        fn, _sql = ALL_QUERIES[name]
+        fn, _sql = registry[name]
         t0 = time.time()
         fn(spark, SF_DIR).count()
         queries_warm[name] = round(time.time() - t0, 3)
