@@ -1553,6 +1553,158 @@ GROUP BY p_brand
 """
 
 
+ORDER_OPEN_DAYS = 30  # synthetic fulfillment interval length (days)
+
+
+def concurrent_orders(spark, sf_dir):
+    """Interval-stabbing / sweep-line temporal aggregation: how many orders
+    are OPEN on each day — the concurrency count over an interval set (each
+    order is open for ORDER_OPEN_DAYS from its order date), the operator
+    behind license-seat counting, connection-concurrency audits, and
+    overlap-capacity checks. Neither engine has a native interval-stab
+    aggregate; expressed as the classic boundary sweep: +1 at each start,
+    −1 at each end, prefix-sum over the day line.
+
+    Scale shape: the interval relation collapses to per-day NET deltas by
+    ONE combinable groupBy (boundary union is map-only), so the only window
+    runs over the bounded DAY dimension (the [cumulative_unique_users]
+    waiver) — never over the interval corpus. Integer-only."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400
+        )
+        .cast("long")
+        .alias("sd")
+    )
+    bounds = o.select(
+        F.col("sd").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        o.select(
+            (F.col("sd") + ORDER_OPEN_DAYS).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = bounds.groupBy("day").agg(
+        F.sum("delta").alias("net"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("n_starts"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).alias("n_ends"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("n_starts").cast("long").alias("n_starts"),
+        F.col("n_ends").cast("long").alias("n_ends"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
+CONCURRENT_SQL = f"""
+WITH co_o AS (
+  SELECT CAST(FLOOR(FLOOR(epoch(o_orderdate)) / 86400) AS BIGINT) AS sd
+  FROM orders),
+co_b AS (
+  SELECT sd AS day, 1 AS delta FROM co_o
+  UNION ALL
+  SELECT sd + {ORDER_OPEN_DAYS} AS day, -1 AS delta FROM co_o),
+co_d AS (
+  SELECT day, SUM(delta) AS net,
+         SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS n_starts,
+         SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS n_ends
+  FROM co_b GROUP BY 1)
+SELECT day, CAST(n_starts AS BIGINT) AS n_starts,
+       CAST(n_ends AS BIGINT) AS n_ends,
+       CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_orders
+FROM co_d
+"""
+
+
+BASKET_MIN_SUPP = 2  # minimum co-occurrence count for an emitted pair
+
+
+def basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence mining (the Apriori/FP-growth L2 layer):
+    part pairs bought together in the same order, with support, confidence,
+    and lift — the association-rule signal a recommendation pipeline
+    extracts from transaction logs. Exact counts; pairs below
+    BASKET_MIN_SUPP are pruned (the support threshold that makes Apriori
+    tractable at all).
+
+    Scale shape: the pair enumeration is ONE self-equi-join on the basket
+    key — fan-out per basket is basket-size², bounded by the transaction
+    model (TPC-H ≤ 7 lines; a retail basket is dozens), never corpus² — and
+    the a < b orientation halves it; per-item supports are a part-dimension
+    relation broadcast to both sides; the basket total rides as a 1-row
+    broadcast. Integer counts; confidence and lift are single IEEE divisions
+    of BIGINT-exact products."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_df = items.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    supp = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("s")
+    )
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("supp_ab"))
+        .where(F.col("supp_ab") >= BASKET_MIN_SUPP)
+    )
+    sa = supp.select(F.col("p").alias("pa"), F.col("s").alias("supp_a"))
+    sb = supp.select(F.col("p").alias("pb"), F.col("s").alias("supp_b"))
+    return (
+        pairs.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("supp_ab").cast("long").alias("supp_ab"),
+            F.col("supp_a").cast("long").alias("supp_a"),
+            F.col("supp_b").cast("long").alias("supp_b"),
+            (
+                F.col("supp_ab").cast("double")
+                / F.col("supp_a").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("supp_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("supp_a") * F.col("supp_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+BASKET_SQL = f"""
+WITH bk_i AS (
+  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+bk_n AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_baskets FROM bk_i),
+bk_s AS (SELECT p, COUNT(*) AS s FROM bk_i GROUP BY 1),
+bk_p AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS supp_ab
+  FROM bk_i a JOIN bk_i b ON a.k = b.k AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPP})
+SELECT p.pa AS part_a, p.pb AS part_b,
+       CAST(p.supp_ab AS BIGINT) AS supp_ab,
+       CAST(sa.s AS BIGINT) AS supp_a,
+       CAST(sb.s AS BIGINT) AS supp_b,
+       CAST(p.supp_ab AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence,
+       CAST(p.supp_ab * n.n_baskets AS DOUBLE)
+         / CAST(sa.s * sb.s AS DOUBLE) AS lift
+FROM bk_p p
+JOIN bk_s sa ON sa.p = p.pa
+JOIN bk_s sb ON sb.p = p.pb
+CROSS JOIN bk_n n
+"""
+
+
 ADVANCED_QUERIES: dict[str, tuple] = {
     "asof_join_latest_order": (asof_join_latest_order, ASOF_SQL),
     "distinct_user_stats": (distinct_user_stats, DISTINCT_SQL),
@@ -1585,4 +1737,6 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
     "user_value_trend": (user_value_trend, TREND_SQL),
     "weighted_median_price": (weighted_median_price, WEIGHTED_MEDIAN_SQL),
+    "concurrent_orders": (concurrent_orders, CONCURRENT_SQL),
+    "basket_pairs": (basket_pairs, BASKET_SQL),
 }

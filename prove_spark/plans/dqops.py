@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 # shared table loader (single source: one place to change if the
@@ -288,8 +289,173 @@ FROM dr_c c JOIN dr_t t ON t.event_type = c.event_type
 """
 
 
+AUC_GRID = 100  # score quantization grid (cents): bounds the rank domain
+
+
+def roc_auc_score(spark, sf_dir):
+    """Classifier-evaluation ROC-AUC via the Mann-Whitney rank-sum identity
+    — the model-eval op an ML-data pipeline runs on every scored snapshot
+    (here: does `value` separate error events from the rest?). AUC =
+    (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with mid-rank tie handling,
+    computed WITHOUT a row-scale sort: scores are quantized to the 1/AUC_GRID
+    grid (documented contract — AUC of the quantized score, exact under
+    mid-ranks; the production pattern for AUC at corpus scale, since exact
+    continuous AUC needs a global sort of every row), so the rank domain is
+    the bounded distinct-grid-value dimension, not the corpus.
+
+    Scale shape: ONE combinable groupBy collapses the corpus to per-grid-value
+    (count, positive-count) cells; the only window is a prefix sum over that
+    bounded score dimension (the [cumulative_unique_users] day-dimension
+    waiver); the final reduce is a 1-row aggregate. Integer-only until the
+    single final IEEE division: mid-ranks enter doubled (2·rank is integer),
+    so s2 = Σ_pos (2·min_rank + c − 1) stays BIGINT-exact."""
+    e = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * AUC_GRID + F.lit(0.5))
+        .cast("long")
+        .alias("sc"),
+        (F.col("event_type") == "error").alias("pos"),
+    )
+    byv = e.groupBy("sc").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("cp"),
+    )
+    w = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)
+    pre = byv.withColumn(
+        "before", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    stats = pre.agg(
+        F.sum(
+            F.col("cp")
+            * (2 * (F.col("before") + 1) + F.col("c") - 1)
+        ).alias("s2"),
+        F.sum("cp").alias("npos"),
+        F.sum(F.col("c") - F.col("cp")).alias("nneg"),
+    )
+    return stats.select(
+        F.col("npos").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        (
+            (F.col("s2") - F.col("npos") * (F.col("npos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("npos") * F.col("nneg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+ROC_AUC_SQL = f"""
+WITH auc_e AS (
+  SELECT CAST(FLOOR(value * {AUC_GRID} + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sc,
+         event_type = 'error' AS pos
+  FROM events),
+auc_v AS (
+  SELECT sc, COUNT(*) AS c,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp
+  FROM auc_e GROUP BY 1),
+auc_p AS (
+  SELECT sc, c, cp,
+         COALESCE(SUM(c) OVER (ORDER BY sc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM auc_v),
+auc_s AS (
+  SELECT SUM(cp * (2 * (before + 1) + c - 1)) AS s2,
+         SUM(cp) AS npos, SUM(c - cp) AS nneg
+  FROM auc_p)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       CAST(s2 - npos * (npos + 1) AS DOUBLE)
+         / CAST(2 * npos * nneg AS DOUBLE) AS auc
+FROM auc_s
+"""
+
+
+def changepoint_cusum(spark, sf_dir):
+    """Changepoint detection per event stream via the CUSUM statistic — the
+    monitoring twin of [drift_report] (that one compares two fixed windows;
+    this one FINDS the split point): for each event_type's daily count
+    series, the day t maximizing |D·S_t − T·t| (the scaled deviation of the
+    cumulative count S_t from the uniform-rate line; scaling by D and T
+    instead of dividing keeps every statistic a BIGINT — no float enters the
+    query at all, the [user_value_trend] rebased-integer discipline).
+
+    Scale shape: ONE combinable groupBy collapses the corpus to per-(type,
+    day) counts; both windows (cumulative sum + argmax pick) share one
+    partitioning over the type-day relation (time-bounded dimension, the
+    [cumulative_unique_users] waiver); per-type totals ride the same
+    partitioning via an aggregate window, no second shuffle. Ties on the
+    max statistic break to the earliest day."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.count("*").alias("cnt"))
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    cum = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("s_t"),
+        F.row_number().over(wo).alias("t"),
+        F.sum("cnt").over(wp).alias("tot"),
+        F.count("*").over(wp).alias("n_days"),
+    )
+    stat = cum.withColumn(
+        "stat",
+        F.abs(F.col("n_days") * F.col("s_t") - F.col("tot") * F.col("t")),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc("stat"), F.asc("day")
+    )
+    return (
+        stat.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("t").cast("long").alias("day_index"),
+            F.col("s_t").cast("long").alias("cum_before"),
+            F.col("stat").cast("long").alias("cusum_stat"),
+            F.col("tot").cast("long").alias("total_events"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+    )
+
+
+CUSUM_SQL = """
+WITH cs_e AS (
+  SELECT event_type,
+         CAST(FLOOR(FLOOR(epoch(ts)) / 86400) AS BIGINT) AS day
+  FROM events),
+cs_d AS (
+  SELECT event_type, day, COUNT(*) AS cnt FROM cs_e GROUP BY 1, 2),
+cs_c AS (
+  SELECT event_type, day, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS s_t,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         SUM(cnt) OVER (PARTITION BY event_type) AS tot,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM cs_d),
+cs_s AS (
+  SELECT *, ABS(n_days * s_t - tot * t) AS stat,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY ABS(n_days * s_t - tot * t) DESC, day ASC) AS rn
+  FROM cs_c)
+SELECT event_type, day AS change_day, CAST(t AS BIGINT) AS day_index,
+       CAST(s_t AS BIGINT) AS cum_before, CAST(stat AS BIGINT) AS cusum_stat,
+       CAST(tot AS BIGINT) AS total_events, CAST(n_days AS BIGINT) AS n_days
+FROM cs_s WHERE rn = 1
+"""
+
+
 DQOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "dq_report": (dq_report, DQ_REPORT_SQL),
     "drift_report": (drift_report, DRIFT_SQL),
+    "roc_auc_score": (roc_auc_score, ROC_AUC_SQL),
+    "changepoint_cusum": (changepoint_cusum, CUSUM_SQL),
 }

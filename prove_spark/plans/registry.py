@@ -1776,6 +1776,23 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # concurrent_orders — interval-stabbing sweep-line concurrency count
+    # (boundary deltas → day-dimension prefix sum; the operator neither
+    # engine ships natively); integer-only, one combinable groupBy
+    "concurrent_orders",
+    # basket_pairs — market-basket association mining (Apriori L2:
+    # support/confidence/lift over same-order part pairs); basket-bounded
+    # self-join fan-out, broadcast item supports, 1-row basket total
+    "basket_pairs",
+    # roc_auc_score — Mann-Whitney rank-sum ROC-AUC with mid-rank ties over
+    # the quantized-score grid (the model-eval op; the eval family's third
+    # member beside dedup_pr_eval/kg_modularity); integer-exact to the one
+    # final division, no row-scale sort (bounded grid dimension)
+    "roc_auc_score",
+    # changepoint_cusum — per-stream CUSUM changepoint (the split-FINDING
+    # twin of drift_report's fixed-window compare); all-BIGINT scaled
+    # statistic, both windows share one type-day partitioning
+    "changepoint_cusum",
     # token_pmi — PMI-style co-occurrence lift (collocation mining) beside
     # tfidf_top_terms/bm25_rank in the corpus-statistics family; the
     # df-band + bounded self-join shape mirrors dedup_ngram_jaccard's
