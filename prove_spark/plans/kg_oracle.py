@@ -1237,3 +1237,81 @@ FROM lp_new p
 JOIN lp_deg da ON da.v = p.a
 JOIN lp_deg db ON db.v = p.b"""
     )
+
+
+def kg_assortativity_sql() -> str:
+    """Degree-assortativity oracle over the KG entity graph: Pearson
+    correlation of endpoint degrees across the symmetrized edge list
+    (Newman 2002). Because each undirected edge contributes BOTH ordered
+    pairs, the x- and y-marginals coincide, so the textbook formula
+    collapses to r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — sqrt() drops out
+    entirely (the jaccard-not-Adamic-Adar rule: no libm call to diverge
+    on). Sums are CAST to BIGINT before the product arithmetic so DuckDB's
+    HUGEINT aggregates take the same BIGINT ops Spark's longs do; the
+    single final division is one correctly-rounded IEEE op. A regular
+    graph (all degrees equal) makes the denominator 0 → NULL on both
+    engines."""
+    return (
+        _kg_ctes()
+        + """,
+as_und AS (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM triples WHERE subj <> obj),
+as_nbr AS (SELECT a AS src, b AS dst FROM as_und
+           UNION ALL SELECT b AS src, a AS dst FROM as_und),
+as_deg AS (SELECT src AS v, COUNT(*) AS deg FROM as_nbr GROUP BY src),
+as_s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx.deg) AS BIGINT) AS sx,
+         CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy,
+         CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx
+  FROM as_nbr p
+  JOIN as_deg dx ON dx.v = p.src
+  JOIN as_deg dy ON dy.v = p.dst)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM as_und) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM as_deg) AS n_nodes,
+       n AS n_pairs,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN CAST(n * sxy - sx * sx AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS assortativity
+FROM as_s"""
+    )
+
+
+CALIBRATION_BINS = 10
+
+
+def kg_calibration_sql() -> str:
+    """Verdict-calibration oracle: the NLI scorer's predicted support
+    probability (w_supports) binned into CALIBRATION_BINS fixed-width bins
+    over [0, 1] (explicit FLOOR formula — the drift_report width_bucket
+    rule), each bin reporting how often 'supports' verdicts ACTUALLY won
+    vs the mean predicted probability (the reliability-diagram table).
+    mean_pred goes through DECIMAL(28,14) partial sums (order-independent,
+    the kg_pagerank discipline); support_rate and the gap are fixed IEEE
+    trees over exactly-computed inputs."""
+    cfg = DEFAULT_CONFIG
+    support = _q(list(cfg.classes)[0])
+    return (
+        _kg_ctes()
+        + f"""
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_claims,
+       CAST(COUNT(*) FILTER (WHERE verdict = {support}) AS BIGINT)
+         AS n_supported,
+       CAST(COUNT(*) FILTER (WHERE verdict = {support}) AS DOUBLE)
+         / COUNT(*) AS support_rate,
+       CAST(SUM(CAST(w_supports AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+         AS mean_pred,
+       ABS(CAST(COUNT(*) FILTER (WHERE verdict = {support}) AS DOUBLE)
+             / COUNT(*)
+           - CAST(SUM(CAST(w_supports AS DECIMAL(28,14))) AS DOUBLE)
+             / COUNT(*)) AS calibration_gap
+FROM (
+  SELECT verdict, w_supports,
+         CAST(LEAST(FLOOR(w_supports * {float(CALIBRATION_BINS)}) + 1,
+                    {CALIBRATION_BINS}) AS INT) AS bin
+  FROM triples)
+GROUP BY bin"""
+    )

@@ -951,6 +951,123 @@ def kg_link_prediction(spark, sf_dir):
     return _link_prediction(und, LINKPRED_HUB_CAP, LINKPRED_MIN_CN)
 
 
+def kg_assortativity(spark, sf_dir):
+    """Degree assortativity of the KG entity graph (Newman 2002) — the
+    graph family's MIXING-PATTERN signal: do well-connected entities link
+    to other hubs (assortative, r > 0) or to leaves (disassortative,
+    r < 0)? Real KGs are strongly disassortative (hub entities link to
+    long-tail ones) and the coefficient is the one-number summary a graph
+    pipeline tracks across builds. Pearson correlation of endpoint degrees
+    over the symmetrized edge list; because both orders of every edge are
+    included, the x/y marginals coincide and r collapses to
+    (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²) — the sqrt() in Pearson's denominator
+    drops out entirely (no libm call to diverge cross-engine, the
+    kg_link_prediction Jaccard-not-Adamic-Adar rule).
+
+    Scale shape: degrees are one combinable count; the sufficient
+    statistics are ONE pass over the edge relation with two node-scale
+    degree joins (the [user_value_trend] sufficient-statistics discipline
+    — nothing iterates, nothing is all-pairs); the output is a single row.
+    BIGINT throughout (degree sums fit comfortably at any graph where the
+    edge list itself is storable — Σx ≤ 2m·d_max; promote to DECIMAL(38,0)
+    partials if d_max·m approaches 2^63) with one final IEEE division;
+    a perfectly regular graph zeroes the denominator → NULL, both engines."""
+    triples = _kg_build(spark, sf_dir)
+    und = truncate_round(_kg_undirected_edges(triples), _KG_CACHES)
+    und.count()  # nbr's union legs + the edge-count agg consume it concurrently
+    nbr = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = truncate_round(
+        nbr.groupBy("src").agg(F.count("*").alias("deg")).select(
+            F.col("src").alias("v"), "deg"
+        ),
+        _KG_CACHES,
+    )
+    deg.count()  # feeds both endpoint joins + the node-count agg
+    dx = deg.select(F.col("v").alias("src"), F.col("deg").alias("x"))
+    dy = deg.select(F.col("v").alias("dst"), F.col("deg").alias("y"))
+    s = (
+        nbr.join(dx, "src")
+        .join(dy, "dst")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    m_df = und.agg(F.count("*").cast("long").alias("n_edges"))
+    nn_df = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.crossJoin(F.broadcast(m_df))
+        .crossJoin(F.broadcast(nn_df))
+        .select(
+            "n_edges",
+            "n_nodes",
+            F.col("n").alias("n_pairs"),
+            F.when(
+                den != 0,
+                (
+                    F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                / den.cast("double"),
+            ).alias("assortativity"),
+        )
+    )
+
+
+def kg_calibration(spark, sf_dir):
+    """Reliability-diagram calibration table for the NLI verdict scorer —
+    the model-monitoring op a verify-and-materialize pipeline runs on every
+    build (is a claim scored 0.8 'supports' actually supported ~80% of the
+    time?): predicted support probability (w_supports) binned into
+    CALIBRATION_BINS fixed-width bins over [0, 1], per bin the claim count,
+    the empirical supports rate, the mean predicted probability, and the
+    |gap| between them (the per-bin ECE term, unweighted).
+
+    Scale shape: a pure map-side bin projection riding the triples relation
+    followed by ONE combinable groupBy on the bin key (≤ CALIBRATION_BINS
+    groups). Cross-engine exactness: the bin edge is an explicit FLOOR
+    formula, NOT width_bucket (the drift_report rule); mean_pred sums the
+    double probabilities through DECIMAL(28,14) partials (order-independent
+    — the kg_pagerank discipline); support_rate/gap are fixed IEEE trees
+    over exactly-computed inputs."""
+    from ..config import DEFAULT_CONFIG
+    from .kg_oracle import CALIBRATION_BINS
+
+    support = list(DEFAULT_CONFIG.classes)[0]
+    t = _kg_build(spark, sf_dir)
+    binned = t.select(
+        "verdict",
+        "w_supports",
+        F.least(
+            F.floor(F.col("w_supports") * float(CALIBRATION_BINS)) + 1,
+            F.lit(CALIBRATION_BINS),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_claims"),
+        F.count(F.when(F.col("verdict") == support, True))
+        .cast("long")
+        .alias("n_supported"),
+        F.sum(F.col("w_supports").cast("decimal(28,14)")).alias("psum"),
+    )
+    rate = F.col("n_supported").cast("double") / F.col("n_claims")
+    pred = F.col("psum").cast("double") / F.col("n_claims")
+    return g.select(
+        "bin",
+        "n_claims",
+        "n_supported",
+        rate.alias("support_rate"),
+        pred.alias("mean_pred"),
+        F.abs(rate - pred).alias("calibration_gap"),
+    )
+
+
 def transcript_turn_stats(spark, sf_dir):
     """Per-role descriptive rollup over the north-rule input table ITSELF
     (conv_id, turn_idx, role, text, tool, ts — BASELINE.json input_hint):
@@ -1370,6 +1487,8 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_random_walks_sql,
         kg_weighted_paths_sql,
         kg_modularity_sql,
+        kg_assortativity_sql,
+        kg_calibration_sql,
         context_tail_sql,
         dpo_pairs_sql,
         tool_transitions_sql,
@@ -1389,6 +1508,8 @@ def _kg_extra_sqls() -> dict[str, str]:
         "kg_weighted_paths": kg_weighted_paths_sql(),
         "kg_modularity": kg_modularity_sql(),
         "kg_hits": kg_hits_sql(),
+        "kg_assortativity": kg_assortativity_sql(),
+        "kg_calibration": kg_calibration_sql(),
         "kg_temporal_facts": kg_temporal_facts_sql(),
         "nli_training_export": nli_training_export_sql(),
         "transcript_turn_stats": transcript_turn_stats_sql(),
@@ -1420,6 +1541,11 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
         _KG_EXTRA_SQLS["kg_weighted_paths"],
     ),
     "kg_modularity": (kg_modularity, _KG_EXTRA_SQLS["kg_modularity"]),
+    "kg_assortativity": (
+        kg_assortativity,
+        _KG_EXTRA_SQLS["kg_assortativity"],
+    ),
+    "kg_calibration": (kg_calibration, _KG_EXTRA_SQLS["kg_calibration"]),
     "transcript_turn_stats": (
         transcript_turn_stats,
         _KG_EXTRA_SQLS["transcript_turn_stats"],
@@ -1776,6 +1902,19 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # kg_assortativity — degree-mixing Pearson coefficient over the entity
+    # graph (the graph family's mixing-pattern signal; sufficient-statistics
+    # one-pass, sqrt eliminated by the symmetrized-marginal identity)
+    "kg_assortativity",
+    # kg_calibration — reliability-diagram table for the NLI verdict scorer
+    # (per-bin ECE terms; explicit bin formula, DECIMAL mean discipline) —
+    # the model-monitoring eval beside roc_auc_score/dedup_pr_eval
+    "kg_calibration",
+    # source_lang_hhi — per-source language-mix concentration (HHI + top
+    # share; entropy avoided — ln is libm, the drift_report rule); the
+    # corpus collapses to dimension-bounded (source, lang) cells in one
+    # combinable pass
+    "source_lang_hhi",
     # concurrent_orders — interval-stabbing sweep-line concurrency count
     # (boundary deltas → day-dimension prefix sum; the operator neither
     # engine ships natively); integer-only, one combinable groupBy

@@ -1922,6 +1922,69 @@ FROM pr_c
 """
 
 
+def source_lang_hhi(spark, sf_dir):
+    """Corpus-mix concentration per source — the Herfindahl-Hirschman index
+    (HHI) of each source's language distribution plus its dominant language:
+    the mixture-diagnostics screen a training-data pipeline runs before
+    setting sampling weights (is a source effectively monolingual, or
+    balanced?). HHI = Σ n_i² / N² rather than Shannon entropy deliberately:
+    entropy needs ln() (libm, not bit-portable — the drift_report/token_pmi
+    rule) while HHI is exact integers up to ONE final IEEE division.
+
+    Scale shape: the corpus collapses to (source, lang) cells in ONE
+    combinable groupBy; the per-source rollup and the dominant-language
+    window both run over that dimension-bounded cell relation (sources ×
+    langs, never the corpus). Ties on the top language break to the
+    lexicographically smallest."""
+    cells = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    ranked = cells.withColumn("rn", F.row_number().over(w))
+    grp = ranked.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+        F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias("top_lang"),
+        F.max(F.when(F.col("rn") == 1, F.col("n"))).alias("top_n"),
+    )
+    return grp.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "top_lang",
+        (
+            F.col("top_n").cast("double") / F.col("n_docs").cast("double")
+        ).alias("top_share"),
+        (
+            F.col("sq").cast("double")
+            / (F.col("n_docs") * F.col("n_docs")).cast("double")
+        ).alias("hhi"),
+    )
+
+
+HHI_SQL = """
+WITH hh_c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+hh_r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY n DESC, lang ASC) AS rn
+  FROM hh_c),
+hh_g AS (
+  SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_langs, SUM(n * n) AS sq,
+         MAX(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+         MAX(CASE WHEN rn = 1 THEN n END) AS top_n
+  FROM hh_r GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs, top_lang,
+       CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share,
+       CAST(sq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE) AS hhi
+FROM hh_g
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
@@ -1950,6 +2013,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "token_pmi": (token_pmi, TOKEN_PMI_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "rrf_hybrid_rank": (rrf_hybrid_rank, RRF_SQL),
+    "source_lang_hhi": (source_lang_hhi, HHI_SQL),
     "corpus_filter_pipeline": (
         corpus_filter_pipeline,
         CORPUS_FILTER_SQL.format(
