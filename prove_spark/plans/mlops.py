@@ -744,6 +744,79 @@ FROM q0fa a JOIN q1fa b ON b.vec_id = a.vec_id"""
 PQ_SQL = _pq_sql()
 
 
+def ann_recall_eval(spark, sf_dir):
+    """Recall@k of the IVF index against the exact brute-force ground truth
+    — the ANN-index acceptance test (the retrieval twin of [dedup_pr_eval]:
+    build the approximate structure, then PRICE the approximation): per
+    query, how many of the exact top-3 cosine neighbors the nprobe-bounded
+    IVF search actually returned. Both sides are this repo's own oracled
+    queries reused VERBATIM (ann_topk_cosine = truth, ann_ivf_topk =
+    retrieved), so the eval cannot drift from the operators it grades.
+
+    Scale shape: both inputs are already top-k-bounded (queries × k rows —
+    eval-sized, not corpus-sized); the overlap is one equi-join on
+    (query_id, neighbor_id) and the rollup a combinable count. recall is
+    the single final IEEE division of two small exact integers."""
+    from .textops import ann_topk_cosine
+
+    gt = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    rt = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        rt.join(gt, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    per = (
+        gt.groupBy("query_id")
+        .agg(F.count("*").alias("k_true"))
+        .join(
+            rt.groupBy("query_id").agg(F.count("*").alias("k_ret")),
+            "query_id",
+            "left",
+        )
+        .join(hits, "query_id", "left")
+    )
+    return per.select(
+        "query_id",
+        F.col("k_true").cast("long").alias("k_true"),
+        F.coalesce("k_ret", F.lit(0)).cast("long").alias("k_retrieved"),
+        F.coalesce("h", F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce("h", F.lit(0)).cast("double")
+            / F.col("k_true").cast("double")
+        ).alias("recall"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    """Both ANN oracles wrapped verbatim as MATERIALIZED CTEs (the
+    dedup_pr_eval single-source pattern — DuckDB accepts a full WITH query
+    inside `name AS MATERIALIZED (...)`), then the overlap join + rollup."""
+    from .textops import ANN_SQL
+
+    return f"""
+WITH are_gt AS MATERIALIZED ({ANN_SQL}),
+are_rt AS MATERIALIZED ({ANN_IVF_SQL}),
+are_h AS (
+  SELECT r.query_id, COUNT(*) AS h
+  FROM are_rt r JOIN are_gt g
+    ON g.query_id = r.query_id AND g.neighbor_id = r.neighbor_id
+  GROUP BY 1),
+are_t AS (SELECT query_id, COUNT(*) AS k_true FROM are_gt GROUP BY 1),
+are_r AS (SELECT query_id, COUNT(*) AS k_ret FROM are_rt GROUP BY 1)
+SELECT t.query_id,
+       CAST(t.k_true AS BIGINT) AS k_true,
+       CAST(COALESCE(r.k_ret, 0) AS BIGINT) AS k_retrieved,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.h, 0) AS DOUBLE) / CAST(t.k_true AS DOUBLE) AS recall
+FROM are_t t
+LEFT JOIN are_r r ON r.query_id = t.query_id
+LEFT JOIN are_h h ON h.query_id = t.query_id"""
+
+
+ANN_RECALL_SQL = _ann_recall_sql()
+
+
 MLOPS_QUERIES: dict[str, tuple] = {
     "kmeans_centroids": (kmeans_centroids, KMEANS_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
@@ -752,4 +825,5 @@ MLOPS_QUERIES: dict[str, tuple] = {
     "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
     "quantize_embeddings": (quantize_embeddings, QUANTIZE_SQL),
     "pq_codes": (pq_codes, PQ_SQL),
+    "ann_recall_eval": (ann_recall_eval, ANN_RECALL_SQL),
 }

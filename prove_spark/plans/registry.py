@@ -1902,6 +1902,10 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # ann_recall_eval — recall@k of the IVF index vs the exact brute-force
+    # ground truth (the retrieval twin of dedup_pr_eval; both sides are the
+    # repo's own oracled ANN queries reused verbatim)
+    "ann_recall_eval",
     # kg_assortativity — degree-mixing Pearson coefficient over the entity
     # graph (the graph family's mixing-pattern signal; sufficient-statistics
     # one-pass, sqrt eliminated by the symmetrized-marginal identity)
