@@ -85,6 +85,11 @@ ALLOWED: dict[str, tuple[str, int]] = {
     # 1-row subspace-split-point broadcast feeding each encoder slice (the
     # two final assignment slices re-expand it in the plan string)
     "pq_codes": ("BroadcastNestedLoopJoin", 3),
+    # 1-row basket-count broadcast feeding the lift denominator
+    "basket_pairs": ("BroadcastNestedLoopJoin", 1),
+    # two 1-row broadcasts (edge count m, node count) riding into the
+    # single-row sufficient-statistics output
+    "kg_assortativity": ("BroadcastNestedLoopJoin", 2),
 }
 
 
