@@ -452,10 +452,99 @@ FROM cs_s WHERE rn = 1
 """
 
 
+AB_SUCCESS_THRESHOLD = 100.0  # fixed success cut on the value metric
+
+
+def ab_test_zscores(spark, sf_dir):
+    """Two-proportion z-test per metric — the experimentation-platform
+    readout (the eval family's hypothesis-TEST member beside
+    [roc_auc_score]'s ranking eval and [drift_report]'s distribution
+    screen): users split into control/treatment by id parity (the
+    deterministic stand-in for an assignment table), success = value ≥
+    threshold, and per event_type the pooled two-proportion z-score
+    z = (p_b − p_a) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)).
+
+    Scale shape: ONE combinable conditional-count groupBy collapses the
+    corpus to per-type (n, successes) × 2 cells; the test statistic is a
+    fixed IEEE tree over those exact integers — each division/multiply/
+    sqrt is a correctly-rounded op on identical inputs in both engines
+    (sqrt is fine, ln is not — the repo-wide libm rule). Degenerate pooled
+    rates (p̂ = 0 or 1 → zero standard error) yield NULL on both engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2 == 1).alias("is_b"),
+        (F.col("value") >= AB_SUCCESS_THRESHOLD).alias("succ"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.when(~F.col("is_b"), True)).alias("n_a"),
+        F.count(F.when(F.col("is_b"), True)).alias("n_b"),
+        F.count(F.when(~F.col("is_b") & F.col("succ"), True)).alias("s_a"),
+        F.count(F.when(F.col("is_b") & F.col("succ"), True)).alias("s_b"),
+    )
+    p_a = F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("s_a") + F.col("s_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return g.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_a").cast("long").alias("conv_a"),
+        F.col("s_b").cast("long").alias("conv_b"),
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        F.when(se > 0, (p_b - p_a) / se).alias("z_score"),
+    )
+
+
+AB_TEST_SQL = f"""
+WITH ab_e AS (
+  SELECT event_type, user_id % 2 = 1 AS is_b,
+         value >= {AB_SUCCESS_THRESHOLD} AS succ
+  FROM events),
+ab_g AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE NOT is_b) AS n_a,
+         COUNT(*) FILTER (WHERE is_b) AS n_b,
+         COUNT(*) FILTER (WHERE NOT is_b AND succ) AS s_a,
+         COUNT(*) FILTER (WHERE is_b AND succ) AS s_b
+  FROM ab_e GROUP BY 1),
+ab_z AS (
+  SELECT *,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+         CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+  FROM ab_g)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(s_a AS BIGINT) AS conv_a, CAST(s_b AS BIGINT) AS conv_b,
+       p_a, p_b,
+       CASE WHEN SQRT(pp * (CAST(1.0 AS DOUBLE) - pp)
+                      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                         + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) > 0
+            THEN (p_b - p_a)
+                 / SQRT(pp * (CAST(1.0 AS DOUBLE) - pp)
+                        * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+       END AS z_score
+FROM ab_z
+"""
+
+
 DQOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "dq_report": (dq_report, DQ_REPORT_SQL),
     "drift_report": (drift_report, DRIFT_SQL),
     "roc_auc_score": (roc_auc_score, ROC_AUC_SQL),
     "changepoint_cusum": (changepoint_cusum, CUSUM_SQL),
+    "ab_test_zscores": (ab_test_zscores, AB_TEST_SQL),
 }

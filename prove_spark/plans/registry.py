@@ -1902,6 +1902,14 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # mutual_nn_pairs — reciprocal-best-hit alignment within label buckets
+    # (the bitext-mining/entity-alignment precision filter); bucket-bounded
+    # candidate pairs, per-vector best window, one self-join mutuality check
+    "mutual_nn_pairs",
+    # ab_test_zscores — two-proportion z-test per metric (the
+    # experimentation readout; sqrt is correctly-rounded libm-safe, the
+    # one-pass conditional-count shape is CORR-pinned elsewhere)
+    "ab_test_zscores",
     # ann_recall_eval — recall@k of the IVF index vs the exact brute-force
     # ground truth (the retrieval twin of dedup_pr_eval; both sides are the
     # repo's own oracled ANN queries reused verbatim)

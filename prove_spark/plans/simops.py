@@ -450,8 +450,91 @@ FROM mm_all{MMR_K}"""
 MMR_SQL = _mmr_sql()
 
 
+def mutual_nn_pairs(spark, sf_dir):
+    """Mutual-nearest-neighbor alignment: pairs where each vector is the
+    OTHER's single best cosine match within its label bucket — the
+    reciprocal-best-hit criterion behind bitext mining (Artetxe/Schwenk),
+    entity alignment, and high-precision semantic dedup pairing (a one-way
+    best match is noisy; mutuality is the classic precision filter).
+
+    Scale shape: candidate pairs are label-BUCKETED (the coarse-quantizer
+    posture of [embedding_cosine_pairs] — at corpus scale the bucket is an
+    IVF list, never all-pairs); per-vector best = one window over each
+    vector's own bucket-bounded candidate list; mutuality = one self-join
+    of the best-match relation (one row per vector). Exact-cosine
+    discipline throughout: DECIMAL(28,14) dot/norm partial sums, one
+    correctly-rounded sqrt + division, ties broken by the smaller
+    neighbor id."""
+    from .textops import _cosine_pairs_base
+
+    pairs = _cosine_pairs_base(
+        spark, sf_dir, F.lit(True), F.lit(True), join_on_label=True
+    ).select("vec_a", "vec_b", "cosine")
+    sym = pairs.unionAll(
+        pairs.select(
+            F.col("vec_b").alias("vec_a"),
+            F.col("vec_a").alias("vec_b"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
+    best = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_a", "vec_b", "cosine")
+    )
+    rev = best.select(
+        F.col("vec_a").alias("rb"), F.col("vec_b").alias("ra")
+    )
+    return (
+        best.join(
+            rev, (best.vec_a == F.col("ra")) & (best.vec_b == F.col("rb"))
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+MUTUAL_NN_SQL = """
+WITH mn_ex AS (
+  SELECT vec_id, label, UNNEST(embedding)::DOUBLE AS x,
+         UNNEST(generate_series(1, len(embedding))) AS i
+  FROM embeddings),
+mn_norms AS (
+  SELECT vec_id, SUM(CAST(x*x AS DECIMAL(28,14))) AS nsq
+  FROM mn_ex GROUP BY vec_id),
+mn_dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         SUM(CAST(a.x * b.x AS DECIMAL(28,14))) AS dot
+  FROM mn_ex a
+  JOIN mn_ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+mn_cos AS (
+  SELECT vec_a, vec_b,
+         CAST(dot AS DOUBLE)
+           / SQRT(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) AS cosine
+  FROM mn_dots
+  JOIN mn_norms na ON na.vec_id = vec_a
+  JOIN mn_norms nb ON nb.vec_id = vec_b),
+mn_sym AS (
+  SELECT vec_a, vec_b, cosine FROM mn_cos
+  UNION ALL
+  SELECT vec_b AS vec_a, vec_a AS vec_b, cosine FROM mn_cos),
+mn_best AS (
+  SELECT vec_a, vec_b, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a
+      ORDER BY cosine DESC, vec_b ASC) AS rn
+    FROM mn_sym) WHERE rn = 1)
+SELECT x.vec_a, x.vec_b, x.cosine
+FROM mn_best x
+JOIN mn_best y ON y.vec_a = x.vec_b AND y.vec_b = x.vec_a
+WHERE x.vec_a < x.vec_b
+"""
+
+
 SIMOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "jaccard_prefix_join": (jaccard_prefix_join, JACCARD_PREFIX_SQL),
     "mmr_rerank": (mmr_rerank, MMR_SQL),
+    "mutual_nn_pairs": (mutual_nn_pairs, MUTUAL_NN_SQL),
 }
