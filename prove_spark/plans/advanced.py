@@ -1553,6 +1553,79 @@ GROUP BY p_brand
 """
 
 
+ATTRIB_WINDOW_S = 7 * 86400  # attribution lookback (seconds)
+
+
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution — the marketing/product-analytics
+    op crediting each purchase to the user's most recent preceding
+    non-purchase touchpoint within a 7-day lookback (the [gapfill_user_days]
+    LOCF machinery pointed at a different question: carry the last TOUCH
+    forward instead of the last value), rolled up to per-channel conversion
+    counts; purchases with no in-window touch land in the 'none' bucket.
+
+    Scale shape: ONE user-partitioned running window (per-user state, never
+    corpus-bounded) carries both the last touch type and its timestamp via
+    last(ignorenulls) over a 1-PRECEDING frame; the rollup is a combinable
+    count on the small channel dimension. Integer epoch-second lookback
+    test — no calendar semantics to diverge cross-engine."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .cast("long")
+        .alias("s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_s = F.when(F.col("event_type") != "purchase", F.col("s"))
+    carried = e.select(
+        "event_id",
+        "event_type",
+        "s",
+        F.last(touch_type, ignorenulls=True).over(w).alias("lt_type"),
+        F.last(touch_s, ignorenulls=True).over(w).alias("lt_s"),
+    )
+    attributed = carried.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lt_s") >= F.col("s") - ATTRIB_WINDOW_S, F.col("lt_type")
+        ).alias("ch")
+    )
+    return (
+        attributed.groupBy(F.coalesce("ch", F.lit("none")).alias("channel"))
+        .agg(F.count("*").cast("long").alias("n_purchases"))
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH at_e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+  FROM events),
+at_c AS (
+  SELECT event_id, event_type, s,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN s END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_s
+  FROM at_e)
+SELECT COALESCE(CASE WHEN lt_s >= s - {ATTRIB_WINDOW_S} THEN lt_type END,
+                'none') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM at_c WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 ORDER_OPEN_DAYS = 30  # synthetic fulfillment interval length (days)
 
 
@@ -1739,4 +1812,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "weighted_median_price": (weighted_median_price, WEIGHTED_MEDIAN_SQL),
     "concurrent_orders": (concurrent_orders, CONCURRENT_SQL),
     "basket_pairs": (basket_pairs, BASKET_SQL),
+    "attribution_last_touch": (attribution_last_touch, ATTRIBUTION_SQL),
 }

@@ -540,6 +540,75 @@ FROM ab_z
 """
 
 
+def hot_key_report(spark, sf_dir):
+    """Join/agg key-skew diagnostic — the operational screen behind every
+    salting decision this repo makes ([salted_event_counts]'s reason to
+    exist, made measurable): for each audited (table, key), the key-count
+    distribution's size, max, and skew ratio max/avg (how many times hotter
+    the hottest key runs than a uniform spread — the number that predicts
+    straggler tasks at shuffle time).
+
+    Scale shape: each audited key costs ONE combinable groupBy (the
+    key-count relation) + a 1-row rollup; the report is one row per audited
+    key via unionAll. Integer counts; skew_ratio = max·n_keys/n_rows as a
+    single IEEE division of BIGINT-exact products."""
+    audits = [
+        ("events", "user_id"),
+        ("lineitem", "l_orderkey"),
+        ("documents", "source"),
+    ]
+    rows = None
+    for tbl, key in audits:
+        kc = (
+            _t(spark, sf_dir, tbl)
+            .groupBy(F.col(key).cast("string").alias("k"))
+            .agg(F.count("*").alias("c"))
+        )
+        r = kc.agg(
+            F.lit(tbl).alias("table_name"),
+            F.lit(key).alias("key_name"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+            (
+                (F.max("c") * F.count("*")).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("skew_ratio"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
+
+
+HOT_KEY_SQL = """
+WITH hk_e AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+hk_l AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+hk_d AS (
+  SELECT CAST(source AS VARCHAR) AS k FROM documents),
+hk_ec AS (SELECT k, COUNT(*) AS c FROM hk_e GROUP BY 1),
+hk_lc AS (SELECT k, COUNT(*) AS c FROM hk_l GROUP BY 1),
+hk_dc AS (SELECT k, COUNT(*) AS c FROM hk_d GROUP BY 1)
+SELECT 'events' AS table_name, 'user_id' AS key_name,
+       CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       CAST(MAX(c) * COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS skew_ratio
+FROM hk_ec
+UNION ALL
+SELECT 'lineitem', 'l_orderkey',
+       CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(MAX(c) AS BIGINT),
+       CAST(MAX(c) * COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+FROM hk_lc
+UNION ALL
+SELECT 'documents', 'source',
+       CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(MAX(c) AS BIGINT),
+       CAST(MAX(c) * COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+FROM hk_dc
+"""
+
+
 DQOPS_QUERIES: dict[str, tuple] = {
     # sweep-capped (registry._UNREGISTERED) but oracle-checked in pytest:
     "dq_report": (dq_report, DQ_REPORT_SQL),
@@ -547,4 +616,5 @@ DQOPS_QUERIES: dict[str, tuple] = {
     "roc_auc_score": (roc_auc_score, ROC_AUC_SQL),
     "changepoint_cusum": (changepoint_cusum, CUSUM_SQL),
     "ab_test_zscores": (ab_test_zscores, AB_TEST_SQL),
+    "hot_key_report": (hot_key_report, HOT_KEY_SQL),
 }

@@ -1902,6 +1902,14 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # attribution_last_touch — last-touch conversion attribution (LOCF
+    # carry of the last non-purchase touchpoint within a 7-day lookback +
+    # channel rollup); one user-partitioned running window
+    "attribution_last_touch",
+    # hot_key_report — join/agg key-skew diagnostic (max/avg skew ratio per
+    # audited key — the measurement behind the salting decisions); one
+    # combinable groupBy + 1-row rollup per audited key
+    "hot_key_report",
     # mutual_nn_pairs — reciprocal-best-hit alignment within label buckets
     # (the bitext-mining/entity-alignment precision filter); bucket-bounded
     # candidate pairs, per-vector best window, one self-join mutuality check
