@@ -1902,6 +1902,10 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # minhash_jaccard_estimate — sketch-ESTIMATOR accuracy eval (MinHash
+    # component-match estimate vs exact df-capped Jaccard per LSH candidate
+    # pair; dedup_pr_eval prices recall, this prices the estimator itself)
+    "minhash_jaccard_estimate",
     # attribution_last_touch — last-touch conversion attribution (LOCF
     # carry of the last non-purchase touchpoint within a 7-day lookback +
     # channel rollup); one user-partitioned running window

@@ -1922,6 +1922,117 @@ FROM pr_c
 """
 
 
+def minhash_jaccard_estimate(spark, sf_dir):
+    """Sketch-ESTIMATOR accuracy eval: for every LSH candidate pair, the
+    MinHash Jaccard estimate (matching signature components / K — the
+    unbiased estimator the banding theory assumes) next to the exact
+    df-capped shingle Jaccard and the absolute error. [dedup_pr_eval]
+    prices the candidate generator's RECALL; this prices the ESTIMATOR
+    itself — the measurement that justifies K before trusting
+    signature-only dedup at a scale where exact verification is
+    unaffordable. Signatures ride the uncapped shingle set (their CORR'd
+    contract); 'exact' is the dedup pipeline's own df-capped universe —
+    both documented contracts reused verbatim.
+
+    Scale shape: everything is candidate-pair-bounded — the estimate join
+    fans each pair out K=N_MINHASH times against the long-form signature
+    relation, the exact-intersection join only touches candidates' own
+    kept shingles; a candidate doc with zero kept shingles drops out by
+    the same inner size-join on both engines. est/exact are single IEEE
+    divisions of exact integers; abs_err one subtraction on identical
+    inputs."""
+    cands = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sigs = minhash_signatures(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), "h_idx", F.col("minhash").alias("ma")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), "h_idx", F.col("minhash").alias("mb")
+    )
+    eq = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h_idx"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)
+            ).alias("n_eq")
+        )
+    )
+    raw = _shingles(spark, sf_dir)
+    hot = (
+        raw.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > MAX_SHINGLE_DF)
+        .select("s")
+    )
+    kept = raw.join(F.broadcast(hot), "s", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ka = kept.select(F.col("doc_id").alias("doc_a"), "s")
+    kb = kept.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cands.join(ka, "doc_a")
+        .join(kb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    est = F.col("n_eq").cast("double") / F.lit(float(N_MINHASH))
+    exact = F.coalesce("inter", F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce("inter", F.lit(0))
+    )
+    return (
+        eq.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_eq").cast("long").alias("n_eq"),
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )
+
+
+MINHASH_EST_SQL = f"""
+WITH mje_cands AS MATERIALIZED (SELECT doc_a, doc_b FROM ({{lsh}})),
+mje_sigs AS MATERIALIZED ({{minhash}}),
+mje_sh AS MATERIALIZED (WITH {SHINGLES_SQL} SELECT doc_id, s FROM shingles),
+mje_kept AS MATERIALIZED (
+  SELECT doc_id, s FROM mje_sh
+  WHERE s NOT IN (SELECT s FROM mje_sh GROUP BY s
+                  HAVING COUNT(*) > {MAX_SHINGLE_DF})),
+mje_sizes AS (SELECT doc_id, COUNT(*) AS n FROM mje_kept GROUP BY 1),
+mje_eq AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS n_eq
+  FROM mje_cands c
+  JOIN mje_sigs a ON a.doc_id = c.doc_a
+  JOIN mje_sigs b ON b.doc_id = c.doc_b AND b.h_idx = a.h_idx
+  GROUP BY 1, 2),
+mje_int AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM mje_cands c
+  JOIN mje_kept ka ON ka.doc_id = c.doc_a
+  JOIN mje_kept kb ON kb.doc_id = c.doc_b AND kb.s = ka.s
+  GROUP BY 1, 2)
+SELECT e.doc_a, e.doc_b, CAST(e.n_eq AS BIGINT) AS n_eq,
+       CAST(e.n_eq AS DOUBLE) / {float(N_MINHASH)} AS est_jaccard,
+       CAST(COALESCE(i.inter, 0) AS DOUBLE)
+         / (sa.n + sb.n - COALESCE(i.inter, 0)) AS exact_jaccard,
+       ABS(CAST(e.n_eq AS DOUBLE) / {float(N_MINHASH)}
+           - CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.inter, 0))) AS abs_err
+FROM mje_eq e
+LEFT JOIN mje_int i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN mje_sizes sa ON sa.doc_id = e.doc_a
+JOIN mje_sizes sb ON sb.doc_id = e.doc_b
+"""
+
+
 def source_lang_hhi(spark, sf_dir):
     """Corpus-mix concentration per source — the Herfindahl-Hirschman index
     (HHI) of each source's language distribution plus its dominant language:
@@ -2014,6 +2125,10 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "rrf_hybrid_rank": (rrf_hybrid_rank, RRF_SQL),
     "source_lang_hhi": (source_lang_hhi, HHI_SQL),
+    "minhash_jaccard_estimate": (
+        minhash_jaccard_estimate,
+        MINHASH_EST_SQL.format(lsh=LSH_SQL, minhash=MINHASH_SQL),
+    ),
     "corpus_filter_pipeline": (
         corpus_filter_pipeline,
         CORPUS_FILTER_SQL.format(
