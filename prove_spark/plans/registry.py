@@ -1902,6 +1902,11 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # cms_token_counts — Count-Min sketch build + probe with measured
+    # one-sided error vs exact counts (the mergeable turnstile sketch;
+    # uniquely SQL-oracle-able bit-exactly — pure integer portable-hash
+    # arithmetic, bounded DEPTH×WIDTH cell relation)
+    "cms_token_counts",
     # minhash_jaccard_estimate — sketch-ESTIMATOR accuracy eval (MinHash
     # component-match estimate vs exact df-capped Jaccard per LSH candidate
     # pair; dedup_pr_eval prices recall, this prices the estimator itself)

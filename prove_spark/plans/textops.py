@@ -1922,6 +1922,121 @@ FROM pr_c
 """
 
 
+# Width/depth sized to the SYNTHETIC corpus's 31-token vocabulary so the
+# collision lane is LIVE (width 16 < vocab → guaranteed collisions → nonzero
+# overestimates to measure; at 256×4 every probe read back exact and the
+# error column was dead). Production sizes width to the error budget
+# (ε ≈ e/width of the stream mass) and depth to the failure probability
+# (δ ≈ e^-depth) — the constants are the knobs, the plan shape is identical.
+CMS_WIDTH = 16
+CMS_DEPTH = 2
+CMS_MIN_EXACT = 20  # probe set: tokens at/above this exact count
+
+
+def _cms_positions(token_col):
+    """The CMS_DEPTH (row, col) cells a token hashes to — the portable-hash
+    seeded-draw idiom (row j's hash = H('cms{j}|' || token) % WIDTH), shared
+    by the build and probe sides so they cannot drift."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(
+                    _portable_hash(F.concat(F.lit(f"cms{j}|"), token_col)),
+                    F.lit(CMS_WIDTH),
+                ).alias("w"),
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_token_counts(spark, sf_dir):
+    """Count-Min sketch (Cormode/Muthukrishnan 2005) over the corpus token
+    stream, with its one-sided error measured against the exact counts —
+    the MERGEABLE turnstile frequency sketch next to [heavy_hitter_tokens]
+    (Misra-Gries: deterministic top-k, needs a second exact pass) and the
+    HLL/GK/KLL rows (whose randomized internals are engine-specific and
+    therefore accuracy-laned): CMS is pure integer arithmetic over portable
+    hashes, so — uniquely among the sketches — its ENTIRE build + probe is
+    SQL-oracle-able bit-exactly. Report: every token with exact count ≥
+    CMS_MIN_EXACT, its CMS point estimate (min over depth rows), and the
+    overestimate (≥ 0 by the CMS one-sided guarantee — the eval a team
+    runs to size width/depth before trusting sketch-only counts).
+
+    Scale shape: the build is a map-only ×DEPTH explode + ONE combinable
+    groupBy into a BOUNDED (DEPTH × WIDTH)-cell relation — the 100 TB
+    story: per-partition partial sketches merge by cell addition (exactly
+    what map-side combine does), and the finished sketch is 1024 rows
+    regardless of corpus size; the probe joins the probe tokens' cells
+    against that broadcast-sized relation. Integer-only."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    cells = (
+        toks.select(F.explode(_cms_positions(F.col("tok"))).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.w").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+        .where(F.col("exact_cnt") >= CMS_MIN_EXACT)
+    )
+    probe = exact.select(
+        "tok", "exact_cnt", F.explode(_cms_positions(F.col("tok"))).alias("c")
+    ).select("tok", "exact_cnt", F.col("c.j").alias("j"), F.col("c.w").alias("w"))
+    est = (
+        probe.join(F.broadcast(cells), ["j", "w"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("tok").alias("token"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("exact_cnt"))
+        .cast("long")
+        .alias("overestimate"),
+    )
+
+
+def _cms_pos_sql(j: int, x: str) -> str:
+    inner = f"CONCAT('cms{j}|', {x})"
+    return f"{PORTABLE_HASH_SQL.format(x=inner)} % {CMS_WIDTH}"
+
+
+def _cms_sql() -> str:
+    build_parts = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, {_cms_pos_sql(j, 'tok')} AS w FROM cms_toks"
+        for j in range(CMS_DEPTH)
+    )
+    probe_parts = "\nUNION ALL\n".join(
+        f"SELECT tok, exact_cnt, {j} AS j, {_cms_pos_sql(j, 'tok')} AS w"
+        " FROM cms_exact"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH cms_toks AS MATERIALIZED (
+  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+cms_cells AS (
+  SELECT j, w, COUNT(*) AS cnt FROM ({build_parts}) GROUP BY 1, 2),
+cms_exact AS (
+  SELECT tok, COUNT(*) AS exact_cnt FROM cms_toks GROUP BY 1
+  HAVING COUNT(*) >= {CMS_MIN_EXACT}),
+cms_probe AS ({probe_parts})
+SELECT p.tok AS token,
+       CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS est_cnt,
+       CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overestimate
+FROM cms_probe p JOIN cms_cells c ON c.j = p.j AND c.w = p.w
+GROUP BY p.tok, p.exact_cnt
+"""
+
+
+CMS_SQL = _cms_sql()
+
+
 def minhash_jaccard_estimate(spark, sf_dir):
     """Sketch-ESTIMATOR accuracy eval: for every LSH candidate pair, the
     MinHash Jaccard estimate (matching signature components / K — the
@@ -2129,6 +2244,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
         minhash_jaccard_estimate,
         MINHASH_EST_SQL.format(lsh=LSH_SQL, minhash=MINHASH_SQL),
     ),
+    "cms_token_counts": (cms_token_counts, CMS_SQL),
     "corpus_filter_pipeline": (
         corpus_filter_pipeline,
         CORPUS_FILTER_SQL.format(

@@ -150,6 +150,20 @@ def test_mutual_nn_reciprocity(spark):
         seen.add(r.vec_b)
 
 
+# -------------------------------------------------------- count-min sketch
+def test_cms_one_sided_and_live(spark):
+    # CMS guarantee: est >= exact ALWAYS; and the width-16 sketch must
+    # actually collide on the 31-token vocabulary (a dead error lane would
+    # mean the sketch read back exact and measured nothing)
+    from prove_spark.plans.textops import cms_token_counts
+
+    out = cms_token_counts(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    assert all(r.overestimate >= 0 for r in out)
+    assert all(r.est_cnt == r.exact_cnt + r.overestimate for r in out)
+    assert any(r.overestimate > 0 for r in out)
+
+
 # ----------------------------------------------------------- hot-key skew
 def test_hot_key_report_skew_ratio(spark, tmp_path_factory):
     # events: one hot user with 10 rows + 10 singleton users
