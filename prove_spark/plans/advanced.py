@@ -1553,6 +1553,73 @@ GROUP BY p_brand
 """
 
 
+DEDUP_WINDOW_S = 3600  # tumbling dedup window (seconds)
+
+
+def dedup_time_window(spark, sf_dir):
+    """Windowed event deduplication — the at-least-once-ingestion
+    idempotency op (retried producers emit the same logical event twice;
+    keep ONE per (user, type) per tumbling hour) and the BATCH twin of the
+    streaming lane's dropDuplicatesWithinWatermark
+    (streaming/ingest.py): first event per (user_id, event_type,
+    hour bucket) by (ts, event_id) survives, with the duplicate count it
+    absorbed riding along.
+
+    Scale shape: ONE window whose partition key includes the time bucket —
+    per-group state is one key's one-hour slice (bounded by the window,
+    never by history; exactly the memory argument watermarked streaming
+    dedup makes); the duplicate count shares the same partitioning via an
+    aggregate frame. Integer-only."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .cast("long")
+        .alias("s"),
+    )
+    e = e.withColumn(
+        "win_start",
+        (F.floor(F.col("s") / DEDUP_WINDOW_S) * DEDUP_WINDOW_S).cast("long"),
+    )
+    wp = Window.partitionBy("user_id", "event_type", "win_start")
+    w = wp.orderBy("s", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "win_start",
+            F.row_number().over(w).alias("rn"),
+            (F.count("*").over(wp) - 1).cast("long").alias("n_dups_absorbed"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id", "event_type", "win_start", "n_dups_absorbed"
+        )
+    )
+
+
+DEDUP_WINDOW_SQL = f"""
+WITH dw_e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+         CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / {DEDUP_WINDOW_S})
+              * {DEDUP_WINDOW_S} AS BIGINT) AS win_start
+  FROM events),
+dw_r AS (
+  SELECT event_id, user_id, event_type, win_start,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type, win_start
+           ORDER BY s, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type, win_start) - 1
+           AS n_dups
+  FROM dw_e)
+SELECT event_id, user_id, event_type, win_start,
+       CAST(n_dups AS BIGINT) AS n_dups_absorbed
+FROM dw_r WHERE rn = 1
+"""
+
+
 ATTRIB_WINDOW_S = 7 * 86400  # attribution lookback (seconds)
 
 
@@ -1813,4 +1880,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "concurrent_orders": (concurrent_orders, CONCURRENT_SQL),
     "basket_pairs": (basket_pairs, BASKET_SQL),
     "attribution_last_touch": (attribution_last_touch, ATTRIBUTION_SQL),
+    "dedup_time_window": (dedup_time_window, DEDUP_WINDOW_SQL),
 }

@@ -1902,6 +1902,10 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # dedup_time_window — tumbling-window first-event dedup (at-least-once
+    # ingestion idempotency; the batch twin of the streaming lane's
+    # dropDuplicatesWithinWatermark); one bucket-keyed window
+    "dedup_time_window",
     # cms_token_counts — Count-Min sketch build + probe with measured
     # one-sided error vs exact counts (the mergeable turnstile sketch;
     # uniquely SQL-oracle-able bit-exactly — pure integer portable-hash
