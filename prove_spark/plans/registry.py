@@ -1902,6 +1902,11 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # neyman_allocation — variance-optimal budget allocation across strata
+    # (Neyman 1934; derives the proportions mixture_resample executes);
+    # DECIMAL sufficient statistics, quantized-weight DECIMAL total,
+    # exact largest-remainder rounding to the budget
+    "neyman_allocation",
     # dedup_time_window — tumbling-window first-event dedup (at-least-once
     # ingestion idempotency; the batch twin of the streaming lane's
     # dropDuplicatesWithinWatermark); one bucket-keyed window

@@ -1693,6 +1693,124 @@ LEFT JOIN dec USING (doc_id)
 """
 
 
+NEYMAN_BUDGET = 1000  # total sample budget to allocate across strata
+
+
+def neyman_allocation(spark, sf_dir):
+    """Neyman-optimal sample allocation — the survey-sampling design op a
+    data-curation team runs to split a labeling/eval budget across strata
+    (Neyman 1934: allocate ∝ N_h·S_h, stratum size × stratum std — more
+    budget where there is more mass AND more variance; [mixture_resample]
+    executes GIVEN proportions, this DERIVES them): per event_type, the
+    budget share with exact largest-remainder rounding so the integer
+    allocations sum to exactly NEYMAN_BUDGET.
+
+    Scale shape: ONE combinable pass computes the per-stratum sufficient
+    statistics (the [user_value_trend] discipline: DECIMAL partial sums,
+    fixed IEEE tree for S_h — sqrt is correctly-rounded libm-safe); all
+    later windows run over the STRATA dimension (a handful of rows).
+    Cross-engine exactness: weights are 1e-12-quantized then summed as
+    DECIMAL (order-independent — a raw float total across strata would be
+    order-dependent); quotas/fracs are fixed trees over identical inputs;
+    remainder ranking ties break to the lexicographically first stratum."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stratum"), F.col("value").alias("y")
+    )
+    g = e.groupBy("stratum").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y").cast("decimal(28,12)")).alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,12)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sd = F.when(
+        F.col("n") > 1,
+        F.sqrt((n * syy - sy * sy) / (n * (n - F.lit(1.0)))),
+    ).otherwise(F.lit(0.0))
+
+    def qz(c):
+        return F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+
+    wtd = g.select("stratum", "n", qz(n * sd).alias("w"))
+    tot = wtd.agg(
+        F.sum(F.col("w").cast("decimal(28,14)")).alias("tot")
+    )  # 1 row
+    q = wtd.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n",
+        "w",
+        (
+            F.lit(float(NEYMAN_BUDGET))
+            * F.col("w")
+            / F.col("tot").cast("double")
+        ).alias("q"),
+    )
+    base = q.withColumn("base", F.floor("q").cast("long")).withColumn(
+        "frac", F.col("q") - F.col("base")
+    )
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(F.desc("frac"), F.asc("stratum"))
+    ranked = base.select(
+        "stratum",
+        "n",
+        "w",
+        "base",
+        F.row_number().over(wrank).alias("rn"),
+        F.greatest(
+            F.lit(NEYMAN_BUDGET) - F.sum("base").over(wall), F.lit(0)
+        ).alias("leftover"),
+    )
+    return ranked.select(
+        "stratum",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("w").alias("weight"),
+        (F.col("base") + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+NEYMAN_SQL = f"""
+WITH ny_e AS (
+  SELECT event_type AS stratum, value AS y FROM events),
+ny_g AS (
+  SELECT stratum, COUNT(*) AS n,
+         SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(y * y AS DECIMAL(28,12))) AS syy
+  FROM ny_e GROUP BY 1),
+ny_w AS (
+  SELECT stratum, n,
+         FLOOR(CAST(n AS DOUBLE)
+               * (CASE WHEN n > 1
+                       THEN SQRT((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                                 / (CAST(n AS DOUBLE)
+                                    * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))))
+                       ELSE CAST(0.0 AS DOUBLE) END)
+               * 1e12 + CAST(0.5 AS DOUBLE)) / 1e12 AS w
+  FROM ny_g),
+ny_t AS (SELECT SUM(CAST(w AS DECIMAL(28,14))) AS tot FROM ny_w),
+ny_q AS (
+  SELECT stratum, n, w,
+         CAST({float(NEYMAN_BUDGET)} AS DOUBLE) * w / CAST(tot AS DOUBLE) AS q
+  FROM ny_w CROSS JOIN ny_t),
+ny_b AS (
+  SELECT stratum, n, w, CAST(FLOOR(q) AS BIGINT) AS base,
+         q - FLOOR(q) AS frac
+  FROM ny_q),
+ny_r AS (
+  SELECT stratum, n, w, base,
+         ROW_NUMBER() OVER (ORDER BY frac DESC, stratum ASC) AS rn,
+         GREATEST({NEYMAN_BUDGET} - SUM(base) OVER (), 0) AS leftover
+  FROM ny_b)
+SELECT stratum, CAST(n AS BIGINT) AS n_rows, w AS weight,
+       CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM ny_r
+"""
+
+
 def mixture_resample(spark, sf_dir):
     """Target-proportion data mixing — the step after dedup/filtering that
     turns a cleaned corpus into a TRAINING MIXTURE: given per-source target
@@ -2245,6 +2363,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
         MINHASH_EST_SQL.format(lsh=LSH_SQL, minhash=MINHASH_SQL),
     ),
     "cms_token_counts": (cms_token_counts, CMS_SQL),
+    "neyman_allocation": (neyman_allocation, NEYMAN_SQL),
     "corpus_filter_pipeline": (
         corpus_filter_pipeline,
         CORPUS_FILTER_SQL.format(
