@@ -331,14 +331,17 @@ def roc_auc_score(spark, sf_dir):
         F.sum("cp").alias("npos"),
         F.sum(F.col("c") - F.col("cp")).alias("nneg"),
     )
+    # single-class guard (no positives or no negatives → AUC undefined):
+    # an unguarded 0/0 is NaN in Spark but NULL in DuckDB — NULL on both
     return stats.select(
         F.col("npos").cast("long").alias("n_pos"),
         F.col("nneg").cast("long").alias("n_neg"),
-        (
+        F.when(
+            (F.col("npos") > 0) & (F.col("nneg") > 0),
             (F.col("s2") - F.col("npos") * (F.col("npos") + 1)).cast(
                 "double"
             )
-            / (2 * F.col("npos") * F.col("nneg")).cast("double")
+            / (2 * F.col("npos") * F.col("nneg")).cast("double"),
         ).alias("auc"),
     )
 
@@ -362,8 +365,9 @@ auc_s AS (
          SUM(cp) AS npos, SUM(c - cp) AS nneg
   FROM auc_p)
 SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
-       CAST(s2 - npos * (npos + 1) AS DOUBLE)
-         / CAST(2 * npos * nneg AS DOUBLE) AS auc
+       CASE WHEN npos > 0 AND nneg > 0
+            THEN CAST(s2 - npos * (npos + 1) AS DOUBLE)
+                 / CAST(2 * npos * nneg AS DOUBLE) END AS auc
 FROM auc_s
 """
 

@@ -1736,14 +1736,18 @@ def neyman_allocation(spark, sf_dir):
     tot = wtd.agg(
         F.sum(F.col("w").cast("decimal(28,14)")).alias("tot")
     )  # 1 row
+    # zero-total guard (every stratum singleton/constant → all weights 0):
+    # an unguarded 0/0 is NaN in Spark but NULL in DuckDB — make it NULL on
+    # both engines (the roc_auc/ab_test degenerate-lane discipline)
     q = wtd.crossJoin(F.broadcast(tot)).select(
         "stratum",
         "n",
         "w",
-        (
+        F.when(
+            F.col("tot").cast("double") > 0,
             F.lit(float(NEYMAN_BUDGET))
             * F.col("w")
-            / F.col("tot").cast("double")
+            / F.col("tot").cast("double"),
         ).alias("q"),
     )
     base = q.withColumn("base", F.floor("q").cast("long")).withColumn(
@@ -1793,7 +1797,9 @@ ny_w AS (
 ny_t AS (SELECT SUM(CAST(w AS DECIMAL(28,14))) AS tot FROM ny_w),
 ny_q AS (
   SELECT stratum, n, w,
-         CAST({float(NEYMAN_BUDGET)} AS DOUBLE) * w / CAST(tot AS DOUBLE) AS q
+         CASE WHEN CAST(tot AS DOUBLE) > 0
+              THEN CAST({float(NEYMAN_BUDGET)} AS DOUBLE) * w
+                   / CAST(tot AS DOUBLE) END AS q
   FROM ny_w CROSS JOIN ny_t),
 ny_b AS (
   SELECT stratum, n, w, CAST(FLOOR(q) AS BIGINT) AS base,

@@ -90,6 +90,8 @@ ALLOWED: dict[str, tuple[str, int]] = {
     # two 1-row broadcasts (edge count m, node count) riding into the
     # single-row sufficient-statistics output
     "kg_assortativity": ("BroadcastNestedLoopJoin", 2),
+    # 1-row quantized-weight DECIMAL total broadcast feeding the quota
+    "neyman_allocation": ("BroadcastNestedLoopJoin", 1),
 }
 
 

@@ -61,6 +61,29 @@ def test_auc_reversed_and_tied(spark, tmp_path_factory):
     assert roc_auc_score(spark, d).collect()[0].auc == 0.5
 
 
+def test_auc_single_class_is_null(spark, tmp_path_factory):
+    # no negatives at all -> AUC undefined -> NULL (not NaN) so the
+    # DuckDB-oracle value hash agrees on the degenerate lane
+    rows = [_ev(i, "2024-01-01", 1, "error", 10.0 + i) for i in range(4)]
+    d = _events_dir(spark, tmp_path_factory, rows, "auc_one_class")
+    out = roc_auc_score(spark, d).collect()[0]
+    assert out.n_neg == 0 and out.auc is None
+
+
+def test_neyman_zero_weight_is_null(spark, tmp_path_factory):
+    # every stratum constant-valued -> every sd = 0 -> total weight 0 ->
+    # quota undefined -> NULL alloc (not the NaN->0 Spark default) on the
+    # same rows the DuckDB oracle NULLs
+    from prove_spark.plans.textops import neyman_allocation
+
+    rows = [_ev(i, "2024-01-01", 1, "view", 5.0) for i in range(3)]
+    rows += [_ev(10 + i, "2024-01-01", 1, "click", 9.0) for i in range(3)]
+    d = _events_dir(spark, tmp_path_factory, rows, "neyman_flat")
+    out = neyman_allocation(spark, d).collect()
+    assert len(out) == 2
+    assert all(r.alloc is None for r in out)
+
+
 # ------------------------------------------------------------------ CUSUM
 def test_cusum_finds_the_kink(spark, tmp_path_factory):
     # 1 event/day for 10 days, then 10/day for 10 days: the scaled CUSUM
