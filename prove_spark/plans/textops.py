@@ -567,24 +567,67 @@ WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)
 """
 
 
+def _packed_dot(a, b):
+    """DECIMAL-exact dot product over PACKED array<double> columns — the
+    map-side formulation of the exploded SUM(CAST(x*y AS DECIMAL(28,14)))
+    the oracle computes: zip_with multiplies element-wise (each product one
+    correctly-rounded IEEE op), each term is cast to DECIMAL(28,14), and the
+    aggregate fold adds decimals (exact, so the result equals the exploded
+    SUM bit for bit regardless of order). The per-step cast pins Spark's
+    decimal-widening back to the accumulator type — identity here (partial
+    sums are far inside 14 integer digits)."""
+    prod = F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(28,14)"))
+    return F.aggregate(
+        prod,
+        F.lit(0).cast("decimal(28,14)"),
+        lambda acc, v: (acc + v).cast("decimal(28,14)"),
+    )
+
+
 def ann_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for query vectors (vec_id < 5) —
     the exact baseline an IVF/LSH ANN index is validated against. Cosines are
-    decimal-exact, so ranking is deterministic (cosine desc, vec_b asc)."""
-    is_query = F.col("vec_id") < 5
-    pairs = _cosine_pairs_base(
-        spark, sf_dir, is_query, ~is_query, join_on_label=False
+    decimal-exact, so ranking is deterministic (cosine desc, vec_b asc).
+
+    Physical path (r5): PACKED vectors with a zip_with/aggregate DECIMAL dot
+    (F.zip_with + F.aggregate — whole-stage-codegen array HOFs), the query
+    set riding as a tiny broadcast — the whole scoring pass is MAP-SIDE over
+    the DB partition (zero exchanges before the top-k window). The previous
+    exploded formulation shuffled a dim× long-form relation through an
+    equi-join on the dimension index; at corpus scale that was dim× exchange
+    volume for the same exact arithmetic (the oracle still computes the
+    exploded SUM — _packed_dot is bit-equal by decimal exactness)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
+    e = e.withColumn("nsq", _packed_dot(F.col("emb"), F.col("emb")))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nsq").alias("nsq_q"),
+    )
+    n = e.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("nemb"),
+        F.col("nsq").alias("nsq_n"),
+    )
+    cos = n.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (
+            _packed_dot(F.col("qemb"), F.col("nemb")).cast("double")
+            / F.sqrt(
+                F.col("nsq_q").cast("double") * F.col("nsq_n").cast("double")
+            )
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        cos.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
-        .select(
-            F.col("vec_a").alias("query_id"),
-            F.col("vec_b").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -92,6 +92,9 @@ ALLOWED: dict[str, tuple[str, int]] = {
     "kg_assortativity": ("BroadcastNestedLoopJoin", 2),
     # 1-row quantized-weight DECIMAL total broadcast feeding the quota
     "neyman_allocation": ("BroadcastNestedLoopJoin", 1),
+    # query-set-sized broadcast (5 rows) — the packed map-side scoring pass:
+    # DB side never shuffles before the top-k window
+    "ann_topk_cosine": ("BroadcastNestedLoopJoin", 1),
 }
 
 
