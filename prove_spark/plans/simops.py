@@ -459,17 +459,46 @@ def mutual_nn_pairs(spark, sf_dir):
 
     Scale shape: candidate pairs are label-BUCKETED (the coarse-quantizer
     posture of [embedding_cosine_pairs] — at corpus scale the bucket is an
-    IVF list, never all-pairs); per-vector best = one window over each
-    vector's own bucket-bounded candidate list; mutuality = one self-join
-    of the best-match relation (one row per vector). Exact-cosine
-    discipline throughout: DECIMAL(28,14) dot/norm partial sums, one
-    correctly-rounded sqrt + division, ties broken by the smaller
-    neighbor id."""
-    from .textops import _cosine_pairs_base
+    IVF list, never all-pairs), scored on PACKED vectors via the
+    zip_with/aggregate DECIMAL fold (textops._packed_dot — bit-equal to
+    the oracle's exploded SUM, but the bucket self-join moves whole
+    vectors once instead of a dim× long-form relation); per-vector best =
+    one window over each vector's own bucket-bounded candidate list;
+    mutuality = one self-join of the best-match relation (one row per
+    vector). Exact-cosine discipline throughout: DECIMAL(28,14) dot/norm
+    sums, one correctly-rounded sqrt + division, ties broken by the
+    smaller neighbor id."""
+    from .relational import _t
+    from .textops import _packed_dot
 
-    pairs = _cosine_pairs_base(
-        spark, sf_dir, F.lit(True), F.lit(True), join_on_label=True
-    ).select("vec_a", "vec_b", "cosine")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    e = e.withColumn("nsq", _packed_dot(F.col("emb"), F.col("emb")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("emb").alias("ea"),
+        F.col("nsq").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("emb").alias("eb"),
+        F.col("nsq").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select(
+        "vec_a",
+        "vec_b",
+        (
+            _packed_dot(F.col("ea"), F.col("eb")).cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("cosine"),
+    )
     sym = pairs.unionAll(
         pairs.select(
             F.col("vec_b").alias("vec_a"),
