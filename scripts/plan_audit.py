@@ -95,6 +95,10 @@ ALLOWED: dict[str, tuple[str, int]] = {
     # query-set-sized broadcast (5 rows) — the packed map-side scoring pass:
     # DB side never shuffles before the top-k window
     "ann_topk_cosine": ("BroadcastNestedLoopJoin", 1),
+    # the same 5-row query-set broadcast riding in via the composed
+    # brute-force truth leg (ann_topk_cosine reused verbatim); its two
+    # consumers (hit join + k_true rollup) re-expand it twice in the plan
+    "ann_recall_eval": ("BroadcastNestedLoopJoin", 2),
 }
 
 
