@@ -533,6 +533,94 @@ FROM changes
 """
 
 
+def point_in_time_state(spark, sf_dir):
+    """Point-in-time-correct state lookup — the feature-store op that
+    consumes the SCD2 history [scd2_user_state] BUILDS (build the validity
+    intervals, then join facts to the state that was ACTIVE at fact time —
+    the join discipline that prevents label leakage in training-data
+    assembly): each purchase event gets the user's state interval
+    containing its timestamp, where the state history is built from the
+    NON-purchase stream (so probe and dimension are genuinely different
+    relations) — state, interval start, and the state's age at purchase
+    time. Purchases before any state (no containing interval) keep a NULL
+    state via the left join, both engines.
+
+    Scale shape: ONE equi-join on user_id (the SCD2 build already shuffles
+    on the same key — one partitioning serves build and probe) with the
+    half-open interval containment as the join residual; per-user interval
+    lists are change-bounded, never history-scale fan-out. Integer epoch
+    arithmetic for the age; timestamps compare exactly."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = (
+        e.where(F.col("event_type") != "purchase")
+        .select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("state")
+        )
+        .withColumn("prev_state", F.lag("state").over(w))
+        .where(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+        .select(
+            "user_id",
+            "state",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    probes = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    j = probes.join(
+        base,
+        (probes.user_id == base.user_id)
+        & (F.col("valid_from") <= F.col("pts"))
+        & (F.col("valid_to").isNull() | (F.col("pts") < F.col("valid_to"))),
+        "left",
+    )
+    return j.select(
+        "event_id",
+        probes.user_id.alias("user_id"),
+        F.col("state").alias("state_at_purchase"),
+        "valid_from",
+        (
+            F.floor(F.unix_timestamp(F.col("pts").cast("timestamp")))
+            - F.floor(F.unix_timestamp(F.col("valid_from").cast("timestamp")))
+        )
+        .cast("long")
+        .alias("state_age_s"),
+    )
+
+
+PIT_SQL = """
+WITH pit_o AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_state
+  FROM events WHERE event_type <> 'purchase'),
+pit_b AS (
+  SELECT user_id, state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM pit_o
+  WHERE prev_state IS NULL OR state <> prev_state),
+pit_p AS (
+  SELECT event_id, user_id, ts AS pts FROM events
+  WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       b.state AS state_at_purchase,
+       b.valid_from,
+       CAST(FLOOR(epoch(p.pts)) - FLOOR(epoch(b.valid_from)) AS BIGINT)
+         AS state_age_s
+FROM pit_p p
+LEFT JOIN pit_b b
+  ON b.user_id = p.user_id
+ AND b.valid_from <= p.pts
+ AND (b.valid_to IS NULL OR p.pts < b.valid_to)
+"""
+
+
 ZORDER_SQL = """
 WITH base AS (
   SELECT event_id,
@@ -1881,4 +1969,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "basket_pairs": (basket_pairs, BASKET_SQL),
     "attribution_last_touch": (attribution_last_touch, ATTRIBUTION_SQL),
     "dedup_time_window": (dedup_time_window, DEDUP_WINDOW_SQL),
+    "point_in_time_state": (point_in_time_state, PIT_SQL),
 }

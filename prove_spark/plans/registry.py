@@ -1902,6 +1902,11 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # point_in_time_state — PIT-correct state lookup (the feature-store
+    # join that consumes scd2's validity intervals: build history, probe
+    # facts against the state ACTIVE at fact time — the label-leakage
+    # guard); one user-keyed equi-join with interval-containment residual
+    "point_in_time_state",
     # neyman_allocation — variance-optimal budget allocation across strata
     # (Neyman 1934; derives the proportions mixture_resample executes);
     # DECIMAL sufficient statistics, quantized-weight DECIMAL total,
