@@ -1641,6 +1641,94 @@ GROUP BY p_brand
 """
 
 
+ZSCORE_TRAIL = 10  # trailing-window length (rows) for rolling standardization
+
+
+def rolling_zscore(spark, sf_dir):
+    """Rolling standardization — the online feature-engineering transform
+    (score each event against ITS OWN recent past, not the global
+    distribution [mad_outliers] screens): per event, the z-score of value
+    against the user's trailing ZSCORE_TRAIL-row window. The two-frame-
+    aggregate composition (mean AND std over one moving frame) the
+    single-aggregate frame rows ([moving_avg_user_value],
+    [running_user_value]) don't exercise.
+
+    Scale shape: ONE user-partitioned window; count/sum/sum-of-squares all
+    share the same frame spec, so Catalyst evaluates them in a single
+    Window over one exchange. Exactness: frame sums go through DECIMAL
+    partials (order-independent — the user_value_trend discipline), the
+    sample-variance closed form is a fixed IEEE tree, sqrt is correctly
+    rounded; frames with n < 2 or zero variance yield NULL z on both
+    engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .cast("long")
+        .alias("s"),
+        F.col("value").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(-(ZSCORE_TRAIL - 1), 0)
+    )
+    fr = e.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.count("*").over(w).alias("n"),
+        F.sum(F.col("v").cast("decimal(28,12)")).over(w).alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,12)"))
+        .over(w)
+        .alias("svv"),
+    )
+    n = F.col("n").cast("double")
+    sv = F.col("sv").cast("double")
+    svv = F.col("svv").cast("double")
+    mean = sv / n
+    var = (n * svv - sv * sv) / (n * (n - F.lit(1.0)))
+    return fr.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.col("n").cast("long").alias("n_window"),
+        mean.alias("mean_w"),
+        F.when(
+            (F.col("n") > 1) & (n * svv - sv * sv > 0),
+            (F.col("v") - mean) / F.sqrt(var),
+        ).alias("zscore"),
+    )
+
+
+ROLLING_Z_SQL = f"""
+WITH rz_e AS (
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+         value AS v
+  FROM events),
+rz_f AS (
+  SELECT event_id, user_id, v,
+         COUNT(*) OVER w AS n,
+         SUM(CAST(v AS DECIMAL(28,12))) OVER w AS sv,
+         SUM(CAST(v * v AS DECIMAL(28,12))) OVER w AS svv
+  FROM rz_e
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN {ZSCORE_TRAIL - 1} PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, v, CAST(n AS BIGINT) AS n_window,
+       CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_w,
+       CASE WHEN n > 1
+             AND CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) > 0
+            THEN (v - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))))
+       END AS zscore
+FROM rz_f
+"""
+
+
 DEDUP_WINDOW_S = 3600  # tumbling dedup window (seconds)
 
 
@@ -1970,4 +2058,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "attribution_last_touch": (attribution_last_touch, ATTRIBUTION_SQL),
     "dedup_time_window": (dedup_time_window, DEDUP_WINDOW_SQL),
     "point_in_time_state": (point_in_time_state, PIT_SQL),
+    "rolling_zscore": (rolling_zscore, ROLLING_Z_SQL),
 }

@@ -1902,6 +1902,10 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # rolling_zscore — trailing-window standardization (two-frame-aggregate
+    # composition: mean AND sample std over one moving frame; DECIMAL frame
+    # sums, fixed IEEE closed form, degenerate frames → NULL)
+    "rolling_zscore",
     # point_in_time_state — PIT-correct state lookup (the feature-store
     # join that consumes scd2's validity intervals: build history, probe
     # facts against the state ACTIVE at fact time — the label-leakage
