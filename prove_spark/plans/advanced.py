@@ -1641,6 +1641,60 @@ GROUP BY p_brand
 """
 
 
+def salted_join_enrich(spark, sf_dir):
+    """Hot-key-safe dimension enrichment via the replicate-small/salt-big
+    join (`operators/skew.py:salted_join` — the JOIN half of the explicit
+    skew toolkit whose AGG half holds the [salted_event_counts] CORR row):
+    events keyed to a per-customer order-count dim through the salted
+    two-phase join, rolled up per event_type. The salt is pure plumbing —
+    the output equals the plain equi-join bit for bit, which is exactly
+    what the oracle states (the plain JOIN + GROUP BY).
+
+    Scale shape: the dim side is exploded n_salts× (small by contract),
+    the big side salted deterministically, so a hot customer's rows land
+    on n_salts distinct reducers instead of one. At THIS dim size a
+    broadcast join is the better plan (and the repo broadcasts dims
+    elsewhere); this query pins the technique for the
+    small-but-not-broadcastable regime (10⁷-row dims at 100 TB)."""
+    from ..operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 150 + 1).cast("long").alias("custkey"),
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    # salt from the row-unique event_id: a hot custkey's rows spread over
+    # all n_salts reducers (salting from the join key itself would put the
+    # whole hot key back on one reducer)
+    j = salted_join(e, dim, "custkey", n_salts=8, big_salt_from=["event_id"])
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("n_orders").cast("long").alias("sum_cust_orders"),
+        F.countDistinct("custkey").cast("long").alias("n_custs"),
+    )
+
+
+SALTED_JOIN_SQL = """
+WITH sj_e AS (
+  SELECT event_type, CAST(user_id % 150 + 1 AS BIGINT) AS custkey
+  FROM events),
+sj_d AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(d.n_orders) AS BIGINT) AS sum_cust_orders,
+       CAST(COUNT(DISTINCT e.custkey) AS BIGINT) AS n_custs
+FROM sj_e e JOIN sj_d d USING (custkey)
+GROUP BY 1
+"""
+
+
 ZSCORE_TRAIL = 10  # trailing-window length (rows) for rolling standardization
 
 
@@ -2059,4 +2113,5 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "dedup_time_window": (dedup_time_window, DEDUP_WINDOW_SQL),
     "point_in_time_state": (point_in_time_state, PIT_SQL),
     "rolling_zscore": (rolling_zscore, ROLLING_Z_SQL),
+    "salted_join_enrich": (salted_join_enrich, SALTED_JOIN_SQL),
 }

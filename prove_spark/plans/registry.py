@@ -1902,6 +1902,10 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # salted_join_enrich — replicate-small/salt-big skewed equi-join (the
+    # JOIN half of the skew toolkit; salted_event_counts holds the AGG
+    # half's CORR row); oracle = the plain join it must equal bit-for-bit
+    "salted_join_enrich",
     # rolling_zscore — trailing-window standardization (two-frame-aggregate
     # composition: mean AND sample std over one moving frame; DECIMAL frame
     # sums, fixed IEEE closed form, degenerate frames → NULL)
