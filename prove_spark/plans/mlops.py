@@ -817,6 +817,92 @@ LEFT JOIN are_h h ON h.query_id = t.query_id"""
 ANN_RECALL_SQL = _ann_recall_sql()
 
 
+def embedding_covariance(spark, sf_dir):
+    """Sample covariance matrix of the embedding columns — the PCA/whitening
+    precursor (the dim×dim aggregate every dimensionality-reduction or
+    decorrelation step starts from; [jl_project_embeddings] compresses with
+    a DATA-BLIND random matrix — this computes the data-DRIVEN second
+    moments a learned projection needs): upper-triangle (i ≤ j) entries
+    cov(i,j) = (Σx_i·x_j − Σx_i·Σx_j/n)/(n−1).
+
+    Scale shape: the corpus collapses in ONE combinable pass per relation —
+    pair products via a per-VECTOR self-join (fan-out dim² per vector, a
+    constant; never vector×vector) into a BOUNDED dim×(dim+1)/2-cell
+    relation, per-dim sums into a dim-cell relation broadcast back: the
+    classic distributed-covariance shape (partial outer-product sums merge
+    by addition). Exactness: each x_i·x_j is one IEEE multiply, sums go
+    through DECIMAL(28,12) partials (order-independent), and the centered
+    closed form is a fixed IEEE tree — float covariances hash-exact
+    cross-engine."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    )
+    a = ex.select("vec_id", F.col("i").alias("di"), F.col("x").alias("xa"))
+    b = ex.select("vec_id", F.col("i").alias("dj"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, "vec_id")
+        .where(F.col("di") <= F.col("dj"))
+        .groupBy("di", "dj")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(28,12)")).alias(
+                "sxy"
+            ),
+        )
+    )
+    dims = ex.groupBy("i").agg(
+        F.sum(F.col("x").cast("decimal(28,12)")).alias("s")
+    )
+    si = dims.select(F.col("i").alias("di"), F.col("s").alias("si"))
+    sj = dims.select(F.col("i").alias("dj"), F.col("s").alias("sj"))
+    n = F.col("n").cast("double")
+    return (
+        pairs.join(F.broadcast(si), "di")
+        .join(F.broadcast(sj), "dj")
+        .select(
+            F.col("di").cast("int").alias("dim_i"),
+            F.col("dj").cast("int").alias("dim_j"),
+            F.col("n").cast("long").alias("n_vecs"),
+            (
+                (
+                    F.col("sxy").cast("double")
+                    - F.col("si").cast("double")
+                    * F.col("sj").cast("double")
+                    / n
+                )
+                / (n - F.lit(1.0))
+            ).alias("covariance"),
+        )
+    )
+
+
+COVARIANCE_SQL = """
+WITH cv_ex AS (
+  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+         UNNEST(generate_series(0, len(embedding) - 1)) AS i
+  FROM embeddings),
+cv_p AS (
+  SELECT a.i AS di, b.i AS dj, COUNT(*) AS n,
+         SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS sxy
+  FROM cv_ex a JOIN cv_ex b ON b.vec_id = a.vec_id AND a.i <= b.i
+  GROUP BY 1, 2),
+cv_d AS (
+  SELECT i, SUM(CAST(x AS DECIMAL(28,12))) AS s FROM cv_ex GROUP BY 1)
+SELECT CAST(p.di AS INT) AS dim_i, CAST(p.dj AS INT) AS dim_j,
+       CAST(p.n AS BIGINT) AS n_vecs,
+       (CAST(p.sxy AS DOUBLE)
+        - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / CAST(p.n AS DOUBLE))
+       / (CAST(p.n AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS covariance
+FROM cv_p p
+JOIN cv_d si ON si.i = p.di
+JOIN cv_d sj ON sj.i = p.dj
+"""
+
+
 MLOPS_QUERIES: dict[str, tuple] = {
     "kmeans_centroids": (kmeans_centroids, KMEANS_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
@@ -826,4 +912,5 @@ MLOPS_QUERIES: dict[str, tuple] = {
     "quantize_embeddings": (quantize_embeddings, QUANTIZE_SQL),
     "pq_codes": (pq_codes, PQ_SQL),
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_SQL),
+    "embedding_covariance": (embedding_covariance, COVARIANCE_SQL),
 }

@@ -1902,6 +1902,10 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # embedding_covariance — dim×dim sample covariance (the PCA precursor;
+    # per-vector self-join fan-out is dim² constant, partial outer-product
+    # sums merge by addition — the distributed-covariance shape)
+    "embedding_covariance",
     # salted_join_enrich — replicate-small/salt-big skewed equi-join (the
     # JOIN half of the skew toolkit; salted_event_counts holds the AGG
     # half's CORR row); oracle = the plain join it must equal bit-for-bit
