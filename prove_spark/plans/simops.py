@@ -468,15 +468,9 @@ def mutual_nn_pairs(spark, sf_dir):
     vector). Exact-cosine discipline throughout: DECIMAL(28,14) dot/norm
     sums, one correctly-rounded sqrt + division, ties broken by the
     smaller neighbor id."""
-    from .relational import _t
-    from .textops import _packed_dot
+    from .textops import _packed_cosine, _packed_vectors
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("emb"),
-    )
-    e = e.withColumn("nsq", _packed_dot(F.col("emb"), F.col("emb")))
+    e = _packed_vectors(spark, sf_dir, with_label=True)
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("la"),
@@ -494,9 +488,8 @@ def mutual_nn_pairs(spark, sf_dir):
     ).select(
         "vec_a",
         "vec_b",
-        (
-            _packed_dot(F.col("ea"), F.col("eb")).cast("double")
-            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        _packed_cosine(
+            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
         ).alias("cosine"),
     )
     sym = pairs.unionAll(

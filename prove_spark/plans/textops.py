@@ -575,12 +575,44 @@ def _packed_dot(a, b):
     aggregate fold adds decimals (exact, so the result equals the exploded
     SUM bit for bit regardless of order). The per-step cast pins Spark's
     decimal-widening back to the accumulator type — identity here (partial
-    sums are far inside 14 integer digits)."""
+    sums are far inside 14 integer digits). NULL terms are folded as 0 —
+    exactly SQL SUM's skip-NULL semantics, where a bare `acc + NULL` would
+    instead poison the whole fold."""
     prod = F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(28,14)"))
     return F.aggregate(
         prod,
         F.lit(0).cast("decimal(28,14)"),
-        lambda acc, v: (acc + v).cast("decimal(28,14)"),
+        lambda acc, v: (
+            acc + F.coalesce(v, F.lit(0).cast("decimal(28,14)"))
+        ).cast("decimal(28,14)"),
+    )
+
+
+def _packed_vectors(spark, sf_dir, with_label: bool = False):
+    """Shared packed-vector relation for the zip_with-scored consumers
+    (ann_topk_cosine here, simops.mutual_nn_pairs): vec_id [+ label], the
+    array<double> vector, and its DECIMAL norm — with EMPTY vectors dropped,
+    matching the exploded oracles (UNNEST of an empty array yields no rows,
+    so the vector never reaches the norm/dot relations there; the packed
+    fold would instead keep it with nsq = 0 and divide by zero). Single
+    source so the two scoring paths cannot drift on edge semantics."""
+    from .relational import _t as _tbl
+
+    cols = ["vec_id"] + (["label"] if with_label else [])
+    e = _tbl(spark, sf_dir, "embeddings").select(
+        *cols, F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.where(F.size("emb") > 0).withColumn(
+        "nsq", _packed_dot(F.col("emb"), F.col("emb"))
+    )
+
+
+def _packed_cosine(ea, eb, na, nb):
+    """The shared exact-cosine expression over packed vectors: DECIMAL dot
+    cast to double over the correctly-rounded sqrt of the norm product —
+    identical tree to the exploded oracles' final projection."""
+    return _packed_dot(ea, eb).cast("double") / F.sqrt(
+        na.cast("double") * nb.cast("double")
     )
 
 
@@ -597,10 +629,7 @@ def ann_topk_cosine(spark, sf_dir):
     equi-join on the dimension index; at corpus scale that was dim× exchange
     volume for the same exact arithmetic (the oracle still computes the
     exploded SUM — _packed_dot is bit-equal by decimal exactness)."""
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    e = e.withColumn("nsq", _packed_dot(F.col("emb"), F.col("emb")))
+    e = _packed_vectors(spark, sf_dir)
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -614,11 +643,8 @@ def ann_topk_cosine(spark, sf_dir):
     cos = n.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        (
-            _packed_dot(F.col("qemb"), F.col("nemb")).cast("double")
-            / F.sqrt(
-                F.col("nsq_q").cast("double") * F.col("nsq_n").cast("double")
-            )
+        _packed_cosine(
+            F.col("qemb"), F.col("nemb"), F.col("nsq_q"), F.col("nsq_n")
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -187,6 +187,36 @@ def test_cms_one_sided_and_live(spark):
     assert any(r.overestimate > 0 for r in out)
 
 
+# -------------------------------------------------- packed-vector edge lanes
+def test_packed_ann_drops_empty_and_skips_null_elements(
+    spark, tmp_path_factory
+):
+    # the packed zip_with fold must keep the exploded oracle's edge
+    # semantics: an EMPTY embedding vanishes (UNNEST yields no rows there),
+    # a NULL element folds as 0 (SQL SUM skips NULLs)
+    import pandas as pd
+
+    from prove_spark.plans.textops import ann_topk_cosine
+
+    d = str(tmp_path_factory.mktemp("packed_edge"))
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),
+        (5, [1.0, 1.0], 0),
+        (6, [], 0),
+        (7, [1.0, None], 0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    spark.createDataFrame(
+        pdf, "vec_id long, embedding array<double>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = ann_topk_cosine(spark, d).collect()
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in out}
+    assert 6 not in {k[1] for k in got}  # empty vector dropped
+    assert got[(0, 7)] == 1.0  # [1.0, NULL] folds as [1, 0]
+    assert got[(1, 7)] == 0.0
+
+
 # ----------------------------------------------------------- hot-key skew
 def test_hot_key_report_skew_ratio(spark, tmp_path_factory):
     # events: one hot user with 10 rows + 10 singleton users
