@@ -1641,6 +1641,163 @@ GROUP BY p_brand
 """
 
 
+def audience_churn(spark, sf_dir):
+    """Day-over-day audience churn — the set-evolution op next to
+    [retention_cohorts]'s long-horizon triangle and [cumulative_unique_users]'
+    growth curve (those count; this measures COMPOSITION change): per day,
+    how many active users were retained from the previous day, how many are
+    new to the pair, how many churned, and the Jaccard overlap of the two
+    active sets — the daily audience-stability score.
+
+    Scale shape: the corpus collapses to the distinct (day, user) relation
+    in ONE combinable pass; retention is a self-equi-join on
+    (user, day = day+1) — user-and-day keyed, never all-pairs; the rollups
+    are day-dimension aggregates joined day-to-day. Integer-only to the
+    single final division."""
+    e = _t(spark, sf_dir, "events").select(
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400
+        )
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    )
+    du = e.distinct()
+    daily = du.groupBy("day").agg(F.count("*").alias("n_active"))
+    prev = du.select((F.col("day") + 1).alias("day"), "user_id")
+    inter = (
+        du.join(prev, ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count("*").alias("n_retained"))
+    )
+    pn = daily.select(
+        (F.col("day") + 1).alias("day"), F.col("n_active").alias("n_prev")
+    )
+    j = (
+        daily.join(pn, "day")
+        .join(inter, "day", "left")
+        .withColumn("n_ret", F.coalesce("n_retained", F.lit(0)))
+    )
+    return j.select(
+        "day",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_prev").cast("long").alias("n_prev"),
+        F.col("n_ret").cast("long").alias("n_retained"),
+        (F.col("n_active") - F.col("n_ret")).cast("long").alias("n_new"),
+        (F.col("n_prev") - F.col("n_ret")).cast("long").alias("n_churned"),
+        (
+            F.col("n_ret").cast("double")
+            / (F.col("n_active") + F.col("n_prev") - F.col("n_ret")).cast(
+                "double"
+            )
+        ).alias("jaccard"),
+    )
+
+
+CHURN_SQL = """
+WITH ch_e AS (
+  SELECT DISTINCT CAST(FLOOR(FLOOR(epoch(ts)) / 86400) AS BIGINT) AS day,
+         user_id
+  FROM events),
+ch_d AS (SELECT day, COUNT(*) AS n_active FROM ch_e GROUP BY 1),
+ch_i AS (
+  SELECT c.day, COUNT(*) AS n_retained
+  FROM ch_e c JOIN ch_e p ON p.user_id = c.user_id AND p.day = c.day - 1
+  GROUP BY 1)
+SELECT d.day,
+       CAST(d.n_active AS BIGINT) AS n_active,
+       CAST(p.n_active AS BIGINT) AS n_prev,
+       CAST(COALESCE(i.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(d.n_active - COALESCE(i.n_retained, 0) AS BIGINT) AS n_new,
+       CAST(p.n_active - COALESCE(i.n_retained, 0) AS BIGINT) AS n_churned,
+       CAST(COALESCE(i.n_retained, 0) AS DOUBLE)
+         / CAST(d.n_active + p.n_active - COALESCE(i.n_retained, 0)
+                AS DOUBLE) AS jaccard
+FROM ch_d d
+JOIN ch_d p ON p.day = d.day - 1
+LEFT JOIN ch_i i ON i.day = d.day
+"""
+
+
+def rfm_scores(spark, sf_dir):
+    """RFM customer scoring — the classic marketing-analytics segmentation
+    (recency of last order, frequency of orders, monetary total, each
+    quartile-binned and concatenated into the 111–444 RFM code): the
+    per-entity scoring rollup a CRM/personalization pipeline materializes.
+
+    Scale shape: ONE combinable groupBy per customer computes all three
+    raw statistics (monetary through DECIMAL partials); the three NTILE
+    windows run over the CUSTOMER dimension (entity-bounded, not
+    event-bounded) and share deterministic total orders (custkey
+    tie-break — NTILE is row-count-based, so a total order makes it
+    engine-exact). recency ranked DESC (most recent order → quartile 4,
+    matching frequency/monetary's bigger-is-better direction). Integer
+    output."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400
+        )
+        .cast("long")
+        .alias("od"),
+        F.col("o_totalprice").alias("v"),
+    )
+    g = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("od").alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("v").cast("decimal(28,12)")).alias("msum"),
+    )
+    r_w = Window.orderBy(F.asc("last_day"), F.asc("custkey"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+    m_w = Window.orderBy(F.asc("msum"), F.asc("custkey"))
+    scored = g.select(
+        "custkey",
+        "last_day",
+        F.col("frequency").cast("long").alias("frequency"),
+        F.col("msum").cast("double").alias("monetary"),
+        F.ntile(4).over(r_w).alias("r_q"),
+        F.ntile(4).over(f_w).alias("f_q"),
+        F.ntile(4).over(m_w).alias("m_q"),
+    )
+    return scored.select(
+        "custkey",
+        "last_day",
+        "frequency",
+        "monetary",
+        F.col("r_q").cast("int").alias("r_q"),
+        F.col("f_q").cast("int").alias("f_q"),
+        F.col("m_q").cast("int").alias("m_q"),
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("int")
+        .alias("rfm"),
+    )
+
+
+RFM_SQL = """
+WITH rf_o AS (
+  SELECT o_custkey AS custkey,
+         CAST(FLOOR(FLOOR(epoch(o_orderdate)) / 86400) AS BIGINT) AS od,
+         o_totalprice AS v
+  FROM orders),
+rf_g AS (
+  SELECT custkey, MAX(od) AS last_day, COUNT(*) AS frequency,
+         SUM(CAST(v AS DECIMAL(28,12))) AS msum
+  FROM rf_o GROUP BY 1),
+rf_s AS (
+  SELECT custkey, last_day, frequency,
+         CAST(msum AS DOUBLE) AS monetary,
+         NTILE(4) OVER (ORDER BY last_day ASC, custkey ASC) AS r_q,
+         NTILE(4) OVER (ORDER BY frequency ASC, custkey ASC) AS f_q,
+         NTILE(4) OVER (ORDER BY msum ASC, custkey ASC) AS m_q
+  FROM rf_g)
+SELECT custkey, last_day, CAST(frequency AS BIGINT) AS frequency, monetary,
+       CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+       CAST(m_q AS INT) AS m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm
+FROM rf_s
+"""
+
+
 def salted_join_enrich(spark, sf_dir):
     """Hot-key-safe dimension enrichment via the replicate-small/salt-big
     join (`operators/skew.py:salted_join` — the JOIN half of the explicit
@@ -2114,4 +2271,6 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "point_in_time_state": (point_in_time_state, PIT_SQL),
     "rolling_zscore": (rolling_zscore, ROLLING_Z_SQL),
     "salted_join_enrich": (salted_join_enrich, SALTED_JOIN_SQL),
+    "audience_churn": (audience_churn, CHURN_SQL),
+    "rfm_scores": (rfm_scores, RFM_SQL),
 }

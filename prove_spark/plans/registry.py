@@ -1902,6 +1902,15 @@ _UNREGISTERED = {
     # group key + broadcast stats back (percentile_event_values holds the
     # family's CORR row; GK/KLL sketches are the 100 TB path)
     "mad_outliers",
+    # audience_churn — day-over-day active-set composition change
+    # (retained/new/churned + set Jaccard; the set-evolution op beside
+    # retention_cohorts' triangle); distinct (day,user) relation, one
+    # user-and-day-keyed self-join
+    "audience_churn",
+    # rfm_scores — recency/frequency/monetary quartile segmentation (the
+    # CRM scoring rollup); three customer-dimension NTILE windows with
+    # deterministic total orders
+    "rfm_scores",
     # embedding_covariance — dim×dim sample covariance (the PCA precursor;
     # per-vector self-join fan-out is dim² constant, partial outer-product
     # sums merge by addition — the distributed-covariance shape)
