@@ -1315,3 +1315,39 @@ FROM (
   FROM triples)
 GROUP BY bin"""
     )
+
+
+TOOL_COOCCUR_MIN_SUPP = 2
+
+
+def tool_cooccurrence_sql() -> str:
+    """Order-free tool co-occurrence oracle: the basket_pairs shape over
+    the shared tts CTE (conversations as baskets, tools as items) — distinct
+    (conv, tool) relation, a < b self-join pairs, support threshold,
+    confidence and lift as single IEEE divisions of exact-integer
+    products."""
+    return (
+        _kg_ctes()
+        + _TTS_CTE
+        + f""",
+tc_i AS (
+  SELECT DISTINCT conv_id AS k, tool FROM tts WHERE tool <> ''),
+tc_n AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_convs FROM tc_i),
+tc_s AS (SELECT tool, COUNT(*) AS s FROM tc_i GROUP BY 1),
+tc_p AS (
+  SELECT a.tool AS ta, b.tool AS tb, COUNT(*) AS supp_ab
+  FROM tc_i a JOIN tc_i b ON b.k = a.k AND a.tool < b.tool
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TOOL_COOCCUR_MIN_SUPP})
+SELECT p.ta AS tool_a, p.tb AS tool_b,
+       CAST(p.supp_ab AS BIGINT) AS supp_ab,
+       CAST(sa.s AS BIGINT) AS supp_a,
+       CAST(sb.s AS BIGINT) AS supp_b,
+       CAST(p.supp_ab AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence,
+       CAST(p.supp_ab * n.n_convs AS DOUBLE)
+         / CAST(sa.s * sb.s AS DOUBLE) AS lift
+FROM tc_p p
+JOIN tc_s sa ON sa.tool = p.ta
+JOIN tc_s sb ON sb.tool = p.tb
+CROSS JOIN tc_n n"""
+    )

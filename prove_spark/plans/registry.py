@@ -1344,6 +1344,68 @@ def dpo_pairs(spark, sf_dir):
     return out.where(F.col("rejected") != F.col("chosen"))
 
 
+def tool_cooccurrence(spark, sf_dir):
+    """Order-free tool co-occurrence over the north-rule input table — the
+    association view of agent behavior next to [tool_transitions]' ordered
+    Markov view (WHICH tools appear in the same conversation, regardless of
+    sequence — the capability-bundle signal; the [basket_pairs] shape with
+    conversations as baskets and tools as items): same-conversation tool
+    pairs with support, confidence, and lift, pruned below
+    TOOL_COOCCUR_MIN_SUPP.
+
+    Scale shape: the pair enumeration is ONE self-equi-join on conv_id over
+    the distinct (conv, tool) relation — fan-out per conversation is
+    (distinct tools)², bounded by the tool dictionary, never corpus²; tool
+    supports are a tool-dimension broadcast; the conversation total rides
+    as a 1-row broadcast. Integer counts, two exact-integer divisions."""
+    from ..datagen import transcripts_df
+    from .kg_oracle import TOOL_COOCCUR_MIN_SUPP
+
+    items = (
+        transcripts_df(spark, sf_dir)
+        .where(F.col("tool") != "")
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    n_df = items.select("conv_id").distinct().agg(
+        F.count("*").alias("n_convs")
+    )
+    supp = items.groupBy(F.col("tool").alias("t")).agg(
+        F.count("*").alias("s")
+    )
+    a = items.select(F.col("conv_id").alias("k"), F.col("tool").alias("ta"))
+    b = items.select(F.col("conv_id").alias("k"), F.col("tool").alias("tb"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("supp_ab"))
+        .where(F.col("supp_ab") >= TOOL_COOCCUR_MIN_SUPP)
+    )
+    sa = supp.select(F.col("t").alias("ta"), F.col("s").alias("supp_a"))
+    sb = supp.select(F.col("t").alias("tb"), F.col("s").alias("supp_b"))
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("ta").alias("tool_a"),
+            F.col("tb").alias("tool_b"),
+            F.col("supp_ab").cast("long").alias("supp_ab"),
+            F.col("supp_a").cast("long").alias("supp_a"),
+            F.col("supp_b").cast("long").alias("supp_b"),
+            (
+                F.col("supp_ab").cast("double")
+                / F.col("supp_a").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("supp_ab") * F.col("n_convs")).cast("double")
+                / (F.col("supp_a") * F.col("supp_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
 def tool_transitions(spark, sf_dir):
     """First-order Markov transition matrix over tool invocations — the
     agent-behavior analytics the north-rule input table exists to answer
@@ -1491,6 +1553,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         kg_calibration_sql,
         context_tail_sql,
         dpo_pairs_sql,
+        tool_cooccurrence_sql,
         tool_transitions_sql,
         conv_tool_chain_sql,
         kg_temporal_facts_sql,
@@ -1517,6 +1580,7 @@ def _kg_extra_sqls() -> dict[str, str]:
         "sft_pairs": sft_pairs_sql(),
         "dpo_pairs": dpo_pairs_sql(),
         "tool_transitions": tool_transitions_sql(),
+        "tool_cooccurrence": tool_cooccurrence_sql(),
         "context_tail": context_tail_sql(),
     }
 
@@ -1567,6 +1631,10 @@ KG_EXTRA_QUERIES: dict[str, tuple] = {
     "tool_transitions": (
         tool_transitions,
         _KG_EXTRA_SQLS["tool_transitions"],
+    ),
+    "tool_cooccurrence": (
+        tool_cooccurrence,
+        _KG_EXTRA_SQLS["tool_cooccurrence"],
     ),
     "context_tail": (context_tail, _KG_EXTRA_SQLS["context_tail"]),
 }
@@ -1851,6 +1919,10 @@ _UNREGISTERED = {
     # ring sampling — constant bucket size, batch count scales with the
     # corpus); joins sft_pairs in the training-export pytest lane
     "dpo_pairs",
+    # tool_cooccurrence — order-free same-conversation tool association
+    # (the basket_pairs shape over the north-rule input; the capability-
+    # bundle view beside tool_transitions' ordered Markov view)
+    "tool_cooccurrence",
     # tool_transitions — first-order Markov transition matrix over tool
     # invocations (the estimation twin of conv_tool_chain); one
     # conv-partitioned lead window + combinable pair counts + broadcast
