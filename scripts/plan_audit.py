@@ -99,6 +99,9 @@ ALLOWED: dict[str, tuple[str, int]] = {
     # brute-force truth leg (ann_topk_cosine reused verbatim); its two
     # consumers (hit join + k_true rollup) re-expand it twice in the plan
     "ann_recall_eval": ("BroadcastNestedLoopJoin", 2),
+    # 1-row conversation-count broadcast feeding the lift denominator
+    # (the basket_pairs waiver's transcript twin)
+    "tool_cooccurrence": ("BroadcastNestedLoopJoin", 1),
 }
 
 
