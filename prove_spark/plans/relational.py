@@ -282,26 +282,30 @@ EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 def pivot_event_counts(spark, sf_dir):
     """Pivot-count + derived score (A6/A10: value_counts unstack + proveScore
-    arithmetic, functions.py:383-398, 638-641)."""
+    arithmetic, functions.py:383-398, 638-641).
+
+    r6 (guide §2.3/§2.4): single conditional aggregation — one scan, one
+    exchange, map-side partial aggregation. The previous pivot().count() +
+    separate totals aggregate + equi-join computed the same conditional
+    counts with a second scan/aggregation and a join; COUNT(*) rides the
+    same groupBy, so the score denominator is still the full row count
+    (unlisted event types included, never divide-by-zero)."""
     e = _t(spark, sf_dir, "events")
-    # total row count carried alongside the pivot so the score denominator is
-    # COUNT(*) (matching the SQL) even if event types outside EVENT_TYPES
-    # ever appear — summing only the pivoted columns would then diverge (and
-    # divide by zero for a user with only unlisted types)
-    totals = e.groupBy("user_id").agg(F.count("*").alias("_n_total"))
-    out = (
+    return (
         e.groupBy("user_id")
-        .pivot("event_type", EVENT_TYPES)
-        .count()
-        .na.fill(0, EVENT_TYPES)
-        .join(totals, "user_id")
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, True)).alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ],
+            F.count("*").alias("_n_total"),
+        )
+        .withColumn(
+            "engagement_score",
+            (F.col("n_purchase") - F.col("n_error")) / F.col("_n_total"),
+        )
+        .drop("_n_total")
     )
-    for t in EVENT_TYPES:
-        out = out.withColumnRenamed(t, f"n_{t}")
-    return out.withColumn(
-        "engagement_score",
-        (F.col("n_purchase") - F.col("n_error")) / F.col("_n_total"),
-    ).drop("_n_total")
 
 
 PIVOT_SQL = """

@@ -131,46 +131,46 @@ shingles AS (
 # bit-identical to the uncapped query.
 MAX_SHINGLE_DF = 64
 
-# caches persisted by the previous dedup invocation — released on the next
-# call so repeated sweeps (driver correctness runs, bench loops) don't
-# accumulate dead cached RDDs (same hygiene as registry._KG_CACHES)
+# caches persisted by dedup invocations — released on the next call so
+# repeated sweeps (driver correctness runs, bench loops) don't accumulate
+# dead cached RDDs (same hygiene as registry._KG_CACHES). r6: the rewritten
+# dedup_ngram_jaccard no longer persists anything (exchange reuse replaced
+# the cache), but the registry stays for any future persisting member.
 _DEDUP_CACHES: list = []
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by 3-gram-shingle Jaccard >= 0.5 (shingle inverted-index
-    self-join — never a cross join; integer-ratio Jaccard is exact).
+    formulation — never a cross join; integer-ratio Jaccard is exact).
 
-    Scale shape: (1) the kept-shingle set has THREE consumers (sizes + both
-    self-join sides) — persist it so the documents scan + explode run once;
-    (2) hot shingles (df > MAX_SHINGLE_DF) are removed BEFORE the self-join
-    via a broadcast anti-join — the hot set is tiny by construction (few
-    shingles are in >64 docs) even when the shingle table is enormous, so
-    the filter is map-side and the join's per-key fan-out is bounded."""
-    for df in _DEDUP_CACHES:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _DEDUP_CACHES.clear()
+    Scale shape (r6 rewrite, guide §2.4): ONE exchange groups the shingle
+    postings (s -> sorted doc list); the df-cap (> MAX_SHINGLE_DF dropped)
+    is a size filter ON THE GROUP — the old separate hot-set aggregation +
+    broadcast anti-join + persisted self-join (3 extra fact-scale exchange
+    reads and a blocking broadcast job) collapse into it. Candidate pairs
+    are generated MAP-SIDE from each (bounded, <= 64-element) posting list
+    by a double explode, so the per-key fan-out bound is the same
+    MAX_SHINGLE_DF^2 as before but no shingle row is ever shuffled twice.
+    The postings exchange feeds both the pair counts and the per-doc sizes
+    via ReuseExchange (one shuffle write, two reduce-side reads)."""
     raw = _shingles(spark, sf_dir)
-    hot = (
+    kept = (
         raw.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > MAX_SHINGLE_DF)
-        .select("s")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds") <= MAX_SHINGLE_DF)
+        .select("ds")
     )
-    sh = raw.join(F.broadcast(hot), "s", "left_anti").persist()
-    _DEDUP_CACHES.append(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        kept.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
+    )
+    sizes = (
+        kept.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
@@ -286,28 +286,23 @@ def lsh_candidate_pairs(spark, sf_dir):
     bands = wide.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    # hot-bucket cap: the oversized-bucket set is tiny by construction —
-    # broadcast anti-join keeps the filter map-side
-    hot = (
+    # r6 rewrite (guide §2.4): group each band bucket into its member list —
+    # the bucket-size cap becomes a size filter on the group (the old
+    # separate hot-set aggregation + broadcast anti-join + bucket self-join
+    # were two extra exchanges and a blocking broadcast job) — then emit the
+    # candidate pairs MAP-SIDE from each (bounded, <= LSH_BUCKET_CAP) list
+    # via a double explode. Per-bucket fan-out stays bounded by the same
+    # cap^2; no band row is shuffled more than once.
+    buckets = (
         bands.groupBy("band", "band_key")
-        .agg(F.count("*").alias("sz"))
-        .where(F.col("sz") > LSH_BUCKET_CAP)
-        .select("band", "band_key")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds") <= LSH_BUCKET_CAP)
+        .select("ds")
     )
-    bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
-    a = bands.alias("a")
-    b = bands.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        buckets.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -430,47 +425,78 @@ def simhash_fingerprints(spark, sf_dir):
     formulation measured ~2.5 s at sf0.1 purely on aggregate width). Lane
     safety is unconditional: each lane holds c_j ≤ T < 2^32 (a single doc
     would need 4 billion words to overflow), lanes are non-negative so no
-    cross-lane carry, and the packed long stays < 2^63."""
+    cross-lane carry, and the packed long stays < 2^63.
+
+    r6 (guide §2.3/§2.4): the per-(doc, word) tf pre-aggregation is gone —
+    c_j = Σ_w tf(w)·bit_j(w) is identically Σ over word OCCURRENCES of
+    bit_j(w), so the packed sums aggregate the exploded occurrences
+    directly. That removes a whole (doc_id, word)-keyed exchange + second
+    aggregate: explode keeps a document's occurrences inside its map
+    partition, so partial aggregation collapses them to ONE row per doc per
+    partition and the single remaining shuffle carries ~n_docs packed rows
+    (vs. every distinct (doc, word) pair). Cost: the two word hashes are
+    computed per occurrence instead of per distinct (doc, word) (~2.3× more
+    md5 at sf0.1) — far cheaper than the exchange it replaces at every
+    scale measured."""
     d = _rebalance_scan(spark, _t(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    h = tf.withColumn(
-        "h_lo", _portable_hash(F.concat(F.lit("s0|"), F.col("w")))
-    ).withColumn("h_hi", _portable_hash(F.concat(F.lit("s1|"), F.col("w"))))
+    h = words.select(
+        "doc_id",
+        _portable_hash(F.concat(F.lit("s0|"), F.col("w"))).alias("h_lo"),
+        _portable_hash(F.concat(F.lit("s1|"), F.col("w"))).alias("h_hi"),
+    )
 
-    def bit_tf(j: int):
-        col, sh = _simhash_packed_lane(j)
-        return F.when(
-            F.shiftright(F.col(col), sh).bitwiseAND(F.lit(1)) == 1,
-            F.col("tf"),
-        ).otherwise(F.lit(0).cast("long"))
+    # branchless packed term per lane pair (r6): bits 2k and 2k+1 of a word
+    # live in the SAME 32-bit hash lane, so the pair contribution is plain
+    # bit arithmetic ((h>>s)&1) + (((h>>s+1)&1) << 32) — identical values to
+    # the old when()-gated form, ~3x fewer expression nodes (the 33-column
+    # aggregate was a measurable slice of per-invocation driver planning +
+    # codegen at this width) and no branches in the per-occurrence hot loop.
+    def lane_pair(k: int):
+        col, sh = _simhash_packed_lane(2 * k)
+        hcol = F.col(col)
+        lo = F.shiftright(hcol, sh).bitwiseAND(F.lit(1))
+        hi = F.shiftright(hcol, sh + 1).bitwiseAND(F.lit(1))
+        return lo + F.shiftleft(hi, 32)
 
     packed = h.groupBy("doc_id").agg(
-        F.sum("tf").alias("t_total"),
+        F.count("*").alias("t_total"),
         *[
-            F.sum(
-                bit_tf(2 * k)
-                + F.shiftleft(bit_tf(2 * k + 1).cast("long"), 32)
-            ).alias(f"p{k}")
+            F.sum(lane_pair(k)).alias(f"p{k}")
             for k in range(N_SIMHASH_BITS // 2)
         ],
     )
-    # unpack: c_{2k} = p_k & 0xFFFFFFFF, c_{2k+1} = p_k >> 32 (p_k ≥ 0);
-    # bit j set iff 2*c_j > T. Bits 0..62 sum first, the negative
-    # two's-complement sign-bit term last — all intermediates in long range.
-    def c(j: int) -> F.Column:
-        k = j // 2
-        if j % 2 == 0:
-            return F.col(f"p{k}").bitwiseAND(F.lit(0xFFFFFFFF))
-        return F.shiftright(F.col(f"p{k}"), 32)
+    # unpack + combine in ONE higher-order fold (r6): c_{2k} = p_k &
+    # 0xFFFFFFFF, c_{2k+1} = p_k >> 32 (p_k ≥ 0); bit j set iff 2*c_j > T,
+    # contributing term_j from a 64-literal lookup array (bit 63 is the
+    # negative two's-complement term — see _simhash_term). The old unrolled
+    # 64-term when()-chain was ~600 expression nodes; at n_docs rows the
+    # fold's per-row interpretation cost is nil while analysis/optimization/
+    # codegen of the plan (the dominant warm cost at bench scale) shrinks
+    # with the tree. Values are bit-identical: same c_j, same comparison,
+    # same summands.
+    ps = F.array(*[F.col(f"p{k}") for k in range(N_SIMHASH_BITS // 2)])
+    terms = F.array(
+        *[
+            F.lit(_simhash_term(j)).cast("long")
+            for j in range(N_SIMHASH_BITS)
+        ]
+    )
+    mask = F.lit(0xFFFFFFFF).cast("long")
 
-    sim = None
-    for j in range(N_SIMHASH_BITS):
-        term = F.when(
-            2 * c(j) > F.col("t_total"),
-            F.lit(_simhash_term(j)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else (sim + term)
+    def c_of(j: F.Column) -> F.Column:
+        half = F.element_at(ps, F.shiftright(j, 1) + 1)
+        return F.when(
+            j.bitwiseAND(F.lit(1)) == 0, half.bitwiseAND(mask)
+        ).otherwise(F.shiftright(half, 32))
+
+    sim = F.aggregate(
+        F.sequence(F.lit(0), F.lit(N_SIMHASH_BITS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + (2 * c_of(j) > F.col("t_total")).cast("long")
+        * F.element_at(terms, j + 1),
+    )
     return packed.select("doc_id", sim.alias("simhash"))
 
 
@@ -595,13 +621,20 @@ def _packed_vectors(spark, sf_dir, with_label: bool = False):
     matching the exploded oracles (UNNEST of an empty array yields no rows,
     so the vector never reaches the norm/dot relations there; the packed
     fold would instead keep it with nsq = 0 and divide by zero). Single
-    source so the two scoring paths cannot drift on edge semantics."""
+    source so the two scoring paths cannot drift on edge semantics.
+
+    r6: the embeddings table is conditionally fanned out to the session's
+    core count (guide §2.5 input-skew note — the testdata parquet is a
+    single row group, so the scan yields ONE task and every decimal
+    dot-product fold below it ran serially; the repartition triggers only
+    when the source supplies fewer splits than cores, so a large table
+    gains no exchange)."""
     from .relational import _t as _tbl
 
     cols = ["vec_id"] + (["label"] if with_label else [])
-    e = _tbl(spark, sf_dir, "embeddings").select(
-        *cols, F.col("embedding").cast("array<double>").alias("emb")
-    )
+    e = _rebalance_scan(
+        spark, _tbl(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(*cols, F.col("embedding").cast("array<double>").alias("emb"))
     return e.where(F.size("emb") > 0).withColumn(
         "nsq", _packed_dot(F.col("emb"), F.col("emb"))
     )

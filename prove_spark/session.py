@@ -68,6 +68,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ObjectHashAggregate (collect_list/set, min_by struct buffers, ...)
+        # falls back to SORT-based aggregation after 4096 distinct keys per
+        # task by default — the r6 dedup/LSH posting-list aggregations carry
+        # tens of thousands of keys per task, and the fallback re-sorts the
+        # full shingle/bucket stream (measured 2x on dedup_ngram_jaccard at
+        # sf0.1). 128k buffers ≈ tens of MB per task — far inside executor
+        # memory at any partition sizing this engine uses, and the sort
+        # fallback still engages past it (memory-safety path preserved).
+        .config(
+            "spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold",
+            "131072",
+        )
         # Accept subset co-partitioning for joins: our plans deliberately
         # join on (conv_id, claim_id) where the fact side is already
         # hash(conv_id)-partitioned by the upstream window — with the
