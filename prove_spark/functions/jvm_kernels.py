@@ -59,9 +59,15 @@ def token_set_expr(c: Column) -> Column:
 def similarity_from_tokens(a: Column, b: Column) -> Column:
     """M2 stand-in on PRE-TOKENIZED sets: quantized Jaccard. Tokenize once
     per claim / per sentence (linear), never per pair (quadratic) — per-pair
-    work is pure set algebra on small arrays."""
+    work is pure set algebra on small arrays.
+
+    r6: |a ∪ b| is derived arithmetically as |a| + |b| − |a ∩ b| (exact for
+    the distinct arrays token_set_expr produces; the integer identity holds
+    before the double casts, so the quantized ratio is bit-identical) —
+    ONE hash-set build per pair instead of two. This expression runs once
+    per claim×sentence pair, the widest row set in the KG pipeline."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
     q = F.floor(inter / union * F.lit(_QUANT) + F.lit(0.5)) / F.lit(_QUANT)
     return F.when((F.size(a) == 0) | (F.size(b) == 0), F.lit(0.0)).otherwise(q)
 

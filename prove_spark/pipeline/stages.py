@@ -236,9 +236,6 @@ def detect_claims(
     pattern_list = sorted({p for _, p, _, _ in PREDICATES})
 
     if config.engine == "jvm":
-        accepted, subj, pattern, obj = J.detect_claim_exprs(
-            F.col("sentence"), alias_list, pattern_list
-        )
         # candidate prefilter: the expensive full claim regex only runs on
         # sentences containing a predicate pattern (a provable superset of
         # matches — see claim_prefilter_pattern). Dominant-CPU + worst-
@@ -246,24 +243,40 @@ def detect_claims(
         base_sentences = base_sentences.where(
             J.claim_prefilter_expr(F.col("sentence"), pattern_list)
         )
-        return (
-            base_sentences.select(
-                "conv_id",
-                "sent_id",
-                accepted.alias("ok"),
-                subj.alias("subj_alias"),
-                pattern.alias("pattern"),
-                obj.alias("obj_alias"),
-            )
-            .where("ok")
-            .select(
-                "conv_id",
-                "sent_id",
-                F.concat_ws(":", "conv_id", "sent_id").alias("claim_id"),
-                "subj_alias",
-                "pattern",
-                "obj_alias",
-            )
+        # r6 claim-regex budget: the acceptance filter runs the (~90-
+        # alternation) regex ONCE per prefiltered sentence (codegen CSE
+        # merges the four `m`-references in the pushed-down filter), and the
+        # three capture groups are then pulled in ONE more regex pass — a
+        # single regexp_replace to "$1\x01$2\x01$3" + split — on ACCEPTED
+        # rows only. The previous detect_claim_exprs shape re-ran the full
+        # regex once per group (3 extra passes per accepted sentence). The
+        # claim regex is ^..$-anchored, so the matched text `m` IS the
+        # normalized sentence and group extraction from `m` is exactly
+        # group extraction from the original match (pinned by
+        # tests/test_jvm_kernels.py + the golden suite).
+        pat = J.claim_pattern(alias_list, pattern_list)
+        norm = J.normalize_expr(F.col("sentence"))
+        cand = base_sentences.select(
+            "conv_id",
+            "sent_id",
+            F.regexp_extract(norm, pat, 0).alias("m"),
+        ).where(
+            (F.col("m") != "")
+            & ~F.col("m").startswith("indeed ")
+            & ~F.col("m").contains(" does not ")
+            & ~F.col("m").contains(" never ")
+        )
+        groups = F.split(
+            F.regexp_replace(F.col("m"), pat, "$1\x01$2\x01$3"),
+            "\x01",
+        )
+        return cand.select(
+            "conv_id",
+            "sent_id",
+            F.concat_ws(":", "conv_id", "sent_id").alias("claim_id"),
+            groups.getItem(0).alias("subj_alias"),
+            groups.getItem(1).alias("pattern"),
+            groups.getItem(2).alias("obj_alias"),
         )
 
     from ..functions import arrow_kernels as AK
@@ -404,7 +417,13 @@ def score_evidence(
         sim = J.similarity_from_tokens(
             F.col("verb_tokens"), F.col("ev_tokens")
         )
-        pair_drop = ["rank", "verb_tokens"]
+        # r6: ev_tokens is dropped as soon as the scorer has consumed it —
+        # column pruning then keeps the token arrays OUT of the pair-set
+        # top-k sort (the widest sort in the pipeline; the tokens roughly
+        # doubled its per-row payload). entail_and_verdict re-tokenizes
+        # ev_sentence at top-k scale (≤ k rows per claim) instead — strictly
+        # less work than sorting the arrays through the full pair set.
+        pair_drop = ["rank", "verb_tokens", "ev_tokens"]
     else:
         ev = evidence_sentences.select(
             "conv_id",
@@ -498,18 +517,23 @@ def entail_and_verdict(
     argmax agrees with the pandas oracle bit-for-bit.
     """
     if config.engine == "jvm":
-        # evidence carries the pre-tokenized sentence set (ev_tokens);
-        # claim-side sets tokenize at top-k scale (short label strings).
-        # Null input → null te_probs (explicitly: nli_from_tokens's
-        # when-chain would otherwise null-propagate into the NEI branch
-        # and silently mislabel a failed upstream row as real signal).
+        # r6: the evidence sentence is re-tokenized HERE, at top-k scale
+        # (≤ k rows per claim — the pair join's WindowGroupLimit already
+        # cut the flood), so the token arrays never ride the pair-set sort
+        # (see score_evidence). Codegen subexpression elimination computes
+        # the token set once per row across the subset checks. Null input →
+        # null te_probs (explicitly: nli_from_tokens's when-chain would
+        # otherwise null-propagate into the NEI branch and silently
+        # mislabel a failed upstream row as real signal); token_set_expr
+        # maps null → null, so the ev_sentence guard is the old ev_tokens
+        # guard verbatim.
         te = F.when(
-            F.col("ev_tokens").isNotNull(),
+            F.col("ev_sentence").isNotNull(),
             J.nli_from_tokens(
                 J.token_set_expr(F.col("subj_label")),
                 J.token_set_expr(F.col("object_label")),
                 J.token_set_expr(F.col("claim_verbalized")),
-                F.col("ev_tokens"),
+                J.token_set_expr(F.col("ev_sentence")),
             ),
         )
     else:
