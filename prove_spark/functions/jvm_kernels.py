@@ -112,6 +112,55 @@ def nli_expr(subj: Column, obj: Column, verb: Column, sent: Column) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# SQL-string twins (r6): the SAME expressions as the Column builders above,
+# rendered as Spark SQL text and parsed server-side in one py4j call per
+# projection. Rationale: building these trees through the Column API costs
+# one py4j round trip per operator (~1 ms each under load) — profiling showed
+# ~2,400 round trips (≈1-3 s of pure driver time) per build_triples plan
+# construction, INSIDE the timed region of the kg bench. The strings below
+# are kept structurally parallel to the Column twins; goldens + the DuckDB
+# oracle pin value equality.
+# --------------------------------------------------------------------------
+def token_set_sql(c: str) -> str:
+    """SQL twin of token_set_expr (no backslashes — literal-safe)."""
+    return f"array_distinct(array_remove(split(lower({c}), '[^a-z0-9]+'), ''))"
+
+
+def similarity_from_tokens_sql(a: str, b: str) -> str:
+    """SQL twin of similarity_from_tokens (same ops, same order; float
+    literals carry the D suffix — bare decimals parse as DECIMAL in Spark
+    SQL and would change the arithmetic)."""
+    inter = f"CAST(size(array_intersect({a}, {b})) AS DOUBLE)"
+    union = f"(CAST(size({a}) + size({b}) AS DOUBLE) - {inter})"
+    q = (
+        f"(CAST(FLOOR({inter} / {union} * {_QUANT!r}D + 0.5D) AS DOUBLE)"
+        f" / {_QUANT!r}D)"
+    )
+    return (
+        f"CASE WHEN size({a}) = 0 OR size({b}) = 0 THEN 0.0D ELSE {q} END"
+    )
+
+
+def _probs_sql(p: tuple[float, ...]) -> str:
+    return "ARRAY(" + ", ".join(f"{float(v)!r}D" for v in p) + ")"
+
+
+def nli_from_tokens_sql(subj: str, obj: str, verb: str, s: str) -> str:
+    """SQL twin of nli_from_tokens."""
+    refute = (
+        f"(size(array_except({subj}, {s})) = 0"
+        f" AND size(array_except({obj}, {s})) = 0"
+        f" AND (array_contains({s}, 'not') OR array_contains({s}, 'never')))"
+    )
+    support = f"(size(array_except({verb}, {s})) = 0)"
+    return (
+        f"CASE WHEN {refute} THEN {_probs_sql(PROBS_REFUTE)}"
+        f" WHEN {support} THEN {_probs_sql(PROBS_SUPPORT)}"
+        f" ELSE {_probs_sql(PROBS_NEI)} END"
+    )
+
+
 def verbalize_expr(subj: Column, pred: Column, obj: Column) -> Column:
     """M1 stand-in: template verbalizer (text.py:verbalize_triple twin)."""
     return normalize_expr(F.concat_ws(" ", subj, pred, obj))

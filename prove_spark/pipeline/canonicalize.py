@@ -241,6 +241,12 @@ def rekey_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
     return (
         triples.join(F.broadcast(c_subj), "subj_qid", "left")
         .join(F.broadcast(c_obj), "obj_qid", "left")
-        .withColumn("subj", F.coalesce("subj", "subj_qid"))
-        .withColumn("obj", F.coalesce("obj", "obj_qid"))
+        # single transformation (withColumns) instead of two withColumn
+        # steps: one less eager re-analysis of the full pipeline plan (r6)
+        .withColumns(
+            {
+                "subj": F.coalesce("subj", "subj_qid"),
+                "obj": F.coalesce("obj", "obj_qid"),
+            }
+        )
     )

@@ -403,27 +403,30 @@ def score_evidence(
         # evidence TEXT (result_sentence) without a second pool join: the
         # WindowGroupLimit below cuts pairs to <=k per claim BEFORE the
         # exchange, so the string column is shuffled at claim scale only.
-        ev = evidence_sentences.select(
+        # SQL-string expressions (r6): one server-side parse per projection
+        # instead of ~40 py4j round trips of driver time per invocation.
+        ev = evidence_sentences.selectExpr(
             "conv_id",
-            F.col("sent_id").alias("ev_sent_id"),
-            J.token_set_expr(F.col("sentence")).alias("ev_tokens"),
-            F.col("sentence").alias("ev_sentence"),
+            "sent_id AS ev_sent_id",
+            J.token_set_sql("sentence") + " AS ev_tokens",
+            "sentence AS ev_sentence",
         )
-        claim_keys = claims.select(
+        claim_keys = claims.selectExpr(
             "conv_id",
             "claim_id",
-            J.token_set_expr(F.col("claim_verbalized")).alias("verb_tokens"),
+            J.token_set_sql("claim_verbalized") + " AS verb_tokens",
         )
-        sim = J.similarity_from_tokens(
-            F.col("verb_tokens"), F.col("ev_tokens")
+        sim = F.expr(
+            J.similarity_from_tokens_sql("verb_tokens", "ev_tokens")
         )
         # r6: ev_tokens is dropped as soon as the scorer has consumed it —
-        # column pruning then keeps the token arrays OUT of the pair-set
-        # top-k sort (the widest sort in the pipeline; the tokens roughly
-        # doubled its per-row payload). entail_and_verdict re-tokenizes
-        # ev_sentence at top-k scale (≤ k rows per claim) instead — strictly
-        # less work than sorting the arrays through the full pair set.
-        pair_drop = ["rank", "verb_tokens", "ev_tokens"]
+        # the explicit post-join projection keeps the token arrays OUT of
+        # the pair-set top-k sort (the widest sort in the pipeline; the
+        # tokens roughly doubled its per-row payload). entail_and_verdict
+        # re-tokenizes ev_sentence at top-k scale (≤ k rows per claim)
+        # instead — strictly less work than sorting the arrays through the
+        # full pair set.
+        pair_drop = ["rank"]
     else:
         ev = evidence_sentences.select(
             "conv_id",
@@ -457,7 +460,21 @@ def score_evidence(
         # map partition) before the exchange; at 100 TB that's the
         # difference between shuffling all pairs and ~top-k·claims rows.
         paired = paired.repartition("conv_id", "claim_id")
-    paired = paired.withColumn("similarity_score", sim)
+    # r6: one explicit projection computes the score and (on the jvm
+    # engine) drops both token arrays before the window — each avoided
+    # DataFrame transformation here is one fewer eager re-analysis of the
+    # deepest plan in the pipeline (driver plan-construction measured ~1 s
+    # of the timed kg wall before this restructure).
+    if config.engine == "jvm":
+        paired = paired.select(
+            "conv_id",
+            "claim_id",
+            "ev_sent_id",
+            "ev_sentence",
+            sim.alias("similarity_score"),
+        )
+    else:
+        paired = paired.withColumn("similarity_score", sim)
     # Tie-break matches the oracle: (sim desc, ev_sent_id asc).
     # Below-threshold rows are NOT dropped here: they ride into the verdict
     # aggregation flagged `passed=false` so every claim keeps >=1 row and the
@@ -467,13 +484,16 @@ def score_evidence(
     w = Window.partitionBy("conv_id", "claim_id").orderBy(
         F.desc("similarity_score"), F.asc("ev_sent_id")
     )
+    keep = [c for c in paired.columns if c not in pair_drop]
     topk = (
         paired.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= config.top_k_evidence)
-        .withColumn(
-            "passed", F.col("similarity_score") > config.similarity_threshold
+        .select(
+            *keep,
+            (
+                F.col("similarity_score") > config.similarity_threshold
+            ).alias("passed"),
         )
-        .drop(*pair_drop)
     )
     # claim attributes rejoin at claim scale (top-k rows per claim).
     # Joining on (conv_id, claim_id) — claim_id functionally determines
@@ -516,6 +536,9 @@ def entail_and_verdict(
     Weighted sums are exact (kernels emit dyadic-rational scores), so the
     argmax agrees with the pandas oracle bit-for-bit.
     """
+    # Expressions below are SQL strings parsed server-side (r6): the Column
+    # API form of this stage alone cost ~2,400 py4j round trips (1-3 s of
+    # driver time, inside the timed kg region) per plan construction.
     if config.engine == "jvm":
         # r6: the evidence sentence is re-tokenized HERE, at top-k scale
         # (≤ k rows per claim — the pair join's WindowGroupLimit already
@@ -524,18 +547,20 @@ def entail_and_verdict(
         # the token set once per row across the subset checks. Null input →
         # null te_probs (explicitly: nli_from_tokens's when-chain would
         # otherwise null-propagate into the NEI branch and silently
-        # mislabel a failed upstream row as real signal); token_set_expr
-        # maps null → null, so the ev_sentence guard is the old ev_tokens
-        # guard verbatim.
-        te = F.when(
-            F.col("ev_sentence").isNotNull(),
-            J.nli_from_tokens(
-                J.token_set_expr(F.col("subj_label")),
-                J.token_set_expr(F.col("object_label")),
-                J.token_set_expr(F.col("claim_verbalized")),
-                J.token_set_expr(F.col("ev_sentence")),
-            ),
+        # mislabel a failed upstream row as real signal); token_set maps
+        # null → null, so the ev_sentence guard is the old ev_tokens guard
+        # verbatim.
+        te_sql = (
+            "CASE WHEN ev_sentence IS NOT NULL THEN "
+            + J.nli_from_tokens_sql(
+                J.token_set_sql("subj_label"),
+                J.token_set_sql("object_label"),
+                J.token_set_sql("claim_verbalized"),
+                J.token_set_sql("ev_sentence"),
+            )
+            + " END"
         )
+        probs = evidence.selectExpr("*", te_sql + " AS te_probs")
     else:
         te = F.when(
             F.col("ev_sentence").isNotNull(),
@@ -543,17 +568,25 @@ def entail_and_verdict(
                 "subj_label", "object_label", "claim_verbalized", "ev_sentence"
             ),
         )
-    probs = evidence.withColumn("te_probs", te)
-    p = [F.col("te_probs")[i] for i in range(3)]
+        probs = evidence.select("*", te.alias("te_probs"))
     classes = list(config.classes)
     # error lane (reference 'irretrievable' analog): a kernel output that is
     # null or contains NaN is unusable evidence, never silent NEI
-    invalid = F.col("te_probs").isNull() | F.exists(
-        F.col("te_probs"), lambda x: x.isNull() | F.isnan(x)
+    invalid_sql = (
+        "(te_probs IS NULL OR exists(te_probs, x -> x IS NULL OR isnan(x)))"
     )
-    probs = probs.withColumn("invalid", invalid)
-    probs = probs.withColumn("ev_label", _argmax_label(p, classes))
-    passed = F.col("passed") & ~F.col("invalid")
+    # C15 argmax (first-max over the 3 class scores), flattened CASE —
+    # identical branch order to _argmax_label
+    gmax = "greatest(te_probs[0], te_probs[1], te_probs[2])"
+    ev_label_sql = (
+        f"CASE WHEN te_probs[0] = {gmax} THEN '{classes[0]}'"
+        f" WHEN te_probs[1] = {gmax} THEN '{classes[1]}'"
+        f" ELSE '{classes[2]}' END"
+    )
+    probs = probs.selectExpr(
+        "*", invalid_sql + " AS invalid", ev_label_sql + " AS ev_label"
+    )
+    passed_sql = "(passed AND NOT invalid)"
     defaults = list(config.default_probs)
     # group by (conv_id, claim_id) ONLY — the exact prefix of the upstream
     # window's sort order, so SortAggregate's required child ordering is
@@ -570,103 +603,92 @@ def entail_and_verdict(
         "property_label",
         "object_label",
     ]
+    agg_exprs = [f"MAX({a}) AS {a}" for a in attrs]
+    # conditional sums: only threshold-passing evidence contributes; a
+    # claim with none gets NULL → coalesced to the default distribution
+    # (claim_entailment.py:67-68) without a second claims join
+    agg_exprs += [
+        f"COALESCE(SUM(CASE WHEN {passed_sql} THEN"
+        f" (te_probs[{i}] * similarity_score) END),"
+        f" {float(defaults[i])!r}D) AS w{i}"
+        for i in range(3)
+    ]
+    # per-label kept counts: drive n_evidence, A3 MALON (any SUPPORTS >
+    # any REFUTES > NEI), and the reference's
+    # modal result-sentence selection in one pass
+    agg_exprs += [
+        f"COUNT(CASE WHEN ({passed_sql} AND ev_label = '{classes[i]}')"
+        f" THEN 1 END) AS c{i}"
+        for i in range(3)
+    ]
+    # invalid counts only among THRESHOLD-PASSING rows: a below-threshold
+    # invalid row was never usable signal, so it must not flip a normal
+    # default-NEI claim into the error lane (the raw `passed` flag here,
+    # not the invalid-masked one)
+    agg_exprs += ["COUNT(CASE WHEN (passed AND invalid) THEN 1 END) AS n_invalid"]
+    # A4 second half (claim_entailment.py:126-146): first kept sentence
+    # PER LABEL, "first" = the evidence ordering (sim desc, sent_id asc).
+    # The text arrives here already claim-scale: the pair join's partial
+    # WindowGroupLimit cut to <=k rows per claim before the exchange, so
+    # min_by over the string is strictly cheaper than a second join
+    # against the (sentence-scale) evidence pool — measured ~2.7 s of an
+    # 8 s pipeline at rep=16.
+    agg_exprs += [
+        f"MIN_BY(ev_sentence, CASE WHEN ({passed_sql}"
+        f" AND ev_label = '{classes[i]}')"
+        " THEN named_struct('nsim', -similarity_score,"
+        " 'sid', ev_sent_id) END) AS fs" + str(i)
+        for i in range(3)
+    ]
     agg = probs.groupBy("conv_id", "claim_id").agg(
-        *[F.max(a).alias(a) for a in attrs],
-        # conditional sums: only threshold-passing evidence contributes; a
-        # claim with none gets NULL → coalesced to the default distribution
-        # (claim_entailment.py:67-68) without a second claims join
-        *[
-            F.coalesce(
-                F.sum(F.when(passed, p[i] * F.col("similarity_score"))),
-                F.lit(defaults[i]),
-            ).alias(f"w{i}")
-            for i in range(3)
-        ],
-        # per-label kept counts: drive n_evidence, A3 MALON (any SUPPORTS >
-        # any REFUTES > NEI), and the reference's
-        # modal result-sentence selection in one pass
-        *[
-            F.count(
-                F.when(passed & (F.col("ev_label") == classes[i]), 1)
-            ).alias(f"c{i}")
-            for i in range(3)
-        ],
-        # invalid counts only among THRESHOLD-PASSING rows: a below-threshold
-        # invalid row was never usable signal, so it must not flip a normal
-        # default-NEI claim into the error lane (the raw `passed` flag here,
-        # not the invalid-masked one)
-        F.count(F.when(F.col("passed") & F.col("invalid"), 1)).alias(
-            "n_invalid"
-        ),
-        # A4 second half (claim_entailment.py:126-146): first kept sentence
-        # PER LABEL, "first" = the evidence ordering (sim desc, sent_id asc).
-        # The text arrives here already claim-scale: the pair join's partial
-        # WindowGroupLimit cut to <=k rows per claim before the exchange, so
-        # min_by over the string is strictly cheaper than a second join
-        # against the (sentence-scale) evidence pool — measured ~2.7 s of an
-        # 8 s pipeline at rep=16.
-        *[
-            F.min_by(
-                F.col("ev_sentence"),
-                F.when(
-                    passed & (F.col("ev_label") == classes[i]),
-                    F.struct(
-                        (-F.col("similarity_score")).alias("nsim"),
-                        F.col("ev_sent_id").alias("sid"),
-                    ),
-                ),
-            ).alias(f"fs{i}")
-            for i in range(3)
-        ],
+        *[F.expr(e) for e in agg_exprs]
     )
-    wcols = [F.col(f"w{i}") for i in range(3)]
-    ccols = [F.col(f"c{i}") for i in range(3)]
     # a claim whose usable evidence was ALL lost to kernel failures is
     # 'error', never a silent default-NEI (reference irretrievable lane)
-    n_evidence = ccols[0] + ccols[1] + ccols[2]
-    is_error = (F.col("n_invalid") > 0) & (n_evidence == 0)
-    return (
-        agg.withColumn("n_evidence", n_evidence)
-        .withColumn(
-            "verdict",
-            F.when(is_error, F.lit(config.error_class)).otherwise(
-                _argmax_label(wcols, classes)
-            ),
-        )
-        .withColumn(
-            "malon",
-            F.when(is_error, F.lit(config.error_class))
-            .when(ccols[0] > 0, classes[0])
-            .when(ccols[1] > 0, classes[1])
-            .otherwise(F.lit(classes[2])),
-        )
-        .withColumn(
-            "score",
-            F.when(is_error, F.lit(0.0))
-            .when(F.col("verdict") == classes[0], F.col("w0"))
-            .when(F.col("verdict") == classes[1], F.col("w1"))
-            .otherwise(F.col("w2")),
-        )
-        # C18 at the pipeline level (claim_entailment.py:212-223): the full
-        # per-class weighted distribution as THREE fixed-order double columns
-        # — a canonical, hashable rendering (a MapType column surfaces as a
-        # Python dict in pandas and breaks sort/hash canonicalization in any
-        # downstream harness); null for error claims (no usable signal)
-        .withColumn("w_supports", F.when(~is_error, F.col("w0")))
-        .withColumn("w_refutes", F.when(~is_error, F.col("w1")))
-        .withColumn("w_nei", F.when(~is_error, F.col("w2")))
-        # reference get_final_verdict (claim_entailment.py:126-146): the
-        # first SUPPORTS sentence if any; else the first sentence of the
-        # MODAL label — pandas mode()[0] resolves count ties to the
-        # lexicographically smallest label, and "NOT ENOUGH INFO" < "REFUTES",
-        # so REFUTES wins only on a strict count majority
-        .withColumn(
-            "result_sentence",
-            F.when(is_error, F.lit(None).cast("string"))
-            .when(ccols[0] > 0, F.col("fs0"))
-            .when(ccols[1] > ccols[2], F.col("fs1"))
-            .otherwise(F.col("fs2")),
-        )
-        .withColumn("turn_idx", (F.col("sent_id") / SENT_ID_STRIDE).cast("int"))
-        .drop("n_invalid", "c0", "c1", "c2", "fs0", "fs1", "fs2")
+    err_sql = "(n_invalid > 0 AND (c0 + c1 + c2) = 0)"
+    wmax = "greatest(w0, w1, w2)"
+    # r6: the old 9-step withColumn chain re-analyzed the full (deepest-in-
+    # the-pipeline) plan once per step on the driver; the same columns in
+    # the same order are produced by TWO projections (score/result_sentence
+    # reference the verdict/count columns by name, so they live one select
+    # later). Semantics and output order are unchanged; the verdict CASE is
+    # the flattened when(is_error).otherwise(argmax) chain.
+    mid = agg.selectExpr(
+        "*",
+        "(c0 + c1 + c2) AS n_evidence",
+        f"CASE WHEN {err_sql} THEN '{config.error_class}'"
+        f" WHEN w0 = {wmax} THEN '{classes[0]}'"
+        f" WHEN w1 = {wmax} THEN '{classes[1]}'"
+        f" ELSE '{classes[2]}' END AS verdict",
+        f"CASE WHEN {err_sql} THEN '{config.error_class}'"
+        f" WHEN c0 > 0 THEN '{classes[0]}'"
+        f" WHEN c1 > 0 THEN '{classes[1]}'"
+        f" ELSE '{classes[2]}' END AS malon",
+    )
+    passthrough = [
+        c
+        for c in mid.columns
+        if c not in ("n_invalid", "c0", "c1", "c2", "fs0", "fs1", "fs2")
+    ]
+    # verdict/malon must sit exactly where the old chain appended them
+    # (right after n_evidence), and score/w_*/result_sentence/turn_idx
+    # follow — same order as before. C18: the w_* distribution stays three
+    # fixed-order double columns, null for error claims; result_sentence is
+    # the reference get_final_verdict rule (first SUPPORTS sentence if any,
+    # else the first sentence of the MODAL label — "NOT ENOUGH INFO" <
+    # "REFUTES", so REFUTES wins only on a strict count majority).
+    return mid.selectExpr(
+        *passthrough,
+        f"CASE WHEN {err_sql} THEN 0.0D"
+        f" WHEN verdict = '{classes[0]}' THEN w0"
+        f" WHEN verdict = '{classes[1]}' THEN w1"
+        " ELSE w2 END AS score",
+        f"CASE WHEN NOT {err_sql} THEN w0 END AS w_supports",
+        f"CASE WHEN NOT {err_sql} THEN w1 END AS w_refutes",
+        f"CASE WHEN NOT {err_sql} THEN w2 END AS w_nei",
+        f"CASE WHEN {err_sql} THEN CAST(NULL AS STRING)"
+        " WHEN c0 > 0 THEN fs0"
+        " WHEN c1 > c2 THEN fs1"
+        " ELSE fs2 END AS result_sentence",
+        f"CAST(sent_id / {SENT_ID_STRIDE} AS INT) AS turn_idx",
     )

@@ -80,27 +80,16 @@ def _shingles(spark, sf_dir) -> DataFrame:
     d = _rebalance_scan(spark, _t(spark, sf_dir, "documents"))
     # Bind split() ONCE in its own projection: inlined, every element_at in
     # the transform lambda re-splits the text — O(words^2) per doc (measured
-    # 4x slower). The separate Project keeps one array per row.
-    w = d.select("doc_id", F.split("text", " ").alias("words"))
-    words = F.col("words")
-    shingle_arr = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-        ),
-    )
-    return w.select(
+    # 4x slower). The separate Project keeps one array per row. Expressions
+    # are SQL strings parsed server-side (r6): one py4j call per projection
+    # instead of ~25 Column-API round trips per invocation.
+    return d.selectExpr("doc_id", "split(text, ' ') AS words").selectExpr(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.when(F.size(words) >= 3, shingle_arr).otherwise(
-                    F.array().cast("array<string>")
-                )
-            )
-        ).alias("s"),
+        "explode(array_distinct(CASE WHEN size(words) >= 3 "
+        "THEN transform(sequence(1, size(words) - 2), i -> "
+        "concat_ws(' ', element_at(words, i), element_at(words, i + 1), "
+        "element_at(words, i + 2))) "
+        "ELSE CAST(ARRAY() AS ARRAY<STRING>) END)) AS s",
     )
 
 
@@ -218,9 +207,10 @@ def _minhash_wide(spark, sf_dir) -> DataFrame:
     shingle explode is the dominant cost; it must run exactly once."""
     sh = _shingles(spark, sf_dir)
     aggs = [
-        F.min(
-            _portable_hash(F.concat(F.lit(f"{i}|"), F.col("s")))
-        ).alias(f"m{i}")
+        F.expr(
+            f"MIN(CAST(CONV(SUBSTRING(MD5(CONCAT('{i}|', s)), 1, 15), 16, 10)"
+            f" AS BIGINT)) AS m{i}"
+        )
         for i in range(N_MINHASH)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -267,25 +257,23 @@ def lsh_candidate_pairs(spark, sf_dir):
     # map-only band construction from the wide signature (no extra shuffle):
     # band key = '_'-join of the band's minhashes in H_IDX ORDER — sorting by
     # value would let two docs whose hash minima merely permute collide,
-    # inflating candidates beyond the standard s^r banding model.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.array_join(
-                F.array(
-                    *[
-                        F.col(f"m{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ]
-                ),
-                "_",
-            ).alias("band_key"),
+    # inflating candidates beyond the standard s^r banding model. SQL-string
+    # expressions (r6): one server-side parse instead of ~40 py4j calls.
+    # concat_ws == the old array_join: the minhash columns are never null
+    # (every emitted doc has >= 1 shingle, so each MIN aggregates >= 1 row).
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'band_key', concat_ws('_', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(m{b * rows_per_band + r} AS STRING)"
+                for r in range(rows_per_band)
+            ),
         )
         for b in range(N_BANDS)
-    ]
-    bands = wide.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    )
+    bands = wide.selectExpr(
+        "doc_id", f"explode(ARRAY({band_structs})) AS bk"
+    ).selectExpr("doc_id", "bk.band AS band", "bk.band_key AS band_key")
     # r6 rewrite (guide §2.4): group each band bucket into its member list —
     # the bucket-size cap becomes a size filter on the group (the old
     # separate hot-set aggregation + broadcast anti-join + bucket self-join
@@ -438,33 +426,34 @@ def simhash_fingerprints(spark, sf_dir):
     computed per occurrence instead of per distinct (doc, word) (~2.3× more
     md5 at sf0.1) — far cheaper than the exchange it replaces at every
     scale measured."""
+    # All expressions below are built as SQL STRINGS parsed server-side in
+    # ONE py4j call per projection/aggregate (r6): the Column-API form of
+    # this query cost ~0.5 s of per-invocation DRIVER time purely in py4j
+    # round trips + eager re-analysis of the widening plan — more than the
+    # query's entire executor time at sf0.1.
     d = _rebalance_scan(spark, _t(spark, sf_dir, "documents"))
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = words.select(
+    hash_sql = "CAST(CONV(SUBSTRING(MD5(CONCAT('{s}|', w)), 1, 15), 16, 10) AS BIGINT)"
+    h = d.selectExpr("doc_id", "explode(split(text, ' ')) AS w").selectExpr(
         "doc_id",
-        _portable_hash(F.concat(F.lit("s0|"), F.col("w"))).alias("h_lo"),
-        _portable_hash(F.concat(F.lit("s1|"), F.col("w"))).alias("h_hi"),
+        hash_sql.format(s="s0") + " AS h_lo",
+        hash_sql.format(s="s1") + " AS h_hi",
     )
 
     # branchless packed term per lane pair (r6): bits 2k and 2k+1 of a word
     # live in the SAME 32-bit hash lane, so the pair contribution is plain
     # bit arithmetic ((h>>s)&1) + (((h>>s+1)&1) << 32) — identical values to
-    # the old when()-gated form, ~3x fewer expression nodes (the 33-column
-    # aggregate was a measurable slice of per-invocation driver planning +
-    # codegen at this width) and no branches in the per-occurrence hot loop.
-    def lane_pair(k: int):
+    # the old when()-gated form, with no branches in the per-occurrence hot
+    # loop.
+    def lane_pair(k: int) -> str:
         col, sh = _simhash_packed_lane(2 * k)
-        hcol = F.col(col)
-        lo = F.shiftright(hcol, sh).bitwiseAND(F.lit(1))
-        hi = F.shiftright(hcol, sh + 1).bitwiseAND(F.lit(1))
-        return lo + F.shiftleft(hi, 32)
+        return (
+            f"SUM((SHIFTRIGHT({col}, {sh}) & 1) + "
+            f"SHIFTLEFT(SHIFTRIGHT({col}, {sh + 1}) & 1, 32)) AS p{k}"
+        )
 
     packed = h.groupBy("doc_id").agg(
-        F.count("*").alias("t_total"),
-        *[
-            F.sum(lane_pair(k)).alias(f"p{k}")
-            for k in range(N_SIMHASH_BITS // 2)
-        ],
+        F.expr("COUNT(*) AS t_total"),
+        *[F.expr(lane_pair(k)) for k in range(N_SIMHASH_BITS // 2)],
     )
     # unpack + combine in ONE higher-order fold (r6): c_{2k} = p_k &
     # 0xFFFFFFFF, c_{2k+1} = p_k >> 32 (p_k ≥ 0); bit j set iff 2*c_j > T,
@@ -475,29 +464,24 @@ def simhash_fingerprints(spark, sf_dir):
     # codegen of the plan (the dominant warm cost at bench scale) shrinks
     # with the tree. Values are bit-identical: same c_j, same comparison,
     # same summands.
-    ps = F.array(*[F.col(f"p{k}") for k in range(N_SIMHASH_BITS // 2)])
-    terms = F.array(
-        *[
-            F.lit(_simhash_term(j)).cast("long")
-            for j in range(N_SIMHASH_BITS)
-        ]
+    ps_cols = ", ".join(f"p{k}" for k in range(N_SIMHASH_BITS // 2))
+    term_lits = ", ".join(
+        f"CAST({_simhash_term(j)} AS BIGINT)" for j in range(N_SIMHASH_BITS)
     )
-    mask = F.lit(0xFFFFFFFF).cast("long")
-
-    def c_of(j: F.Column) -> F.Column:
-        half = F.element_at(ps, F.shiftright(j, 1) + 1)
-        return F.when(
-            j.bitwiseAND(F.lit(1)) == 0, half.bitwiseAND(mask)
-        ).otherwise(F.shiftright(half, 32))
-
-    sim = F.aggregate(
-        F.sequence(F.lit(0), F.lit(N_SIMHASH_BITS - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + (2 * c_of(j) > F.col("t_total")).cast("long")
-        * F.element_at(terms, j + 1),
+    mid = packed.selectExpr(
+        "doc_id",
+        "t_total",
+        f"ARRAY({ps_cols}) AS ps",
+        f"ARRAY({term_lits}) AS ts",
     )
-    return packed.select("doc_id", sim.alias("simhash"))
+    sim_sql = (
+        "AGGREGATE(SEQUENCE(0, 63), CAST(0 AS BIGINT), (acc, j) -> acc + "
+        "CAST(2 * (CASE WHEN j % 2 = 0 "
+        "THEN ELEMENT_AT(ps, SHIFTRIGHT(j, 1) + 1) & CAST(4294967295 AS BIGINT) "
+        "ELSE SHIFTRIGHT(ELEMENT_AT(ps, SHIFTRIGHT(j, 1) + 1), 32) END) "
+        "> t_total AS BIGINT) * ELEMENT_AT(ts, j + 1)) AS simhash"
+    )
+    return mid.selectExpr("doc_id", sim_sql)
 
 
 _SIMHASH_BITSUMS = ",\n".join(
