@@ -37,16 +37,36 @@ _SRC = "".join(_NORMALIZE_MAP.keys())
 _DST = "".join(_NORMALIZE_MAP.values())
 
 
+# Guard for the normalize fast path (r6): ONE regex pass deciding whether
+# any step of the 8-step chain below can change the string. It matches iff
+# the input contains a translate-source char, a parenthesis, an -lrb-/-rrb-
+# token (any case), a '--' / '``' / "''" pair, a non-space ASCII-\s char
+# (tab, \n, \x0B, \f, \r — Java's \s set), or a double space. For a string
+# matching NONE of these, steps 1-6 are identity and step 7 replaces single
+# spaces with single spaces — so normalize(c) == lower(trim(c)) exactly.
+# Typical transcript sentences are clean, so the common row pays 1 regex
+# pass + lower/trim instead of 7 regex passes + translate (measured: the
+# normalize chain dominated the claim-detection stage at bench scale).
+_NORM_GUARD = (
+    "[" + _SRC + "()\\t\\n\\x0B\\f\\r]|--|''|``|  |(?i:-lrb-|-rrb-)"
+)
+
+
 def normalize_expr(c: Column) -> Column:
-    """C6/C7 normalize_text as a codegen'd expression chain."""
-    c = F.translate(c, _SRC, _DST)
-    c = F.regexp_replace(c, r"(?i)-lrb-|\(", " ( ")
-    c = F.regexp_replace(c, r"(?i)-rrb-|\)", " ) ")
-    c = F.regexp_replace(c, "--", "-")
-    c = F.regexp_replace(c, "``", '"')
-    c = F.regexp_replace(c, "''", '"')
-    c = F.regexp_replace(c, r"\s+", " ")
-    return F.lower(F.trim(c))
+    """C6/C7 normalize_text as a codegen'd expression chain (with a guarded
+    identity fast path — see _NORM_GUARD; the full chain is bit-identical
+    on strings the guard matches, and provably equal to lower(trim(c)) on
+    strings it does not)."""
+    full = F.translate(c, _SRC, _DST)
+    full = F.regexp_replace(full, r"(?i)-lrb-|\(", " ( ")
+    full = F.regexp_replace(full, r"(?i)-rrb-|\)", " ) ")
+    full = F.regexp_replace(full, "--", "-")
+    full = F.regexp_replace(full, "``", '"')
+    full = F.regexp_replace(full, "''", '"')
+    full = F.regexp_replace(full, r"\s+", " ")
+    return F.when(c.rlike(_NORM_GUARD), F.lower(F.trim(full))).otherwise(
+        F.lower(F.trim(c))
+    )
 
 
 def token_set_expr(c: Column) -> Column:
