@@ -243,40 +243,50 @@ def detect_claims(
         base_sentences = base_sentences.where(
             J.claim_prefilter_expr(F.col("sentence"), pattern_list)
         )
-        # r6 claim-regex budget: the acceptance filter runs the (~90-
-        # alternation) regex ONCE per prefiltered sentence (codegen CSE
-        # merges the four `m`-references in the pushed-down filter), and the
-        # three capture groups are then pulled in ONE more regex pass — a
-        # single regexp_replace to "$1\x01$2\x01$3" + split — on ACCEPTED
-        # rows only. The previous detect_claim_exprs shape re-ran the full
-        # regex once per group (3 extra passes per accepted sentence). The
-        # claim regex is ^..$-anchored, so the matched text `m` IS the
-        # normalized sentence and group extraction from `m` is exactly
-        # group extraction from the original match (pinned by
+        # r6 claim-regex budget: the normalize chain + (~90-alternation)
+        # claim regex run EXACTLY ONCE per prefiltered sentence. The
+        # matched text is emitted through a 1:1 explode(array(..)) — a
+        # Generate is a predicate-pushdown barrier, so the acceptance
+        # filter's four references resolve to the generated attribute
+        # instead of four inlined copies of the regex (measured: the
+        # pushed-down filter re-evaluated normalize+regex per reference —
+        # runtime subexpression elimination did NOT merge them — at 0.25 s
+        # per extra copy at bench scale; the barrier form is also faster
+        # than a 1-reference filter, which still paid filter+project double
+        # evaluation). The three capture groups are then pulled in ONE more
+        # regex pass — regexp_replace to "$1\x01$2\x01$3" + split — on
+        # ACCEPTED rows only, the split array likewise held in its own
+        # projection. The claim regex is ^..$-anchored, so the matched text
+        # `m` IS the normalized sentence and group extraction from `m` is
+        # exactly group extraction from the original match (pinned by
         # tests/test_jvm_kernels.py + the golden suite).
         pat = J.claim_pattern(alias_list, pattern_list)
         norm = J.normalize_expr(F.col("sentence"))
         cand = base_sentences.select(
             "conv_id",
             "sent_id",
-            F.regexp_extract(norm, pat, 0).alias("m"),
+            F.explode(F.array(F.regexp_extract(norm, pat, 0))).alias("m"),
         ).where(
             (F.col("m") != "")
             & ~F.col("m").startswith("indeed ")
             & ~F.col("m").contains(" does not ")
             & ~F.col("m").contains(" never ")
         )
-        groups = F.split(
-            F.regexp_replace(F.col("m"), pat, "$1\x01$2\x01$3"),
-            "\x01",
+        g = cand.select(
+            "conv_id",
+            "sent_id",
+            F.split(
+                F.regexp_replace(F.col("m"), pat, "$1\x01$2\x01$3"),
+                "\x01",
+            ).alias("g"),
         )
-        return cand.select(
+        return g.select(
             "conv_id",
             "sent_id",
             F.concat_ws(":", "conv_id", "sent_id").alias("claim_id"),
-            groups.getItem(0).alias("subj_alias"),
-            groups.getItem(1).alias("pattern"),
-            groups.getItem(2).alias("obj_alias"),
+            F.col("g").getItem(0).alias("subj_alias"),
+            F.col("g").getItem(1).alias("pattern"),
+            F.col("g").getItem(2).alias("obj_alias"),
         )
 
     from ..functions import arrow_kernels as AK

@@ -534,9 +534,16 @@ def json_extract_props(spark, sf_dir):
     """Stringified-payload parse (F9: the reference's eval'd datavalue dicts →
     from_json/get_json_object, never eval)."""
     e = _t(spark, sf_dir, "events")
+    # r6: 1:1 explode(array(..)) barrier — predicate pushdown otherwise
+    # inlines the JSON parse into the filter AND keeps it in the project,
+    # parsing every row's payload twice (conjunct-level evaluation does not
+    # subexpression-eliminate; measured on the claim-regex twin of this
+    # pattern in stages.detect_claims). One parse per row, same rows out.
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.explode(
+            F.array(F.get_json_object("props", "$.k").cast("int"))
+        ).alias("k"),
     ).where(F.col("k") > 50)
 
 
@@ -558,7 +565,13 @@ def variant_extract_props(spark, sf_dir):
     error-lane discipline at the type level. Oracle: the same values via
     DuckDB's JSON extraction."""
     e = _t(spark, sf_dir, "events")
-    v = e.select("event_id", F.parse_json("props").alias("v"))
+    # r6: same explode-barrier as json_extract_props, here protecting the
+    # ONCE-per-row parse_json — the filter on the derived `k` would
+    # otherwise inline variant_get(parse_json(props)) as a second (and the
+    # missing_k projection a third) full parse of the payload.
+    v = e.select(
+        "event_id", F.explode(F.array(F.parse_json("props"))).alias("v")
+    )
     return v.select(
         "event_id",
         F.variant_get(F.col("v"), "$.k", "int").alias("k"),
