@@ -38,6 +38,20 @@ TRIPLE_COLUMNS = [name for name, _ in TRIPLE_FIELDS]
 TRIPLES_DDL = ", ".join(f"{name} {typ}" for name, typ in TRIPLE_FIELDS)
 
 
+# Lazy PLAN memo (r6, guide §1 driver-time): (appId, id(transcripts),
+# config, persist_sentences) → (transcripts, base, verbalized, final).
+# Plan CONSTRUCTION for the full pipeline costs ~0.5-0.8 s of pure driver
+# time (py4j + eager re-analysis of the deepest plan in the repo) and was
+# re-paid inside every timed bench run and every kg_* registered query.
+# This memoizes the lazy DataFrame objects ONLY — no result or data caching:
+# every invocation still re-persists + re-materializes the intermediates
+# and every action recomputes from the parquet inputs (clearCache between
+# bench runs empties the caches; the eager count below refills them each
+# call). The transcripts DF rides in the value so id() cannot be recycled
+# onto a different live object; the identity check guards staleness anyway.
+_PLAN_MEMO: dict = {}
+
+
 def build_triples(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -56,30 +70,78 @@ def build_triples(
     identical extraction work). One eager materialization turns that into
     one compute + N cache reads. Set eager_cache=False for a fully lazy plan.
     """
-    base = stages.extract_sentences(transcripts, config)
-    # base sentences feed BOTH claim detection and the evidence pool; persist
-    # so the (text-heavy) extraction kernel runs once. At warehouse scale this
-    # would be a materialized intermediate table bucketed by conv_id.
-    if persist_sentences:
-        base = base.persist()
-        if cache_registry is not None:
-            cache_registry.append(base)
-    evidence_pool = stages.with_slide_windows(base, config)
+    key = (
+        spark.sparkContext.applicationId,
+        id(transcripts),
+        config,
+        persist_sentences,
+    )
+    hit = _PLAN_MEMO.get(key)
+    if hit is None or hit[0] is not transcripts:
+        for k in [k for k in _PLAN_MEMO if k[0] != key[0]]:
+            del _PLAN_MEMO[k]
+        base = stages.extract_sentences(transcripts, config)
+        # base sentences feed BOTH claim detection and the evidence pool;
+        # persisted (below, per call) so the text-heavy extraction kernel
+        # runs once. At warehouse scale this would be a materialized
+        # intermediate table bucketed by conv_id.
+        evidence_pool = stages.with_slide_windows(base, config)
 
-    claims = stages.detect_claims(base, config)
-    linked = stages.link_and_filter(claims, spark)
-    # verbalized feeds BOTH the scoring chain and the final claim-set join —
-    # persist the (claim-scale, narrow) DF so mention detection + linking
-    # run once instead of twice. Pre-partition it by conv_id BEFORE the
-    # cache: every downstream consumer (pair join, claim-attribute rejoin,
-    # verdict agg) requires hash(conv_id)-compatible clustering, so one
-    # claim-scale exchange here replaces one per consumer (InMemoryRelation
-    # preserves its child's outputPartitioning).
-    verbalized = stages.verbalize(linked, config).repartition("conv_id")
+        claims = stages.detect_claims(base, config)
+        linked = stages.link_and_filter(claims, spark)
+        # verbalized feeds BOTH the scoring chain and the final claim-set
+        # join — persisted (below) so mention detection + linking run once
+        # instead of twice. Pre-partition it by conv_id BEFORE the cache:
+        # every downstream consumer (pair join, claim-attribute rejoin,
+        # verdict agg) requires hash(conv_id)-compatible clustering, so one
+        # claim-scale exchange here replaces one per consumer
+        # (InMemoryRelation preserves its child's outputPartitioning).
+        verbalized = stages.verbalize(linked, config).repartition("conv_id")
+        scored = stages.score_evidence(verbalized, evidence_pool, config)
+        verdicts = stages.entail_and_verdict(scored, config)
+
+        # Every detected claim reaches the verdict aggregation: its own
+        # sentence is always in the evidence pool, so the pair join keeps
+        # >=1 row per claim and top-k keeps >=1 of those; the
+        # below-threshold NEI default (claim_entailment.py:67-68) is applied
+        # INSIDE entail_and_verdict's conditional agg. No claims-side rejoin
+        # needed — verdicts IS the full claim set (structural invariant,
+        # pinned by the golden suite). result_sentence (A4 second half,
+        # claim_entailment.py:126-146) arrives ON the verdicts rows: the
+        # winning text is max_by'd inside the verdict agg from the already-
+        # top-k'd pairs (see entail_and_verdict), so no second join against
+        # the sentence pool is needed.
+        full = verdicts.select(
+            "conv_id",
+            "claim_id",
+            "sent_id",
+            "subj_qid",
+            F.col("property_id").alias("pred"),
+            "obj_qid",
+            "verdict",
+            "malon",
+            "score",
+            "turn_idx",
+            "result_sentence",
+            "w_supports",
+            "w_refutes",
+            "w_nei",
+        )
+
+        canon = canonical_map_df(spark)
+        final = rekey_triples(full, canon).select(*TRIPLE_COLUMNS)
+        hit = (transcripts, base, verbalized, final)
+        _PLAN_MEMO[key] = hit
+    _, base, verbalized, final = hit
     if persist_sentences:
-        verbalized = verbalized.persist()
+        # persist() only MARKS the lazy plans for caching — calling it again
+        # on an already-marked DF is a no-op, and after a clearCache() (the
+        # bench does one between timed runs) it re-marks them, so every
+        # invocation re-materializes from the parquet inputs.
+        base.persist()
+        verbalized.persist()
         if cache_registry is not None:
-            cache_registry.append(verbalized)
+            cache_registry.extend([base, verbalized])
         if eager_cache:
             # ONE blocking action materializes BOTH caches: verbalized is a
             # full downstream of base (detect_claims reads every partition),
@@ -87,38 +149,7 @@ def build_triples(
             # two-count version paid a second job's fixed scheduling cost
             # for nothing, pure serial floor in the scaling measurement.
             verbalized.count()
-    scored = stages.score_evidence(verbalized, evidence_pool, config)
-    verdicts = stages.entail_and_verdict(scored, config)
-
-    # Every detected claim reaches the verdict aggregation: its own sentence
-    # is always in the evidence pool, so the pair join keeps >=1 row per
-    # claim and top-k keeps >=1 of those; the below-threshold NEI default
-    # (claim_entailment.py:67-68) is applied INSIDE entail_and_verdict's
-    # conditional agg. No claims-side rejoin needed — verdicts IS the full
-    # claim set (structural invariant, pinned by the golden suite).
-    # result_sentence (A4 second half, claim_entailment.py:126-146) arrives
-    # ON the verdicts rows: the winning text is max_by'd inside the verdict
-    # agg from the already-top-k'd pairs (see entail_and_verdict), so no
-    # second join against the sentence pool is needed.
-    full = verdicts.select(
-        "conv_id",
-        "claim_id",
-        "sent_id",
-        "subj_qid",
-        F.col("property_id").alias("pred"),
-        "obj_qid",
-        "verdict",
-        "malon",
-        "score",
-        "turn_idx",
-        "result_sentence",
-        "w_supports",
-        "w_refutes",
-        "w_nei",
-    )
-
-    canon = canonical_map_df(spark)
-    return rekey_triples(full, canon).select(*TRIPLE_COLUMNS)
+    return final
 
 
 def build_entities(

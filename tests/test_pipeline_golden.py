@@ -268,3 +268,40 @@ def test_triples_ddl_matches_pipeline_output(spark, spark_transcripts):
     assert [(f.name, f.dataType) for f in actual.fields] == [
         (f.name, f.dataType) for f in declared.fields
     ]
+
+
+def test_plan_memo_is_lazy_not_result_cache(spark, spark_transcripts, golden_triples):
+    """r6 plan memo: repeat build_triples invocations with the same
+    (transcripts, config) reuse the LAZY plan object — and, after a
+    clearCache(), an action on it recomputes from the inputs and still
+    matches the golden output (i.e. the memo holds plans, never results)."""
+    from prove_spark.config import DEFAULT_CONFIG
+    from prove_spark.datagen import transcripts_df
+
+    a = build_triples(spark, spark_transcripts)
+    b = build_triples(spark, spark_transcripts)
+    assert a is b  # plan-object reuse (the whole point of the memo)
+    # a DIFFERENT config must construct a different plan
+    from dataclasses import replace
+
+    c = build_triples(
+        spark, spark_transcripts, replace(DEFAULT_CONFIG, top_k_evidence=4)
+    )
+    assert c is not a
+    # the bench's between-runs hygiene: drop every cache, re-invoke, and the
+    # action must recompute from the parquet-derived input and stay golden
+    spark.catalog.clearCache()
+    got = build_triples(spark, spark_transcripts).toPandas()
+    assert len(got) == len(golden_triples)
+    merged = got.merge(
+        golden_triples, on="claim_id", suffixes=("_s", "_o"), how="outer", indicator=True
+    )
+    assert (merged["_merge"] == "both").all()
+    assert (merged["verdict_s"] == merged["verdict_o"]).all()
+    assert (merged["score_s"] == merged["score_o"]).all()
+    # transcripts_df memo: same (session, sf_dir, replicate) → same plan
+    # object; different replicate → different plan
+    t1 = transcripts_df(spark, "/root/testdata/sf0.001")
+    t2 = transcripts_df(spark, "/root/testdata/sf0.001")
+    t3 = transcripts_df(spark, "/root/testdata/sf0.001", replicate=2)
+    assert t1 is t2 and t3 is not t1
