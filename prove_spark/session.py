@@ -64,7 +64,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Arrow batch sizing (guide §4.2): Spark 4 bounds Python-worker
+        # memory by BYTES (maxBytesPerBatch, 64 MB default — kept explicit
+        # here as the real memory bound, valid at any row width), so the
+        # row cap no longer needs to be the memory guard. 64k rows/batch
+        # amortizes the per-batch JVM↔Python round trip and makes the
+        # unique-value memoization in functions/arrow_kernels.py effective
+        # (measured: kg arrow engine ~10% faster than the old 4096 cap at
+        # bench scale, A/B alternated; wide text rows still cut off at the
+        # byte bound first).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
