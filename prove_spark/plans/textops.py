@@ -38,28 +38,15 @@ def _rebalance_scan(spark: SparkSession, df: DataFrame, key: str = "doc_id") -> 
     splits and the plan gains no exchange at all. Hash-partitioned on `key`
     for a deterministic layout.
 
-    r6: the partition-count probe (`df.rdd.getNumPartitions()` — a full
-    plan→RDD conversion, ~40 ms of driver time) is memoized per (session,
-    plan object): `_t` hands out one cached DataFrame per (session, path),
-    so identity is a stable key and repeat invocations skip the probe."""
+    The split-count decision comes from relational._scan_partitions: a
+    memoized Python-side file-size estimate for _t tables (mirrors Spark's
+    FilePartition math), falling back to the plan→RDD probe otherwise."""
+    from .relational import _scan_partitions
+
     target = spark.sparkContext.defaultParallelism
-    key_ = (spark.sparkContext.applicationId, id(df))
-    hit = _NPART_CACHE.get(key_)
-    if hit is None or hit[0] is not df:
-        for k in [k for k in _NPART_CACHE if k[0] != key_[0]]:
-            del _NPART_CACHE[k]
-        hit = (df, df.rdd.getNumPartitions())
-        _NPART_CACHE[key_] = hit
-    if hit[1] < target:
+    if _scan_partitions(spark, df) < target:
         return df.repartition(target, key)
     return df
-
-
-# (appId, id(df)) -> (df, planned scan partition count); see
-# _rebalance_scan. The probed DataFrame rides in the value so the entry
-# keeps it alive — id() can never be recycled onto a different live object,
-# and the identity check guards the impossible-stale case anyway.
-_NPART_CACHE: dict = {}
 
 
 def _portable_hash(col: F.Column) -> F.Column:
