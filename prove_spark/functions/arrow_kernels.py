@@ -79,13 +79,30 @@ def _worker_state() -> None:
         _VOCAB.clear()
         _PID = os.getpid()
     if not _VOCAB:
-        _VOCAB["not"] = 0
-        _VOCAB["never"] = 1
+        _VOCAB[b"not"] = 0
+        _VOCAB[b"never"] = 1
     elif len(_VOCAB) > _VOCAB_CAP:
         _VOCAB.clear()
         _MASK.clear()
-        _VOCAB["not"] = 0
-        _VOCAB["never"] = 1
+        _VOCAB[b"not"] = 0
+        _VOCAB[b"never"] = 1
+
+
+# C-level tokenizer twin of K.token_set: lower() then map every non-[a-z0-9]
+# BYTE to space and split. Exactly the maximal-[a-z0-9]-run semantics of the
+# regex — UTF-8 continuation/lead bytes are all >= 0x80, so any non-ASCII
+# character becomes separators, same as falling outside the regex class.
+# Tokens come out as BYTES (ASCII) — the vocab/mask layer below is keyed
+# consistently on bytes, and only set sizes and bit positions ever leave it,
+# so the str/bytes distinction is invisible to callers. ~6x faster per
+# unique string than re.findall (the dominant Python cost of the arrow
+# scorer once per-pair work was vectorized away); equality with K.token_set
+# is pinned by tests/test_arrow_kernels.py.
+_B_TRANS = bytes(
+    b if (48 <= b <= 57) or (97 <= b <= 122) else 32 for b in range(256)
+)
+_NOT = b"not"
+_NEVER = b"never"
 
 
 def _tok(v) -> frozenset:
@@ -93,7 +110,9 @@ def _tok(v) -> frozenset:
     if ts is None:
         if len(_TOK) >= _TOK_CAP:
             _TOK.clear()
-        ts = K.token_set(v)
+        ts = frozenset(
+            v.lower().encode("utf-8", "replace").translate(_B_TRANS).split()
+        )
         _TOK[v] = ts
     return ts
 

@@ -157,3 +157,31 @@ def test_detect_claims_batch_matches_per_row():
                 g["pattern"].iloc[i],
                 g["obj_alias"].iloc[i],
             ) == hit, repr(sent)
+
+
+def test_bytes_tokenizer_matches_token_set():
+    """_tok (C-level bytes translate+split) must produce exactly the token
+    runs of K.token_set (regex [a-z0-9]+ over lower()) on adversarial
+    unicode: non-ASCII chars are separators in both, case folds first."""
+    import random
+
+    import prove_spark.functions.arrow_kernels as AK
+    import prove_spark.functions.text as K
+
+    rng = random.Random(20260822)
+    alphabet = (
+        "abcXYZ019 \t\n.,;:-_()ÀàÉéßΩ中文🙂 　'" + '"`'
+    )
+    cases = [
+        "", " ", "a", "Alan Turing was born in London.",
+        "café résumé", "ΣΙΣΥΦΟΣ sisyphos", "naïve—dash",
+        "x" * 300, "0a1b2c", " not　never ",
+    ] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(500)
+    ]
+    AK._worker_state()
+    for s in cases:
+        got = {t.decode("ascii") for t in AK._tok(s)}
+        want = set(K.token_set(s))
+        assert got == want, repr(s)
