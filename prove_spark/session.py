@@ -65,15 +65,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch sizing (guide §4.2): Spark 4 bounds Python-worker
-        # memory by BYTES (maxBytesPerBatch, 64 MB default — kept explicit
-        # here as the real memory bound, valid at any row width), so the
-        # row cap no longer needs to be the memory guard. 64k rows/batch
-        # amortizes the per-batch JVM↔Python round trip and makes the
-        # unique-value memoization in functions/arrow_kernels.py effective
-        # (measured: kg arrow engine ~10% faster than the old 4096 cap at
-        # bench scale, A/B alternated; wide text rows still cut off at the
-        # byte bound first).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # memory by BYTES (maxBytesPerBatch — the real memory bound, valid
+        # at any row width), so the row cap no longer needs to be the
+        # memory guard; it is raised high enough that batches are in
+        # practice cut by the byte bound. Bigger batches amortize the
+        # per-batch JVM↔Python round trip and make the unique-value
+        # memoization in functions/arrow_kernels.py effective (measured,
+        # A/B alternated at bench scale: kg arrow engine 5.5 s at the old
+        # 4096-row cap -> 4.8 s at 64k -> 4.1-4.4 s bytes-bound).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
