@@ -13,6 +13,8 @@ Every computed column is aliased identically in the Spark plan and the SQL
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -143,6 +145,25 @@ def _scan_partitions(spark: SparkSession, df: DataFrame) -> int:
     return hit[1]
 
 
+#: Minimum total scan bytes before the pre-window fan-out pays: below
+#: this, the serial map-side sort of the concentrated input costs about as
+#: much as the extra shuffle wave's fixed overhead (task launch + exchange
+#: materialization), and the explicit repartition also forfeits map-side
+#: WindowGroupLimit pruning into the shuffle — measured at sf0.1: the 2 MB
+#: events table reads ~0.15-0.3 s SLOWER cold and no faster warm when
+#: fanned out, while the 10.8 MB lineitem window halves its warm wall.
+#: Total bytes (not bytes-per-nominal-split) is the statistic because the
+#: splits<cores guard has already established the data sits on too few
+#: tasks, and nominal split counts overstate real spread on
+#: single-row-group files (a scan cannot parallelize below row-group
+#: granularity). A DATA-size rule, not a core-count rule: at cluster
+#: scale splits are maxPartitionBytes-sized and plentiful, so the
+#: splits<cores guard is already false and this floor never evaluates.
+_FANOUT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", str(6 << 20))
+)
+
+
 def _fan_out_for_window(
     spark: SparkSession, df: DataFrame, *keys: str
 ) -> DataFrame:
@@ -153,15 +174,24 @@ def _fan_out_for_window(
     WindowGroupLimit of a window query runs serially (measured 0.8 s of a
     1.05 s topk_per_group wall). A window partitioned by `keys` needs a
     hash(keys) exchange anyway; when (and only when) the scan supplies
-    fewer splits than cores, issue that exchange explicitly BELOW the sort
-    so the sort/window work runs at full parallelism. The plan keeps
-    exactly one exchange either way; on a many-split table (the 100 TB
-    case) the condition is false and the plan is byte-identical to before
-    (map-side WindowGroupLimit pruning and all)."""
+    fewer splits than cores AND those splits are heavy enough that the
+    serial sort dominates (see _FANOUT_MIN_SPLIT_BYTES), issue that
+    exchange explicitly BELOW the sort so the sort/window work runs at
+    full parallelism. The plan keeps exactly one exchange either way; on a
+    many-split table (the 100 TB case) the condition is false and the plan
+    is byte-identical to before (map-side WindowGroupLimit pruning and
+    all)."""
     target = spark.sparkContext.defaultParallelism
-    if _scan_partitions(spark, df) < target:
-        return df.repartition(target, *keys)
-    return df
+    if _scan_partitions(spark, df) >= target:
+        return df
+    path = _TABLE_PATHS.get((spark.sparkContext.applicationId, id(df)))
+    if path is not None:
+        try:
+            if os.path.getsize(path) < _FANOUT_MIN_BYTES:
+                return df
+        except OSError:
+            pass
+    return df.repartition(target, *keys)
 
 
 # --------------------------------------------------------------------- A7/A11

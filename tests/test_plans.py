@@ -130,6 +130,30 @@ def test_scan_rebalance_is_noop_on_parallel_input(spark):
     assert out is df
 
 
+def test_window_fanout_byte_floor(spark, monkeypatch):
+    """The pre-window fan-out fires only when the concentrated scan carries
+    enough bytes for the serial sort to dominate an extra shuffle wave
+    (r6 byte floor): a dictionary-scale table must come back untouched, the
+    same table must repartition once the floor is lowered to zero, and an
+    already-parallel input must stay untouched regardless of size."""
+    import prove_spark.plans.relational as R
+
+    events = R._t(spark, SF, "events")  # ~30 KB at sf0.001: below any floor
+    assert R._fan_out_for_window(spark, events, "user_id") is events
+
+    monkeypatch.setattr(R, "_FANOUT_MIN_BYTES", 0)
+    if spark.sparkContext.defaultParallelism > 1:
+        out = R._fan_out_for_window(spark, events, "user_id")
+        assert out is not events
+        assert "hashpartitioning(user_id" in plan_of(out)
+
+    from pyspark.sql import functions as F
+
+    cores = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).withColumn("user_id", F.col("id")).repartition(cores)
+    assert R._fan_out_for_window(spark, wide, "user_id") is wide
+
+
 def test_entity_rollup_is_two_phase(spark):
     """Salted pivot: two aggregation phases (salt then merge), so a hot
     entity cannot bottleneck a single reducer."""
